@@ -1,0 +1,73 @@
+"""Device mesh and sharding helpers.
+
+The reference scales with PyTorch-Lightning DDP + NCCL
+(avsl/whisper_flamingo_ft_ami.py:928 in /root/reference); the TPU-native
+equivalent is a `jax.sharding.Mesh` with a ``data`` axis (and an optional
+``model`` axis reserved for future tensor parallelism) over which train
+steps are jit-compiled with NamedSharding constraints. XLA then inserts
+the gradient `psum` and metric collectives over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    model_parallel: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+    axis_names: Tuple[str, str] = (DATA_AXIS, MODEL_AXIS),
+) -> Mesh:
+    """Create a (data, model) mesh.
+
+    ``model_parallel`` devices are grouped on the model axis (contiguous, so
+    model-axis collectives ride the fastest ICI links); the rest go to data.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = list(devices)[:n_devices]
+    if n_devices % model_parallel != 0:
+        raise ValueError(
+            f"n_devices={n_devices} not divisible by model_parallel={model_parallel}"
+        )
+    grid = np.array(devices).reshape(n_devices // model_parallel, model_parallel)
+    return Mesh(grid, axis_names)
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard dim 0 over the data axis, replicate the rest."""
+    spec = P(DATA_AXIS, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch pytree onto the mesh, batch-dim sharded on `data`."""
+
+    def _put(x):
+        x = np.asarray(x)
+        return jax.device_put(x, data_sharding(mesh, x.ndim))
+
+    return jax.tree_util.tree_map(_put, batch)
+
+
+def local_batch_size(global_batch_size: int, mesh: Mesh) -> int:
+    n_data = mesh.shape[DATA_AXIS]
+    if global_batch_size % n_data != 0:
+        raise ValueError(
+            f"global batch {global_batch_size} not divisible by data-axis size {n_data}"
+        )
+    return global_batch_size // n_data
