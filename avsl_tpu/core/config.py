@@ -407,6 +407,32 @@ class AVHuBERTConfig:
         return cls(**kwargs)
 
     @classmethod
+    def tiny_test(cls, **overrides: Any) -> "AVHuBERTConfig":
+        """Miniature config for unit tests (fast CPU compile)."""
+        base = dict(
+            hidden_size=32,
+            num_hidden_layers=2,
+            num_attention_heads=2,
+            intermediate_size=64,
+            conv_pos=8,
+            conv_pos_groups=2,
+            visual_frontend_channels=8,
+            visual_backbone_channels=64,
+            audio_feat_dim=104,
+            decoder_hidden_size=32,
+            decoder_ffn_dim=64,
+            decoder_layers=2,
+            decoder_attention_heads=2,
+            max_target_positions=64,
+            vocab_size=59,
+            final_dim=16,
+            layerdrop=0.0,
+            decoder_layerdrop=0.0,
+        )
+        base.update(overrides)
+        return cls(**base)
+
+    @classmethod
     def from_yaml(cls, path: str) -> "AVHuBERTConfig":
         """Build from a fairseq-style YAML card (``model:``/``tokenizer:``/...).
 

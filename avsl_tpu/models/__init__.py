@@ -1,0 +1,15 @@
+from avsl_tpu.models.layers import (  # noqa: F401
+    MultiHeadAttention,
+    TransformerBlock,
+    sinusoid_embedding,
+    grad_multiply,
+    init_self_attn_cache,
+)
+from avsl_tpu.models.whisper import Whisper, WhisperEncoder, WhisperTextDecoder  # noqa: F401
+from avsl_tpu.models.resnet3d import ResNet3DFrontend  # noqa: F401
+from avsl_tpu.models.avhubert import (  # noqa: F401
+    AVHuBERTModel,
+    AVHuBERTEncoderWrapper,
+    AVHuBERTForCTC,
+    AVHuBERTForSpeech2Text,
+)

@@ -1,0 +1,182 @@
+"""Visual frontend: Conv3D stem + per-frame ResNet-18 trunk.
+
+Same capability as the reference's visual frontend
+(avsl/modules/resnet.py: Conv3d(1->64, k=(5,7,7), s=(1,2,2)) + BN + PReLU +
+MaxPool3d, time folded into batch, BasicBlock [2,2,2,2] ResNet-18 with
+PReLU / average-pool-downsample options, global average pool -> 512 per
+frame), re-expressed TPU-first:
+
+* channels-last layout throughout ([B, T, H, W, C]) — XLA's native conv
+  layout on TPU, so every conv lands on the MXU without transposes;
+* the time fold is a reshape (free), all frames of a clip batch through
+  the 2-D trunk as one big conv batch;
+* BatchNorm keeps running stats in the flax ``batch_stats`` collection;
+  ``use_running_average`` is threaded so the Flamingo config's
+  ``freeze_video_batch_norm_stats`` regime is expressible.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    relu_type: str = "prelu"
+    avg_pool_downsample: bool = False
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, use_running_average: bool = True) -> jnp.ndarray:
+        act = (
+            nn.PReLU(param_dtype=self.param_dtype)
+            if self.relu_type == "prelu"
+            else nn.relu
+        )
+        norm = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=use_running_average,
+            momentum=0.9,
+            dtype=jnp.float32,
+            param_dtype=self.param_dtype,
+            name=name,
+        )
+        conv = lambda name, stride: nn.Conv(  # noqa: E731
+            self.planes,
+            (3, 3),
+            strides=(stride, stride),
+            padding=1,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name=name,
+        )
+
+        residual = x
+        out = conv("conv1", self.stride)(x)
+        out = act(norm("bn1")(out).astype(self.dtype))
+        out = conv("conv2", 1)(out)
+        out = norm("bn2")(out).astype(self.dtype)
+
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            if self.avg_pool_downsample:
+                if self.stride != 1:
+                    residual = nn.avg_pool(
+                        residual,
+                        (self.stride, self.stride),
+                        strides=(self.stride, self.stride),
+                    )
+                residual = nn.Conv(
+                    self.planes,
+                    (1, 1),
+                    use_bias=False,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name="downsample_conv",
+                )(residual)
+            else:
+                residual = nn.Conv(
+                    self.planes,
+                    (1, 1),
+                    strides=(self.stride, self.stride),
+                    use_bias=False,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name="downsample_conv",
+                )(residual)
+            residual = norm("downsample_bn")(residual).astype(self.dtype)
+
+        return act(out + residual)
+
+
+class ResNetTrunk(nn.Module):
+    """2-D ResNet-18 trunk: [N, H, W, 64] -> [N, 512] (global avg pool)."""
+
+    layers: Sequence[int] = (2, 2, 2, 2)
+    planes: Sequence[int] = (64, 128, 256, 512)
+    relu_type: str = "prelu"
+    avg_pool_downsample: bool = False
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, use_running_average: bool = True) -> jnp.ndarray:
+        for stage, (n_blocks, planes) in enumerate(zip(self.layers, self.planes)):
+            for b in range(n_blocks):
+                stride = 2 if (stage > 0 and b == 0) else 1
+                x = BasicBlock(
+                    planes=planes,
+                    stride=stride,
+                    relu_type=self.relu_type,
+                    avg_pool_downsample=self.avg_pool_downsample,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name=f"layer{stage + 1}_{b}",
+                )(x, use_running_average)
+        return jnp.mean(x, axis=(1, 2))  # global average pool
+
+
+class ResNet3DFrontend(nn.Module):
+    """Lip-clip encoder: [B, T, H, W, 1] -> [B, T, backbone_channels].
+
+    Stem: Conv3D(1->frontend_channels, k=(5,7,7), s=(1,2,2)) + BN + PReLU +
+    MaxPool(1,3,3)/(1,2,2); then the time axis folds into the batch and all
+    frames run through the 2-D ResNet trunk together.
+    """
+
+    frontend_channels: int = 64
+    backbone_channels: int = 512
+    relu_type: str = "prelu"
+    avg_pool_downsample: bool = False
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        video: jnp.ndarray,
+        use_running_average: bool = True,
+    ) -> jnp.ndarray:
+        b, t = video.shape[0], video.shape[1]
+        x = video.astype(self.dtype)
+        x = nn.Conv(
+            self.frontend_channels,
+            (5, 7, 7),
+            strides=(1, 2, 2),
+            padding=((2, 2), (3, 3), (3, 3)),
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="stem_conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=use_running_average,
+            momentum=0.9,
+            dtype=jnp.float32,
+            param_dtype=self.param_dtype,
+            name="stem_bn",
+        )(x).astype(self.dtype)
+        x = nn.PReLU(param_dtype=self.param_dtype)(x) if self.relu_type == "prelu" else nn.relu(x)
+        x = nn.max_pool(
+            x,
+            window_shape=(1, 3, 3),
+            strides=(1, 2, 2),
+            padding=((0, 0), (1, 1), (1, 1)),
+        )
+        # fold time into batch: [B*T, H', W', C]
+        _, _, h, w, c = x.shape
+        x = x.reshape(b * t, h, w, c)
+        bc = self.backbone_channels
+        x = ResNetTrunk(
+            planes=(max(bc // 8, 8), max(bc // 4, 8), max(bc // 2, 8), bc),
+            relu_type=self.relu_type,
+            avg_pool_downsample=self.avg_pool_downsample,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="trunk",
+        )(x, use_running_average)
+        return x.reshape(b, t, self.backbone_channels)

@@ -1,0 +1,258 @@
+"""Whisper encoder/decoder in flax, with Whisper-Flamingo video fusion.
+
+From-scratch implementation of the published Whisper architecture
+(conv1d x2 frontend + sinusoidal positions + pre-norm transformer encoder;
+learned-position decoder with cross-attention and tied output embedding),
+extended with the Whisper-Flamingo surface the reference consumes from its
+external fork (SURVEY.md §2.7; call sites avsl/whisper_flamingo_ft_ami.py:
+337-348, 527-528):
+
+* ``encode(mel, video) -> (features, x_v)`` — audio encoding plus a separate
+  projected video stream (``av_fusion='separate'``), where ``video_model``
+  is any module mapping [B,T,H,W,1] -> [B,T',video_state] (AV-HuBERT's
+  visual encoder in the flagship config).
+* ``decode(tokens, features, xv=x_v)`` — decoder blocks carry tanh-gated
+  cross-attention on ``x_v`` when ``cfg.add_gated_x_attn`` (gates init 0).
+
+Decoding is incremental with an explicit static-shape KV cache pytree
+(cross K/V precomputed once), so greedy and batched beam search compile to
+a single XLA while-loop program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avsl_tpu.core.config import WhisperConfig
+from avsl_tpu.models.layers import (
+    Cache,
+    LayerNormF32,
+    MultiHeadAttention,
+    TransformerBlock,
+    init_self_attn_cache,
+    sinusoid_embedding,
+)
+
+
+def _dtype(cfg: WhisperConfig):
+    return jnp.dtype(cfg.dtype)
+
+
+def _pdtype(cfg: WhisperConfig):
+    return jnp.dtype(cfg.param_dtype)
+
+
+class WhisperEncoder(nn.Module):
+    """Audio encoder: mel [B, n_mels, T] -> features [B, T//2, n_state]."""
+
+    cfg: WhisperConfig
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.cfg
+        dtype, pdtype = _dtype(cfg), _pdtype(cfg)
+        x = mel.astype(dtype).transpose(0, 2, 1)  # [B, T, n_mels]
+        x = nn.Conv(cfg.n_audio_state, (3,), padding=1, dtype=dtype, param_dtype=pdtype, name="conv1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Conv(cfg.n_audio_state, (3,), strides=(2,), padding=1, dtype=dtype, param_dtype=pdtype, name="conv2")(x)
+        x = nn.gelu(x, approximate=False)
+
+        t = x.shape[1]
+        pos = sinusoid_embedding(cfg.n_audio_ctx, cfg.n_audio_state)[:t]
+        x = x + jnp.asarray(pos, dtype)
+
+        block = TransformerBlock
+        if cfg.remat:
+            block = nn.remat(TransformerBlock, static_argnums=(7,))
+        for i in range(cfg.n_audio_layer):
+            x, _ = block(
+                d_model=cfg.n_audio_state,
+                n_heads=cfg.n_audio_head,
+                d_ff=4 * cfg.n_audio_state,
+                dropout=cfg.dropout_rate,
+                dtype=dtype,
+                param_dtype=pdtype,
+                name=f"block_{i}",
+            )(x, None, None, None, None, None, None, deterministic)
+        return LayerNormF32(param_dtype=pdtype, name="ln_post")(x)
+
+
+class WhisperTextDecoder(nn.Module):
+    """Text decoder with optional gated video cross-attention per block."""
+
+    cfg: WhisperConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.token_embedding = nn.Embed(
+            cfg.n_vocab, cfg.n_text_state, dtype=_dtype(cfg), param_dtype=_pdtype(cfg),
+            name="token_embedding",
+        )
+        self.positional_embedding = self.param(
+            "positional_embedding",
+            nn.initializers.normal(0.01),
+            (cfg.n_text_ctx, cfg.n_text_state),
+            _pdtype(cfg),
+        )
+        self.blocks = [
+            TransformerBlock(
+                d_model=cfg.n_text_state,
+                n_heads=cfg.n_text_head,
+                d_ff=4 * cfg.n_text_state,
+                has_cross_attn=True,
+                gated_x_attn=bool(cfg.add_gated_x_attn),
+                dropout=cfg.dropout_rate,
+                dtype=_dtype(cfg),
+                param_dtype=_pdtype(cfg),
+                name=f"block_{i}",
+            )
+            for i in range(cfg.n_text_layer)
+        ]
+        self.ln = LayerNormF32(param_dtype=_pdtype(cfg), name="ln")
+
+    def __call__(
+        self,
+        tokens: jnp.ndarray,
+        audio_features: Optional[jnp.ndarray] = None,
+        xv: Optional[jnp.ndarray] = None,
+        cache: Optional[List[Cache]] = None,
+        self_mask: Optional[jnp.ndarray] = None,
+        enc_mask: Optional[jnp.ndarray] = None,
+        xv_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Optional[List[Cache]]]:
+        cfg = self.cfg
+        offset = cache[0]["self"]["index"] if cache is not None else 0
+        x = self.token_embedding(tokens)
+        pos = jax.lax.dynamic_slice(
+            self.positional_embedding,
+            (offset, 0) if cache is not None else (0, 0),
+            (tokens.shape[1], cfg.n_text_state),
+        )
+        x = x + pos.astype(x.dtype)
+
+        if cache is None and self_mask is None:
+            t = tokens.shape[1]
+            self_mask = nn.make_causal_mask(jnp.zeros((1, t)), dtype=bool)[0]  # [1, t, t]
+            self_mask = self_mask[None]
+
+        new_cache: Optional[List[Cache]] = [] if cache is not None else None
+        for i, block in enumerate(self.blocks):
+            x, c = block(
+                x,
+                enc=audio_features,
+                xv=xv,
+                self_mask=self_mask,
+                enc_mask=enc_mask,
+                xv_mask=xv_mask,
+                cache=None if cache is None else cache[i],
+                deterministic=deterministic,
+            )
+            if new_cache is not None:
+                new_cache.append(c)
+
+        x = self.ln(x)
+        logits = jnp.einsum(
+            "btd,vd->btv",
+            x,
+            self.token_embedding.embedding.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return logits, new_cache
+
+
+class Whisper(nn.Module):
+    """Whisper [+ Flamingo video] model.
+
+    ``video_model`` maps raw lip clips [B,T,H,W,1] -> [B,T',video_state]
+    (e.g. the AV-HuBERT visual encoder). ``video_projection`` maps
+    video_state -> n_text_state; the parameter-name split mirrors the
+    freeze regimes the reference selects by name
+    (avsl/whisper_flamingo_ft_ami.py:506-517).
+    """
+
+    cfg: WhisperConfig
+    video_model: Optional[nn.Module] = None
+
+    def setup(self):
+        self.encoder = WhisperEncoder(self.cfg, name="encoder")
+        self.decoder = WhisperTextDecoder(self.cfg, name="decoder")
+        if self.cfg.add_gated_x_attn:
+            self.video_projection = nn.Dense(
+                self.cfg.n_text_state,
+                dtype=_dtype(self.cfg),
+                param_dtype=_pdtype(self.cfg),
+                name="video_projection",
+            )
+
+    def encode(
+        self,
+        mel: jnp.ndarray,
+        video: Optional[jnp.ndarray] = None,
+        video_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        features = self.encoder(mel, deterministic=deterministic)
+        x_v = None
+        if video is not None and self.cfg.add_gated_x_attn:
+            if self.video_model is not None:
+                v = self.video_model(video, mask=video_mask, deterministic=deterministic)
+            else:
+                v = video  # already-extracted video features [B, T, video_state]
+            x_v = self.video_projection(v.astype(_dtype(self.cfg)))
+        return features, x_v
+
+    def decode(
+        self,
+        tokens: jnp.ndarray,
+        audio_features: jnp.ndarray,
+        xv: Optional[jnp.ndarray] = None,
+        cache: Optional[List[Cache]] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Optional[List[Cache]]]:
+        return self.decoder(
+            tokens, audio_features, xv=xv, cache=cache, deterministic=deterministic
+        )
+
+    def init_decode_cache(
+        self,
+        audio_features: jnp.ndarray,
+        xv: Optional[jnp.ndarray] = None,
+        max_len: int = 0,
+    ) -> List[Cache]:
+        """Build the decode cache: zeroed self-attn buffers + precomputed
+        cross-attention K/V from the encoder output."""
+        cfg = self.cfg
+        if max_len <= 0:
+            max_len = cfg.n_text_ctx
+        b = audio_features.shape[0]
+        head_dim = cfg.n_text_state // cfg.n_text_head
+        caches: List[Cache] = []
+        for block in self.decoder.blocks:
+            entry: Cache = {
+                "self": init_self_attn_cache(
+                    b, max_len, cfg.n_text_head, head_dim, _dtype(cfg)
+                ),
+                "cross": block.cross_attn.precompute_kv(audio_features),
+            }
+            caches.append(entry)
+        return caches
+
+    def __call__(
+        self,
+        mel: jnp.ndarray,
+        tokens: jnp.ndarray,
+        video: Optional[jnp.ndarray] = None,
+        video_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        features, x_v = self.encode(
+            mel, video, video_mask=video_mask, deterministic=deterministic
+        )
+        logits, _ = self.decode(tokens, features, xv=x_v, deterministic=deterministic)
+        return logits
