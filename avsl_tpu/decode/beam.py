@@ -1,0 +1,111 @@
+"""Batched KV-cached beam search compiled to a single XLA program.
+
+The reference only reaches beam search through HF ``generate``
+(whisper_ft.py:119-121) and the fairseq-style cache-reorder hooks
+(av_hubert_seq2seq_model.py:308-342) — host-side Python loops. Here the
+whole search runs inside one jit: static-shape sequence buffers, beam
+reordering as a batched gather over the flattened [B*K] cache batch dim
+(the `_reorder_cache` equivalent), finished beams forced to emit EOT at
+zero added score, `lax.scan` over decode steps.
+
+Generic over models: ``step_fn(tokens [N,1], cache) -> (logits [N,1,V],
+cache)`` — works for Whisper(+Flamingo) and AV-HuBERT seq2seq alike since
+the cache is an explicit pytree.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1.0e9
+
+
+def _tile_beams(tree: Any, beam_size: int) -> Any:
+    """Repeat every batched leaf K times along dim 0 (scalars untouched)."""
+    return jax.tree_util.tree_map(
+        lambda x: jnp.repeat(x, beam_size, axis=0) if x.ndim > 0 else x, tree
+    )
+
+
+def _gather_beams(tree: Any, flat_idx: jnp.ndarray) -> Any:
+    """Reorder batched leaves by flat [B*K] source indices."""
+    return jax.tree_util.tree_map(
+        lambda x: jnp.take(x, flat_idx, axis=0) if x.ndim > 0 else x, tree
+    )
+
+
+def beam_search(
+    step_fn: Callable,
+    cache: Any,
+    init_tokens: jnp.ndarray,
+    beam_size: int,
+    max_new_tokens: int,
+    eot_id: int,
+    length_penalty: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run beam search; returns (best sequences [B, max_new_tokens],
+    best length-normalized scores [B]).
+
+    ``cache`` must have batch dim B (it is tiled to B*K internally);
+    ``init_tokens`` [B, L0] is the prompt fed once to warm the cache.
+    """
+    b, _ = init_tokens.shape
+    k = beam_size
+
+    logits, cache = step_fn(init_tokens, cache)
+    log_probs = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
+    vocab = log_probs.shape[-1]
+
+    scores, first_tokens = jax.lax.top_k(log_probs, k)  # [B, K]
+    cache = _tile_beams(cache, k)
+
+    seqs = jnp.full((b, k, max_new_tokens), eot_id, jnp.int32)
+    seqs = seqs.at[:, :, 0].set(first_tokens)
+    finished = first_tokens == eot_id
+
+    def body(carry, i):
+        seqs, scores, finished, cache, last = carry
+        logits, cache = step_fn(last.reshape(b * k, 1), cache)
+        lp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
+        lp = lp.reshape(b, k, vocab)
+
+        # finished beams may only extend with EOT at zero added score
+        eot_only = jnp.full((vocab,), NEG_INF).at[eot_id].set(0.0)
+        lp = jnp.where(finished[:, :, None], eot_only[None, None, :], lp)
+
+        total = scores[:, :, None] + lp  # [B, K, V]
+        flat = total.reshape(b, k * vocab)
+        new_scores, flat_idx = jax.lax.top_k(flat, k)  # [B, K]
+        beam_src = flat_idx // vocab  # [B, K] source beam
+        new_tok = flat_idx % vocab
+
+        # reorder sequences + cache by source beam
+        seqs = jnp.take_along_axis(seqs, beam_src[:, :, None], axis=1)
+        seqs = jax.lax.dynamic_update_slice_in_dim(
+            seqs, new_tok[:, :, None], i, axis=2
+        )
+        batch_offset = (jnp.arange(b) * k)[:, None]
+        cache = _gather_beams(cache, (batch_offset + beam_src).reshape(-1))
+        finished = jnp.take_along_axis(finished, beam_src, axis=1) | (
+            new_tok == eot_id
+        )
+        return (seqs, new_scores, finished, cache, new_tok), None
+
+    (seqs, scores, finished, cache, _), _ = jax.lax.scan(
+        body,
+        (seqs, scores, finished, cache, first_tokens),
+        jnp.arange(1, max_new_tokens),
+    )
+
+    # length-normalized final selection (count tokens up to and incl. EOT)
+    lengths = jnp.sum(
+        jnp.cumsum((seqs == eot_id).astype(jnp.int32), axis=-1) == 0, axis=-1
+    ) + 1
+    norm = scores / jnp.power(lengths.astype(jnp.float32), length_penalty)
+    best = jnp.argmax(norm, axis=1)
+    best_seqs = jnp.take_along_axis(seqs, best[:, None, None], axis=1)[:, 0]
+    best_scores = jnp.take_along_axis(norm, best[:, None], axis=1)[:, 0]
+    return best_seqs, best_scores

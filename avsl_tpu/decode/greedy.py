@@ -1,0 +1,66 @@
+"""Greedy decoding paths: fused teacher-forced eval + autoregressive decode.
+
+The reference's validation decodes by **argmax over teacher-forced logits**
+then overwrites everything after the first EOT with EOT
+(avsl/whisper_flamingo_ft_ami.py:568-586). Both that fused eval and a true
+KV-cached autoregressive greedy loop (one jit-compiled `lax.scan`) are
+provided; beam search lives in decode/beam.py.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# step_fn(tokens [B,1], cache) -> (logits [B,1,V], cache)
+StepFn = Callable
+
+
+def mask_after_eot(tokens: jnp.ndarray, eot_id: int) -> jnp.ndarray:
+    """Replace every token after the first EOT with EOT.
+
+    Mirrors the reference's EOT-tail masking (whisper_flamingo_ft_ami.py:
+    581-586) with a cumulative-or instead of the argmax trick.
+    """
+    is_eot = tokens == eot_id
+    after = jnp.cumsum(is_eot.astype(jnp.int32), axis=-1) - is_eot.astype(jnp.int32)
+    return jnp.where(after > 0, eot_id, tokens)
+
+
+def teacher_forced_predictions(logits: jnp.ndarray, eot_id: int) -> jnp.ndarray:
+    """argmax over teacher-forced logits, EOT tail-masked. [B,T,V] -> [B,T]."""
+    return mask_after_eot(jnp.argmax(logits, axis=-1), eot_id)
+
+
+def greedy_decode(
+    step_fn: StepFn,
+    cache,
+    init_tokens: jnp.ndarray,
+    max_new_tokens: int,
+    eot_id: int,
+) -> jnp.ndarray:
+    """Autoregressive greedy decode via one `lax.scan` over the KV cache.
+
+    ``init_tokens`` [B, L0] is the prompt (e.g. Whisper SOT sequence); it is
+    fed through ``step_fn`` once to warm the cache, then ``max_new_tokens``
+    steps run greedily. Once a sequence emits EOT every later token is EOT.
+    Returns generated tokens [B, max_new_tokens].
+    """
+    logits, cache = step_fn(init_tokens, cache)
+    first = jnp.argmax(logits[:, -1], axis=-1)  # [B]
+    finished0 = first == eot_id
+
+    def body(carry, _):
+        tok, finished, cache = carry
+        logits, cache = step_fn(tok[:, None], cache)
+        nxt = jnp.argmax(logits[:, -1], axis=-1)
+        nxt = jnp.where(finished, eot_id, nxt)
+        finished = finished | (nxt == eot_id)
+        return (nxt, finished, cache), nxt
+
+    (_, _, _), rest = jax.lax.scan(
+        body, (first, finished0, cache), None, length=max_new_tokens - 1
+    )
+    return jnp.concatenate([first[:, None], rest.T], axis=1)

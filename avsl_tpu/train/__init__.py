@@ -1,0 +1,14 @@
+from avsl_tpu.train.optim import (  # noqa: F401
+    linear_warmup_decay,
+    whisper_optimizer,
+    whisper_video_projection_optimizer,
+    whisper_flamingo_projection_optimizer,
+    label_params,
+)
+from avsl_tpu.train.loop import TrainState, make_train_step, make_eval_step  # noqa: F401
+from avsl_tpu.train.checkpoints import (  # noqa: F401
+    save_checkpoint,
+    restore_checkpoint,
+    latest_step,
+    partial_load,
+)

@@ -1,0 +1,105 @@
+"""Orbax checkpoint save/resume + partial-weight-load triage.
+
+TPU-native replacement for the reference's three checkpoint systems
+(SURVEY.md §5): Lightning last.ckpt resume / best-ckpt selection becomes
+Orbax step checkpoints with a retained-best policy; the partial
+state-dict load with missing/unexpected-key triage
+(whisper_flamingo_ft_ami.py:377-446) becomes :func:`partial_load` over
+flattened param paths."""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+
+    _HAS_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAS_ORBAX = False
+
+
+def _manager(directory: str, max_to_keep: int = 3) -> "ocp.CheckpointManager":
+    os.makedirs(directory, exist_ok=True)
+    return ocp.CheckpointManager(
+        os.path.abspath(directory),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+    )
+
+
+def save_checkpoint(directory: str, state: Any, step: int, max_to_keep: int = 3) -> None:
+    mgr = _manager(directory, max_to_keep)
+    mgr.save(step, args=ocp.args.StandardSave(state))
+    mgr.wait_until_finished()
+    mgr.close()
+
+
+def latest_step(directory: str) -> Optional[int]:
+    if not _HAS_ORBAX or not os.path.isdir(directory):
+        return None
+    mgr = _manager(directory)
+    step = mgr.latest_step()
+    mgr.close()
+    return step
+
+
+def restore_checkpoint(directory: str, target: Any, step: Optional[int] = None) -> Any:
+    """Restore into the structure of ``target`` (a matching TrainState)."""
+    mgr = _manager(directory)
+    if step is None:
+        step = mgr.latest_step()
+    if step is None:
+        mgr.close()
+        raise FileNotFoundError(f"No checkpoint found under {directory}")
+    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
+    restored = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+    mgr.close()
+    return restored
+
+
+def _flatten(params: Any) -> Dict[str, Any]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(
+            str(getattr(p, "key", getattr(p, "name", p))) for p in path
+        )
+        flat[key] = leaf
+    return flat
+
+
+def partial_load(
+    params: Any, loaded_flat: Dict[str, np.ndarray], strict: bool = False
+) -> Tuple[Any, Dict[str, list]]:
+    """Copy matching leaves of ``loaded_flat`` (path -> array) into ``params``.
+
+    Returns (new_params, report) where report lists ``missing`` (in params,
+    not in the checkpoint), ``unexpected`` (in checkpoint only) and
+    ``shape_mismatch`` keys — the same triage the reference logs when doing
+    its strict->non-strict fallback load."""
+    flat_params = _flatten(params)
+    report = {"missing": [], "unexpected": [], "shape_mismatch": [], "loaded": []}
+    for k in flat_params:
+        if k not in loaded_flat:
+            report["missing"].append(k)
+    for k in loaded_flat:
+        if k not in flat_params:
+            report["unexpected"].append(k)
+
+    def replace(path, leaf):
+        key = "/".join(str(getattr(p, "key", getattr(p, "name", p))) for p in path)
+        if key in loaded_flat:
+            cand = np.asarray(loaded_flat[key])
+            if cand.shape == leaf.shape:
+                report["loaded"].append(key)
+                return jax.numpy.asarray(cand, dtype=leaf.dtype)
+            report["shape_mismatch"].append(key)
+        return leaf
+
+    new_params = jax.tree_util.tree_map_with_path(replace, params)
+    if strict and (report["missing"] or report["unexpected"] or report["shape_mismatch"]):
+        raise ValueError(f"Strict load failed: {report}")
+    return new_params, report

@@ -1,0 +1,168 @@
+"""SPMD train/eval steps: one jit program per mesh, DDP-as-sharding.
+
+The reference trains with Lightning DDP (one process per GPU, NCCL
+all-reduce — whisper_flamingo_ft_ami.py:928) and host-side gradient
+accumulation (``accumulate_grad_batches=16``). The TPU-native equivalent
+here:
+
+* the global batch is **sharded over the mesh's `data` axis**; parameters
+  are replicated. Under jit, XLA partitions the loss/grad computation and
+  inserts the gradient all-reduce over ICI itself — there is no explicit
+  collective in user code.
+* **gradient accumulation is a `lax.scan`** over a leading micro-batch
+  axis inside the same jit program (batch shaped [accum, micro, ...]),
+  so accumulation costs no host round-trips.
+* bf16 activations / fp32 params + optimizer state; BatchNorm stats are
+  carried in the state and updated functionally.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from avsl_tpu.core.mesh import DATA_AXIS
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    batch_stats: Any = None
+    rng: Optional[jax.Array] = None
+
+    @classmethod
+    def create(cls, params, tx: optax.GradientTransformation, batch_stats=None,
+               rng: Optional[jax.Array] = None) -> "TrainState":
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            batch_stats=batch_stats,
+            rng=rng if rng is not None else jax.random.PRNGKey(0),
+        )
+
+
+# loss_fn(params, batch_stats, batch, rng) ->
+#   (loss, (metrics dict, new_batch_stats or None))
+LossFn = Callable[[Any, Any, Any, jax.Array], Tuple[jnp.ndarray, Tuple[Dict, Any]]]
+
+
+def make_train_step(
+    loss_fn: LossFn,
+    tx: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    grad_accum_steps: int = 1,
+    donate: bool = True,
+):
+    """Build a jit-compiled SPMD train step.
+
+    The returned function takes ``(state, batch)`` where each batch leaf is
+    ``[global_batch, ...]`` (or ``[accum, global_micro, ...]`` when
+    ``grad_accum_steps > 1``) and returns ``(state, metrics)``.
+    """
+
+    def _grads_one(params, batch_stats, micro, rng):
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, batch_stats, micro, rng)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        return grads, metrics, new_stats
+
+    def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        rng, new_rng = jax.random.split(state.rng)
+
+        if grad_accum_steps > 1:
+            def scan_body(carry, micro):
+                grads_acc, stats, key = carry
+                key, sub = jax.random.split(key)
+                grads, metrics, new_stats = _grads_one(state.params, stats, micro, sub)
+                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+                return (grads_acc, new_stats if new_stats is not None else stats, key), metrics
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (grads, new_stats, _), metrics = jax.lax.scan(
+                scan_body, (zero_grads, state.batch_stats, rng), batch
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / grad_accum_steps, grads)
+            metrics = jax.tree_util.tree_map(jnp.mean, metrics)
+        else:
+            grads, metrics, new_stats = _grads_one(
+                state.params, state.batch_stats, batch, rng
+            )
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            batch_stats=new_stats,
+            rng=new_rng,
+        )
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    replicated = NamedSharding(mesh, P())
+    # batch leaves sharded on the data axis: dim 0 for plain batches, dim 1
+    # when a grad-accum leading axis is present.
+    batch_dim = 1 if grad_accum_steps > 1 else 0
+
+    def batch_sharding(leaf):
+        spec = [None] * leaf.ndim
+        if leaf.ndim > batch_dim:
+            spec[batch_dim] = DATA_AXIS
+        return NamedSharding(mesh, P(*spec))
+
+    def sharded_step(state, batch):
+        batch = jax.lax.with_sharding_constraint(
+            batch, jax.tree_util.tree_map(batch_sharding, batch)
+        )
+        return step_fn(state, batch)
+
+    return jax.jit(
+        sharded_step,
+        in_shardings=(replicated, None),
+        out_shardings=(replicated, replicated),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(loss_fn: LossFn, mesh: Optional[Mesh] = None):
+    """Jit eval step: returns metrics only (no grads, deterministic rng)."""
+
+    def step_fn(state: TrainState, batch) -> Dict:
+        loss, (metrics, _) = loss_fn(
+            state.params, state.batch_stats, batch, jax.random.PRNGKey(0)
+        )
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        return metrics
+
+    if mesh is None:
+        return jax.jit(step_fn)
+    replicated = NamedSharding(mesh, P())
+
+    def batch_sharding(leaf):
+        spec = [None] * leaf.ndim
+        if leaf.ndim > 0:
+            spec[0] = DATA_AXIS
+        return NamedSharding(mesh, P(*spec))
+
+    def sharded_step(state, batch):
+        batch = jax.lax.with_sharding_constraint(
+            batch, jax.tree_util.tree_map(batch_sharding, batch)
+        )
+        return step_fn(state, batch)
+
+    return jax.jit(sharded_step, in_shardings=(replicated, None), out_shardings=replicated)

@@ -1,0 +1,85 @@
+"""Loss closures binding models to the generic train step.
+
+Batch layouts mirror the reference collator outputs
+(WhisperVideoCollatorWithPadding contract, SURVEY.md §2.7): ``input_ids``
+(mel), ``dec_input_ids``, ``labels`` (-100 padded), ``video``, and a
+``padding_mask`` over video/audio frames."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from avsl_tpu.models.avhubert import cross_entropy_loss
+
+
+def flamingo_loss_fn(model, train: bool = True):
+    """CE loss for Whisper(+Flamingo): encoder(mel, video) -> decoder(...)."""
+
+    def loss_fn(params, batch_stats, batch, rng):
+        variables = {"params": params["params"] if "params" in params else params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        rngs = {"dropout": rng} if train else None
+        mutable = ["batch_stats"] if (train and batch_stats is not None) else False
+
+        out = model.apply(
+            variables,
+            batch["input_ids"],
+            batch["dec_input_ids"],
+            video=batch.get("video"),
+            video_mask=batch.get("video_mask"),
+            deterministic=not train,
+            rngs=rngs,
+            mutable=mutable,
+        )
+        if mutable:
+            logits, updates = out
+            new_stats = updates.get("batch_stats")
+        else:
+            logits, new_stats = out, batch_stats
+        loss = cross_entropy_loss(logits, batch["labels"], label_smoothing=0.0)
+        return loss, ({}, new_stats)
+
+    return loss_fn
+
+
+def avhubert_seq2seq_loss_fn(model, train: bool = True, label_smoothing: Optional[float] = None):
+    """Label-smoothed CE for AVHuBERTForSpeech2Text."""
+
+    smoothing = model.cfg.label_smoothing if label_smoothing is None else label_smoothing
+
+    def loss_fn(params, batch_stats, batch, rng):
+        variables = {"params": params["params"] if "params" in params else params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        r1, r2, r3 = jax.random.split(rng, 3)
+        rngs = {"dropout": r1, "modality": r2, "mask": r3} if train else None
+        mutable = ["batch_stats"] if (train and batch_stats is not None) else False
+
+        out = model.apply(
+            variables,
+            audio=batch.get("audio"),
+            video=batch.get("video"),
+            labels=None,
+            decoder_input_ids=batch["dec_input_ids"],
+            padding_mask=batch.get("padding_mask"),
+            audio_present=batch.get("audio_present"),
+            video_present=batch.get("video_present"),
+            deterministic=not train,
+            rngs=rngs,
+            mutable=mutable,
+        )
+        if mutable:
+            result, updates = out
+            new_stats = updates.get("batch_stats")
+        else:
+            result, new_stats = out, batch_stats
+        loss = cross_entropy_loss(
+            result["logits"], batch["labels"], label_smoothing=smoothing
+        )
+        return loss, ({}, new_stats)
+
+    return loss_fn

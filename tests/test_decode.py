@@ -1,0 +1,137 @@
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avsl_tpu.core.config import WhisperConfig
+from avsl_tpu.decode import (
+    beam_search,
+    edit_distance,
+    greedy_decode,
+    mask_after_eot,
+    normalize_text,
+    teacher_forced_predictions,
+    wer_cer,
+)
+from avsl_tpu.models import Whisper
+
+
+def test_normalize_text():
+    assert normalize_text("I can't do it!") == "i can not do it"
+    assert normalize_text("'cause it's   fun.") == "because it is fun"
+    assert normalize_text("C'mon , L_C_D") == "come on lcd"
+    assert normalize_text("  We'll   WIN  ") == "we will win"
+    assert normalize_text("") == ""
+
+
+def test_edit_distance_and_wer():
+    assert edit_distance("kitten", "sitting") == 3
+    assert edit_distance([], ["a"]) == 1
+    wer, cer = wer_cer(["a b c"], ["a x c"])
+    assert wer == pytest.approx(1 / 3)
+    wer, _ = wer_cer(["hello world", ""], ["hello world", "missing words here"])
+    assert wer == pytest.approx(3 / 5)
+
+
+def test_mask_after_eot():
+    eot = 9
+    toks = jnp.asarray([[1, 2, 9, 4, 5], [9, 2, 3, 4, 5], [1, 2, 3, 4, 5]])
+    out = np.asarray(mask_after_eot(toks, eot))
+    np.testing.assert_array_equal(out[0], [1, 2, 9, 9, 9])
+    np.testing.assert_array_equal(out[1], [9, 9, 9, 9, 9])
+    np.testing.assert_array_equal(out[2], [1, 2, 3, 4, 5])
+
+
+def test_teacher_forced_predictions():
+    logits = np.full((1, 3, 5), -1.0, np.float32)
+    logits[0, 0, 2] = 1.0
+    logits[0, 1, 4] = 1.0  # eot
+    logits[0, 2, 3] = 1.0
+    out = np.asarray(teacher_forced_predictions(jnp.asarray(logits), eot_id=4))
+    np.testing.assert_array_equal(out, [[2, 4, 4]])
+
+
+@pytest.fixture(scope="module")
+def tiny_whisper():
+    cfg = WhisperConfig.tiny_test(dtype="float32")
+    model = Whisper(cfg)
+    mel = jnp.asarray(np.random.default_rng(0).normal(size=(2, 80, 64)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), mel, jnp.zeros((2, 1), jnp.int32))
+    feats, _ = model.apply(params, mel, method=model.encode)
+    return cfg, model, params, feats
+
+
+def _make_step(model, params):
+    @jax.jit
+    def step(tokens, cache):
+        return model.apply(params, tokens, None, None, cache, method=model.decode)
+
+    return step
+
+
+def test_greedy_decode_jit(tiny_whisper):
+    cfg, model, params, feats = tiny_whisper
+    cache = model.apply(params, feats, None, 24, method=model.init_decode_cache)
+    step = _make_step(model, params)
+    prompt = jnp.asarray([[7, 8], [7, 8]], jnp.int32)
+    out = greedy_decode(step, cache, prompt, max_new_tokens=10, eot_id=3)
+    assert out.shape == (2, 10)
+    o = np.asarray(out)
+    # once EOT appears everything after is EOT
+    for row in o:
+        if (row == 3).any():
+            first = np.argmax(row == 3)
+            assert (row[first:] == 3).all()
+
+
+def test_beam_search_beats_or_matches_greedy_logprob(tiny_whisper):
+    cfg, model, params, feats = tiny_whisper
+    step = _make_step(model, params)
+    prompt = jnp.asarray([[7, 8], [5, 6]], jnp.int32)
+    max_new = 8
+
+    cache_g = model.apply(params, feats, None, 24, method=model.init_decode_cache)
+    greedy = greedy_decode(step, cache_g, prompt, max_new, eot_id=3)
+
+    cache_b = model.apply(params, feats, None, 24, method=model.init_decode_cache)
+    beams, scores = beam_search(
+        step, cache_b, prompt, beam_size=4, max_new_tokens=max_new, eot_id=3,
+        length_penalty=0.0,  # compare raw log-probs
+    )
+    assert beams.shape == (2, max_new)
+    assert np.isfinite(np.asarray(scores)).all()
+
+    def seq_logprob(tokens_row, batch_idx):
+        cache = model.apply(
+            params, feats[batch_idx : batch_idx + 1], None, 24,
+            method=model.init_decode_cache,
+        )
+        toks = jnp.concatenate([prompt[batch_idx : batch_idx + 1], tokens_row[None]], 1)
+        logits, _ = step(toks, cache)
+        lp = jax.nn.log_softmax(logits[0, prompt.shape[1] - 1 : -1].astype(jnp.float32))
+        total = 0.0
+        for i, t in enumerate(np.asarray(tokens_row)):
+            total += float(lp[i, t])
+            if t == 3:
+                break
+        return total
+
+    for bi in range(2):
+        g = seq_logprob(greedy[bi], bi)
+        bm = seq_logprob(beams[bi], bi)
+        assert bm >= g - 1e-4, (bi, bm, g)
+
+
+def test_beam_search_jits_once(tiny_whisper):
+    cfg, model, params, feats = tiny_whisper
+    step = _make_step(model, params)
+
+    @jax.jit
+    def run(feats, prompt):
+        cache = model.apply(params, feats, None, 24, method=model.init_decode_cache)
+        return beam_search(step, cache, prompt, 3, 6, eot_id=3)
+
+    seqs, scores = run(feats, jnp.asarray([[7, 8], [5, 6]], jnp.int32))
+    assert seqs.shape == (2, 6)

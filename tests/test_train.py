@@ -1,0 +1,149 @@
+"""Training-layer tests: SPMD train step on the 8-device CPU mesh,
+optimizer freeze regimes, grad accumulation, checkpoint roundtrip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from avsl_tpu.core.config import WhisperConfig
+from avsl_tpu.core.mesh import make_mesh
+from avsl_tpu.models import Whisper
+from avsl_tpu.train import TrainState, make_train_step
+from avsl_tpu.train.objectives import flamingo_loss_fn
+from avsl_tpu.train.optim import (
+    FROZEN,
+    TRAIN,
+    label_params,
+    linear_warmup_decay,
+    select_optimizer,
+    whisper_flamingo_projection_optimizer,
+)
+
+
+class Cfg:
+    learning_rate = 1e-3
+    warmup_steps = 2
+    weight_decay = 0.01
+    adam_epsilon = 1e-8
+    add_gated_x_attn = 1
+    video_projection_train_only = False
+    freeze_video_model = True
+
+
+@pytest.fixture(scope="module")
+def flamingo_setup():
+    cfg = WhisperConfig.tiny_test(dtype="float32", add_gated_x_attn=1)
+    model = Whisper(cfg)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.normal(size=(8, 80, 64)), jnp.float32)
+    video = jnp.asarray(rng.normal(size=(8, 6, cfg.video_state)), jnp.float32)
+    dec_in = jnp.asarray(rng.integers(0, 250, (8, 6)))
+    labels = jnp.concatenate([dec_in[:, 1:], jnp.full((8, 1), 3)], axis=1)
+    variables = model.init(jax.random.PRNGKey(0), mel, dec_in, video=video)
+    batch = {"input_ids": mel, "dec_input_ids": dec_in, "labels": labels, "video": video}
+    return cfg, model, variables, batch
+
+
+def test_schedule():
+    s = linear_warmup_decay(1.0, 10, 110)
+    assert float(s(0)) == 0.0
+    assert float(s(10)) == pytest.approx(1.0)
+    assert float(s(60)) == pytest.approx(0.5)
+    assert float(s(110)) == pytest.approx(0.0)
+
+
+def test_flamingo_regime_labels(flamingo_setup):
+    _, _, variables, _ = flamingo_setup
+    _, labels = whisper_flamingo_projection_optimizer(
+        variables["params"], Cfg(), 100
+    )
+    flat = jax.tree_util.tree_leaves_with_path(labels)
+    trained = ["/".join(str(getattr(p, "key", p)) for p in path)
+               for path, l in flat if l == TRAIN]
+    frozen = ["/".join(str(getattr(p, "key", p)) for p in path)
+              for path, l in flat if l == FROZEN]
+    assert any("x_attn" in k for k in trained)
+    assert any("video_projection" in k for k in trained)
+    assert all("x_attn" in k or "x_mlp" in k or "video_projection" in k for k in trained)
+    assert any("encoder" in k for k in frozen)
+
+
+def test_train_step_on_mesh_updates_only_trainable(flamingo_setup, eight_devices):
+    cfg, model, variables, batch = flamingo_setup
+    mesh = make_mesh(8, model_parallel=1)
+    tx, labels = select_optimizer(variables["params"], Cfg(), 100)
+    loss_fn = flamingo_loss_fn(model, train=True)
+    step = make_train_step(loss_fn, tx, mesh=mesh, donate=False)
+    state = TrainState.create(variables["params"], tx)
+
+    state2, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    state2, metrics = step(state2, batch)  # warmup lr is 0 at step 0
+    state2, metrics = step(state2, batch)
+    # gate params moved, encoder params frozen
+    p0 = variables["params"]["decoder"]["block_0"]
+    p2 = state2.params["decoder"]["block_0"]
+    assert np.abs(np.asarray(p2["x_attn_gate"]) - np.asarray(p0["x_attn_gate"])).max() > 0
+    e0 = variables["params"]["encoder"]["conv1"]["kernel"]
+    e2 = state2.params["encoder"]["conv1"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(e2))
+
+    # loss decreases over a few steps
+    losses = [float(metrics["loss"])]
+    for _ in range(5):
+        state2, metrics = step(state2, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_grad_accum_matches_big_batch(flamingo_setup):
+    cfg, model, variables, batch = flamingo_setup
+    tx, _ = select_optimizer(variables["params"], Cfg(), 100)
+    loss_fn = flamingo_loss_fn(model, train=False)  # deterministic for equality
+
+    step1 = make_train_step(loss_fn, tx, grad_accum_steps=1, donate=False)
+    step2 = make_train_step(loss_fn, tx, grad_accum_steps=2, donate=False)
+
+    s0 = TrainState.create(variables["params"], tx)
+    sA, mA = step1(s0, batch)
+    micro = {k: v.reshape(2, 4, *v.shape[1:]) for k, v in batch.items()}
+    sB, mB = step2(TrainState.create(variables["params"], tx), micro)
+    assert float(mB["loss"]) == pytest.approx(float(mA["loss"]), rel=1e-5)
+    ga = np.asarray(sA.params["decoder"]["block_0"]["x_attn_gate"])
+    gb = np.asarray(sB.params["decoder"]["block_0"]["x_attn_gate"])
+    np.testing.assert_allclose(ga, gb, atol=1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path, flamingo_setup):
+    from avsl_tpu.train import restore_checkpoint, save_checkpoint, latest_step
+
+    cfg, model, variables, batch = flamingo_setup
+    tx, _ = select_optimizer(variables["params"], Cfg(), 100)
+    state = TrainState.create(variables["params"], tx)
+    save_checkpoint(str(tmp_path / "ckpt"), state, step=5)
+    assert latest_step(str(tmp_path / "ckpt")) == 5
+    restored = restore_checkpoint(str(tmp_path / "ckpt"), state)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["decoder"]["block_0"]["x_attn_gate"]),
+        np.asarray(state.params["decoder"]["block_0"]["x_attn_gate"]),
+    )
+
+
+def test_partial_load_triage(flamingo_setup):
+    from avsl_tpu.train import partial_load
+
+    cfg, model, variables, _ = flamingo_setup
+    params = variables["params"]
+    gate = np.ones((1,), np.float32) * 0.5
+    loaded = {
+        "decoder/block_0/x_attn_gate": gate,
+        "decoder/block_0/x_attn_gate_WRONG": gate,
+        "encoder/conv1/kernel": np.zeros((1, 1)),  # wrong shape
+    }
+    new_params, report = partial_load(params, loaded)
+    assert "decoder/block_0/x_attn_gate" in report["loaded"]
+    assert "decoder/block_0/x_attn_gate_WRONG" in report["unexpected"]
+    assert "encoder/conv1/kernel" in report["shape_mismatch"]
+    assert len(report["missing"]) > 0
+    assert float(np.asarray(new_params["decoder"]["block_0"]["x_attn_gate"])[0]) == 0.5
