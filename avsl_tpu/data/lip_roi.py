@@ -1,0 +1,155 @@
+"""Lip-ROI extraction pipeline (L2): landmarks -> 96x96 grayscale clips.
+
+Behavioral parity with the reference's lip pipeline
+(video_process.py:305-490 + utils/lips_cropping.py in /root/reference):
+
+1. per-frame 68-point landmarks (pluggable detector, see
+   avsl_tpu/data/landmarks.py — the dlib HOG/CNN + shape-predictor stack
+   is replaced by detector implementations that need no dlib);
+2. linear interpolation of frames where detection failed + edge fill
+   (lips_cropping.py:41-89);
+3. landmark smoothing over a sliding window of min(T, 12) frames
+   (video_process.py:370,424-426);
+4. similarity warp of every frame so stable points [33,36,39,42,45]
+   align to a canonical 300x300 mean face, then a 96x96 patch centered
+   on the mouth landmarks 48..67 — steps 3-4 run as ONE jit-compiled
+   TPU program per clip (kernels/warp.py), not per-frame host code;
+5. tail frames with no landmarks reuse the last valid transform
+   (video_process.py:455-475) — handled by interpolation edge fill.
+
+The canonical mean face is generated parametrically (the reference ships
+a binary ``20words_mean_face.npy``; a data asset we do not copy). Any
+[68, 2] array can be supplied instead for bit-parity with an existing
+pipeline.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from avsl_tpu.kernels.warp import warp_and_crop_clip
+
+STABLE_POINTS = (33, 36, 39, 42, 45)
+
+
+@functools.lru_cache(maxsize=1)
+def canonical_mean_face(size: int = 300) -> np.ndarray:
+    """Parametric 68-landmark canonical face in a ``size`` x ``size`` frame.
+
+    Index layout (iBUG 68): 0-16 jaw, 17-26 brows, 27-35 nose, 36-47 eyes,
+    48-67 mouth.
+    """
+    s = size / 300.0
+    pts = np.zeros((68, 2), np.float64)
+
+    # jaw: half-ellipse from left temple through the chin to right temple
+    t = np.linspace(np.pi, 2 * np.pi, 17)
+    pts[0:17, 0] = 150 + 78 * np.cos(t)
+    pts[0:17, 1] = 128 + 142 * np.sin(t - np.pi)
+
+    # eyebrows
+    for i, x in enumerate(np.linspace(95, 140, 5)):
+        pts[17 + i] = (x, 108 - 6 * np.sin(np.pi * i / 4))
+    for i, x in enumerate(np.linspace(160, 205, 5)):
+        pts[22 + i] = (x, 108 - 6 * np.sin(np.pi * i / 4))
+
+    # nose bridge 27-30
+    for i in range(4):
+        pts[27 + i] = (150, 125 + i * 15)
+    # nostrils 31-35
+    for i, x in enumerate(np.linspace(132, 168, 5)):
+        pts[31 + i] = (x, 182)
+    pts[33] = (150, 184)  # subnasale (stable point)
+
+    # eyes 36-41 (left), 42-47 (right): hexagons
+    def eye(cx, cy, w, h, base):
+        xs = [cx - w, cx - w / 2, cx + w / 2, cx + w, cx + w / 2, cx - w / 2]
+        ys = [cy, cy - h, cy - h, cy, cy + h, cy + h]
+        for j in range(6):
+            pts[base + j] = (xs[j], ys[j])
+
+    eye(120, 128, 15, 6, 36)
+    eye(180, 128, 15, 6, 42)
+
+    # mouth: outer ellipse 48-59, inner 60-67
+    cx, cy = 150, 218
+    outer_t = np.linspace(np.pi, 3 * np.pi, 13)[:-1]
+    pts[48:60, 0] = cx + 30 * np.cos(outer_t)
+    pts[48:60, 1] = cy + 13 * np.sin(outer_t)
+    inner_t = np.linspace(np.pi, 3 * np.pi, 9)[:-1]
+    pts[60:68, 0] = cx + 18 * np.cos(inner_t)
+    pts[60:68, 1] = cy + 6 * np.sin(inner_t)
+
+    return (pts * s).astype(np.float32)
+
+
+def landmarks_interpolate(
+    landmarks: Sequence[Optional[np.ndarray]],
+) -> Optional[np.ndarray]:
+    """Fill missing per-frame landmarks by linear interpolation + edge fill.
+
+    ``landmarks``: per-frame [68, 2] arrays or None. Returns [T, 68, 2] or
+    None when no frame has a detection (reference lips_cropping.py:41-89).
+    """
+    valid = [i for i, l in enumerate(landmarks) if l is not None]
+    if not valid:
+        return None
+    T = len(landmarks)
+    out = np.zeros((T, 68, 2), np.float32)
+    for i in valid:
+        out[i] = landmarks[i]
+    # interpolate between consecutive valid frames
+    for a, b in zip(valid[:-1], valid[1:]):
+        if b - a > 1:
+            for j in range(a + 1, b):
+                w = (j - a) / (b - a)
+                out[j] = (1 - w) * out[a] + w * out[b]
+    # edge fill
+    first, last = valid[0], valid[-1]
+    out[:first] = out[first]
+    out[last + 1 :] = out[last]
+    return out
+
+
+def smooth_landmarks(landmarks: np.ndarray, window: int = 12) -> np.ndarray:
+    """Sliding-window mean over time: [T, 68, 2] -> [T, 68, 2] with a
+    min(T, window) symmetric window (reference video_process.py:424-426)."""
+    t = landmarks.shape[0]
+    win = min(t, window)
+    half = win // 2
+    out = np.empty_like(landmarks)
+    for i in range(t):
+        lo = max(0, i - half)
+        hi = min(t, i + half + 1)
+        out[i] = landmarks[lo:hi].mean(axis=0)
+    return out
+
+
+def extract_lip_clip(
+    frames: np.ndarray,  # [T, H, W] grayscale
+    per_frame_landmarks: Sequence[Optional[np.ndarray]],
+    mean_face: Optional[np.ndarray] = None,
+    out_size: int = 300,
+    crop_size: int = 96,
+    smoothing_window: int = 12,
+) -> Optional[np.ndarray]:
+    """Full pipeline for one clip; returns [T, crop, crop] uint8 or None
+    when no landmarks were found anywhere in the clip."""
+    lms = landmarks_interpolate(per_frame_landmarks)
+    if lms is None:
+        return None
+    lms = smooth_landmarks(lms, smoothing_window)
+    mean_face = canonical_mean_face(out_size) if mean_face is None else mean_face
+    clip = warp_and_crop_clip(
+        jnp.asarray(frames, jnp.float32),
+        jnp.asarray(lms),
+        jnp.asarray(mean_face, jnp.float32),
+        out_size=out_size,
+        crop_size=crop_size,
+    )
+    return np.clip(np.asarray(clip), 0, 255).astype(np.uint8)
