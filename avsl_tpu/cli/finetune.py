@@ -1,0 +1,215 @@
+"""Whisper-Flamingo fine-tuning entry point.
+
+Usage: ``python -m avsl_tpu.cli.finetune <config.yaml> [--smoke]``
+
+YAML keys match the reference's canonical training config
+(config/ami_whisper_flamingo_large.yaml; entry point
+avsl/whisper_flamingo_ft_ami.py:705-1034 in /root/reference): dataset
+paths, model_name, freeze regime flags (add_gated_x_attn,
+freeze_video_model, video_projection_train_only), step budget, grad
+accumulation, validate_every_n_batches, monitor val/wer_av, resume.
+
+``--smoke`` runs the whole pipeline on a synthetic miniature dataset and
+the "test" model preset — the end-to-end health check used by CI and by
+humans to validate an environment without AMI data.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+def load_datasets(cfg):
+    """load_from_disk with the reference's fallback chain
+    (whisper_flamingo_ft_ami.py:840-918): explicit split paths, else a
+    root with train/val/test subdirs; duration filter applied."""
+    import datasets
+
+    def load_one(path):
+        if path and os.path.isdir(path):
+            return datasets.load_from_disk(path)
+        return None
+
+    train = load_one(cfg.train_data_path)
+    val = load_one(cfg.val_data_path)
+    test = load_one(cfg.test_data_path)
+    if train is None and cfg.train_data_path:
+        root = os.path.dirname(cfg.train_data_path.rstrip("/"))
+        for name, cur in (("train", train), ("val", val), ("test", test)):
+            if cur is None:
+                cand = load_one(os.path.join(root, name))
+                if name == "train":
+                    train = cand
+                elif name == "val":
+                    val = cand
+                else:
+                    test = cand
+    max_dur = float(getattr(cfg, "max_duration_filter_seconds", 0) or 0)
+    if max_dur > 0:
+        def filt(ds):
+            if ds is None or "duration" not in ds.column_names:
+                return ds
+            return ds.filter(lambda d: float(d) <= max_dur, input_columns="duration")
+
+        train, val, test = filt(train), filt(val), filt(test)
+    return train, val, test
+
+
+def make_synthetic_dataset(n: int = 8, seconds: float = 1.0):
+    """Miniature in-memory dataset for --smoke (no AMI data needed)."""
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(n):
+        sr = 16000
+        audio = (0.1 * rng.standard_normal(int(seconds * sr))).astype(np.float32)
+        rows.append(
+            {
+                "audio": {"array": audio, "sampling_rate": sr},
+                "transcript": f"synthetic utterance number {i}",
+                "duration": seconds,
+                "lip_video": None,
+            }
+        )
+    return rows
+
+
+def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
+    import jax
+
+    from avsl_tpu.core.config import FlamingoTrainConfig
+    from avsl_tpu.core.mesh import make_mesh
+    from avsl_tpu.data.runtime import AmiVideoDataset, WhisperVideoCollator
+    from avsl_tpu.data.tokenizer import get_tokenizer
+    from avsl_tpu.models.factory import build_whisper_flamingo
+    from avsl_tpu.train.loop import TrainState
+    from avsl_tpu.train.objectives import flamingo_loss_fn
+    from avsl_tpu.train.optim import select_optimizer
+    from avsl_tpu.train.runner import TrainerRunner
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    smoke = "--smoke" in argv
+    if smoke:
+        argv.remove("--smoke")
+    cfg = (
+        FlamingoTrainConfig.from_yaml(argv[0])
+        if argv
+        else FlamingoTrainConfig()
+    )
+    if smoke:
+        cfg.model_name = "test"
+        cfg.num_train_steps = 6
+        cfg.validate_every_n_batches = 3
+        cfg.gradient_accumulation_steps = 1
+        cfg.batch_size = 4
+        cfg.audio_max_length = 16000
+        cfg.warmup_steps = 1
+
+    tokenizer = get_tokenizer(getattr(cfg, "download_root", None), cfg.lang)
+    vocab = tokenizer.add_tokens(["<laugh>"])  # reference :462-467
+
+    model, w_cfg = build_whisper_flamingo(
+        cfg.model_name,
+        vocab_size=vocab,
+        add_gated_x_attn=cfg.add_gated_x_attn,
+        use_av_hubert_encoder=cfg.use_av_hubert_encoder,
+        dropout_rate=cfg.dropout_rate,
+        dtype="float32" if smoke else ("bfloat16" if cfg.precision in (16, "16", "bf16") else "float32"),
+        remat=bool(getattr(cfg, "enable_gradient_checkpointing", False)),
+    )
+
+    # datasets
+    if smoke:
+        train_rows = make_synthetic_dataset(8)
+        val_rows = make_synthetic_dataset(4)
+    else:
+        train_rows, val_rows, _test = load_datasets(cfg)
+        if train_rows is None:
+            raise FileNotFoundError(
+                f"train dataset not found at {cfg.train_data_path!r}"
+            )
+    has_video = bool(cfg.add_gated_x_attn)
+    mk_ds = lambda rows, train: AmiVideoDataset(  # noqa: E731
+        rows, tokenizer,
+        audio_max_length=int(cfg.audio_max_length),
+        n_mels=w_cfg.n_mels, lang=cfg.lang, load_video=has_video, train=train,
+    )
+    train_ds, val_ds = mk_ds(train_rows, True), mk_ds(val_rows, False)
+    collator = WhisperVideoCollator(
+        eot_id=tokenizer.eot,
+        max_label_len=min(int(getattr(cfg, "text_max_length", 350)), w_cfg.n_text_ctx),
+    )
+
+    def batches(ds, batch_size, shuffle, epoch=0) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(ds))
+        if shuffle:
+            order = np.random.default_rng(epoch).permutation(order)
+        for i in range(0, len(order) - batch_size + 1, batch_size):
+            items = [ds[int(j)] for j in order[i : i + batch_size]]
+            yield collator(items)
+
+    # init params
+    probe = collator([train_ds[0]])
+    init_kwargs = dict(video=probe.get("video")) if has_video else {}
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        probe["input_ids"],
+        probe["dec_input_ids"],
+        **init_kwargs,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats")
+
+    if getattr(cfg, "pt_ckpt", "") and os.path.exists(cfg.pt_ckpt):
+        from avsl_tpu.models.convert import load_torch_checkpoint_into
+
+        params, report = load_torch_checkpoint_into(params, cfg.pt_ckpt)
+        print(f"pt_ckpt: loaded {len(report['loaded'])} tensors, "
+              f"missing {len(report['missing'])}, unexpected {len(report['unexpected'])}")
+
+    tx, _labels = select_optimizer(params, cfg, int(cfg.num_train_steps))
+    state = TrainState.create(params, tx, batch_stats=batch_stats)
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        n = int(getattr(cfg, "num_devices", 0)) or len(jax.devices())
+        mesh = make_mesh(min(n, len(jax.devices())))
+
+    loss_fn = flamingo_loss_fn(model, train=True)
+    eval_loss = flamingo_loss_fn(model, train=False)
+
+    @jax.jit
+    def eval_logits(state: TrainState, batch):
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        return model.apply(
+            variables,
+            batch["input_ids"],
+            batch["dec_input_ids"],
+            video=batch.get("video"),
+            deterministic=True,
+        )
+
+    runner = TrainerRunner(
+        loss_fn, eval_logits, tx, state, tokenizer, cfg, mesh=mesh,
+        log_dir=os.path.join(cfg.log_output_dir, cfg.train_id),
+        ckpt_dir=os.path.join(cfg.check_output_dir, cfg.train_id),
+    )
+    result = runner.fit(
+        train_batches=lambda epoch: batches(train_ds, int(cfg.batch_size) * max(int(cfg.gradient_accumulation_steps), 1), True, epoch),
+        val_batches=lambda: batches(val_ds, int(cfg.eval_batch_size), False),
+        num_steps=int(cfg.num_train_steps),
+        validate_every=int(cfg.validate_every_n_batches),
+        sanity_val_steps=int(getattr(cfg, "num_sanity_val_steps", 0)),
+    )
+    print(f"done: step={result['final_step']} best_wer={result['best_wer']:.4f} "
+          f"(step {result['best_step']})")
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,218 @@
+"""Runtime dataset + collator (L4): HF dataset rows -> model-ready batches.
+
+Parity with the reference's ``AmiVideoHFDataset.__getitem__``
+(avsl/whisper_flamingo_ft_ami.py:187-313 in /root/reference) and the
+external ``WhisperVideoCollatorWithPadding`` contract (SURVEY.md §2.7):
+
+per item: resample -> 16 kHz float, ``pad_or_trim`` to the configured max,
+log-mel (80, or 128 for large-v3), jiwer-style text normalization,
+Whisper SOT sequence + tokens with shifted labels + EOT, lip-video load
+(88 crop, mean .421 / std .165), video trimmed to
+``round(audio_len/16000*25)`` frames.
+
+TPU-first differences: SpecAugment runs on device inside the train step
+(kernels/specaugment.py) instead of per item on the host, and batches are
+padded to the length-bucket boundary so XLA sees a small closed set of
+shapes (data/batching.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from avsl_tpu.data.batching import LengthBucketBatcher, pad_to
+from avsl_tpu.data.tokenizer import Tokenizer
+from avsl_tpu.decode.text_norm import normalize_text
+
+
+def _extract_audio(item: Dict[str, Any], target_sr: int = 16000) -> np.ndarray:
+    """HF 'audio' value (dict / path) -> mono float32 at 16 kHz."""
+    audio = item.get("audio")
+    if isinstance(audio, dict) and audio.get("array") is not None:
+        data = np.asarray(audio["array"], np.float32)
+        sr = int(audio.get("sampling_rate", target_sr))
+    else:
+        path = audio.get("path") if isinstance(audio, dict) else audio
+        from avsl_tpu.data.audio_segments import load_wav
+
+        return load_wav(path, target_sr)
+    if data.dtype == np.int16:
+        data = data.astype(np.float32) / 32768.0
+    if sr != target_sr:
+        from avsl_tpu.kernels.resample import resample_poly
+
+        data = np.asarray(resample_poly(data, sr, target_sr))
+    return data.astype(np.float32)
+
+
+def _extract_video_path(item: Dict[str, Any], key: str = "lip_video") -> Optional[str]:
+    v = item.get(key)
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return v
+    if isinstance(v, dict):
+        return v.get("path")
+    for attr in ("_hf_encoded", "path", "filename"):
+        got = getattr(v, attr, None)
+        if isinstance(got, dict) and "path" in got:
+            return got["path"]
+        if isinstance(got, str):
+            return got
+    return None
+
+
+class AmiVideoDataset:
+    """Per-item AV example builder over an HF dataset / record list."""
+
+    def __init__(
+        self,
+        hf_dataset,
+        tokenizer: Tokenizer,
+        audio_max_length: int = 160000,
+        n_mels: int = 80,
+        lang: str = "en",
+        sample_rate: int = 16000,
+        image_crop_size: int = 88,
+        image_mean: float = 0.421,
+        image_std: float = 0.165,
+        fps: int = 25,
+        load_video: bool = True,
+        train: bool = False,
+    ):
+        self.ds = hf_dataset
+        self.tokenizer = tokenizer
+        self.audio_max_length = audio_max_length
+        self.n_mels = n_mels
+        self.lang = lang
+        self.sample_rate = sample_rate
+        self.image_crop_size = image_crop_size
+        self.image_mean = image_mean
+        self.image_std = image_std
+        self.fps = fps
+        self.load_video = load_video
+        self.train = train
+
+    def __len__(self) -> int:
+        return len(self.ds)
+
+    def audio_length(self, idx: int) -> int:
+        """Cheap per-item length estimate in samples (for bucketing)."""
+        item = self.ds[idx]
+        dur = item.get("duration")
+        if dur is not None:
+            return int(float(dur) * self.sample_rate)
+        return self.audio_max_length
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        from avsl_tpu.kernels.logmel import log_mel_spectrogram, pad_or_trim
+
+        item = self.ds[idx]
+        audio = _extract_audio(item, self.sample_rate)
+        audio_frames = len(audio) // (self.sample_rate // 100)
+        audio = np.asarray(pad_or_trim(audio, self.audio_max_length))
+        mel = np.asarray(log_mel_spectrogram(audio, n_mels=self.n_mels))
+
+        text = normalize_text(str(item.get("transcript", "")))
+        toks = self.tokenizer.prepare_example(text, self.lang)
+
+        out: Dict[str, Any] = {
+            "input_ids": mel.astype(np.float32),  # [n_mels, T]
+            "dec_input_ids": np.asarray(toks["dec_input_ids"], np.int64),
+            "labels": np.asarray(toks["labels"], np.int64),
+            "audio_frames": audio_frames,
+        }
+        if self.load_video:
+            path = _extract_video_path(item)
+            if path and os.path.exists(path):
+                from avsl_tpu.data.video_io import load_video_feats, trim_video_to_audio
+
+                feats = load_video_feats(
+                    path,
+                    train=self.train,
+                    image_crop_size=self.image_crop_size,
+                    image_mean=self.image_mean,
+                    image_std=self.image_std,
+                )
+                feats = trim_video_to_audio(
+                    feats, len(audio), self.sample_rate, self.fps
+                )
+                out["video"] = feats.astype(np.float32)
+            else:
+                out["video"] = np.zeros(
+                    (1, self.image_crop_size, self.image_crop_size, 1), np.float32
+                )
+        return out
+
+
+class WhisperVideoCollator:
+    """Pad a list of items to one static-shape batch.
+
+    labels are padded with -100 (CE ignore), dec_input_ids with EOT,
+    video on the time axis with zeros; emits ``video_mask`` (True = valid
+    frame) and ``label_mask``. ``video_pad_len`` / ``label_pad_len`` may
+    pin the padded shapes (bucketed execution)."""
+
+    def __init__(self, eot_id: int, video_pad_len: Optional[int] = None,
+                 label_pad_len: Optional[int] = None,
+                 max_label_len: Optional[int] = None):
+        self.eot_id = eot_id
+        self.video_pad_len = video_pad_len
+        self.label_pad_len = label_pad_len
+        self.max_label_len = max_label_len  # text_max_length / n_text_ctx cap
+
+    def __call__(self, items: Sequence[Dict[str, Any]]) -> Dict[str, np.ndarray]:
+        batch: Dict[str, np.ndarray] = {}
+        batch["input_ids"] = np.stack([it["input_ids"] for it in items])
+
+        lab_len = self.label_pad_len or max(len(it["labels"]) for it in items)
+        if self.max_label_len is not None:
+            lab_len = min(lab_len, self.max_label_len)
+        labels = np.full((len(items), lab_len), -100, np.int64)
+        dec = np.full((len(items), lab_len), self.eot_id, np.int64)
+        for i, it in enumerate(items):
+            L = min(len(it["labels"]), lab_len)
+            labels[i, :L] = it["labels"][:L]
+            dec[i, :L] = it["dec_input_ids"][:L]
+        batch["labels"] = labels
+        batch["dec_input_ids"] = dec
+        batch["audio_frames"] = np.asarray(
+            [it["audio_frames"] for it in items], np.int32
+        )
+
+        if "video" in items[0]:
+            v_len = self.video_pad_len or max(len(it["video"]) for it in items)
+            h, w, c = items[0]["video"].shape[1:]
+            video = np.zeros((len(items), v_len, h, w, c), np.float32)
+            vmask = np.zeros((len(items), v_len), bool)
+            for i, it in enumerate(items):
+                L = min(len(it["video"]), v_len)
+                video[i, :L] = it["video"][:L]
+                vmask[i, :L] = True
+            batch["video"] = video
+            batch["video_mask"] = vmask
+        return batch
+
+
+def make_bucketed_loader(
+    dataset: AmiVideoDataset,
+    collator: WhisperVideoCollator,
+    batch_bins: int,
+    num_shards: int = 1,
+    shuffle: bool = True,
+    epoch: int = 0,
+    fps: int = 25,
+):
+    """Yield bucketed batches: item lengths (audio frames at 100 Hz) drive
+    the token-budget batcher; each batch's video is padded to the bucket's
+    frame count so XLA compiles one program per bucket."""
+    lengths = [max(dataset.audio_length(i) // 160, 1) for i in range(len(dataset))]
+    batcher = LengthBucketBatcher(lengths, batch_bins, num_shards=num_shards)
+    for idx, padded_frames in batcher.batches(shuffle=shuffle, epoch=epoch):
+        items = [dataset[int(i)] for i in idx]
+        video_pad = max(int(np.ceil(padded_frames * fps / 100.0)), 1)
+        collator.video_pad_len = video_pad
+        yield collator(items)

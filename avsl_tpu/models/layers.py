@@ -304,11 +304,16 @@ class TransformerBlock(nn.Module):
     ) -> Tuple[jnp.ndarray, Optional[Cache]]:
         new_cache: Optional[Cache] = {} if cache is not None else None
 
-        if self.gated_x_attn and xv is not None:
-            delta, _ = self.x_attn(self.x_attn_ln(x), kv_src=xv, mask=xv_mask)
+        xv_cache = None if cache is None else cache.get("xv")
+        if self.gated_x_attn and (xv is not None or xv_cache is not None):
+            delta, c = self.x_attn(
+                self.x_attn_ln(x), kv_src=xv, mask=xv_mask, cache=xv_cache
+            )
             x = x + jnp.tanh(self.x_attn_gate).astype(x.dtype) * delta
             delta = self.x_mlp(self.x_mlp_ln(x), deterministic=deterministic)
             x = x + jnp.tanh(self.x_mlp_gate).astype(x.dtype) * delta
+            if new_cache is not None:
+                new_cache["xv"] = c if c is not None else xv_cache
 
         # self-attention
         residual = x

@@ -68,7 +68,9 @@ class WhisperEncoder(nn.Module):
 
         block = TransformerBlock
         if cfg.remat:
-            block = nn.remat(TransformerBlock, static_argnums=(7,))
+            # flax core_fn prepends the module scope, so `deterministic`
+            # (8th call arg) sits at static index 8
+            block = nn.remat(TransformerBlock, static_argnums=(8,))
         for i in range(cfg.n_audio_layer):
             x, _ = block(
                 d_model=cfg.n_audio_state,
@@ -240,6 +242,8 @@ class Whisper(nn.Module):
                 ),
                 "cross": block.cross_attn.precompute_kv(audio_features),
             }
+            if cfg.add_gated_x_attn and xv is not None:
+                entry["xv"] = block.x_attn.precompute_kv(xv)
             caches.append(entry)
         return caches
 

@@ -1,0 +1,190 @@
+"""High-level training runner: the Lightning-Trainer role, TPU-native.
+
+Drives the SPMD train step (train/loop.py) with: YAML-config semantics of
+the reference trainer (avsl/whisper_flamingo_ft_ami.py:705-1034 in
+/root/reference) — step budget, warmup, grad accumulation, periodic
+teacher-forced validation with jiwer-normalized WER/CER, best-checkpoint
+tracking on ``val/wer_av``, last-checkpoint resume — expressed as a plain
+Python loop around jit-compiled steps. Metrics go to TensorBoard via
+tf.summary when TensorFlow is importable, else to a JSONL file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avsl_tpu.decode.greedy import teacher_forced_predictions
+from avsl_tpu.decode.text_norm import normalize_text, wer_cer
+from avsl_tpu.train.checkpoints import latest_step, restore_checkpoint, save_checkpoint
+from avsl_tpu.train.loop import TrainState, make_eval_step, make_train_step
+
+
+class MetricLogger:
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self._tb = None
+        try:
+            import tensorflow as tf  # noqa: F401
+
+            self._tb = tf.summary.create_file_writer(log_dir)
+        except Exception:
+            self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+
+    def log(self, step: int, metrics: Dict[str, float]) -> None:
+        if self._tb is not None:
+            import tensorflow as tf
+
+            with self._tb.as_default():
+                for k, v in metrics.items():
+                    tf.summary.scalar(k, float(v), step=step)
+                self._tb.flush()
+        else:
+            self._jsonl.write(json.dumps({"step": step, **{k: float(v) for k, v in metrics.items()}}) + "\n")
+            self._jsonl.flush()
+
+
+def evaluate_wer(
+    predict_logits: Callable[[Dict[str, Any]], jnp.ndarray],
+    batches: Iterable[Dict[str, Any]],
+    tokenizer,
+    max_batches: Optional[int] = None,
+    prefix: str = "val",
+) -> Dict[str, float]:
+    """Teacher-forced argmax eval with EOT masking + corpus WER/CER
+    (reference validation semantics, whisper_flamingo_ft_ami.py:558-634)."""
+    hyps, refs = [], []
+    losses = []
+    special = tokenizer.special_token_set
+    for bi, batch in enumerate(batches):
+        if max_batches is not None and bi >= max_batches:
+            break
+        logits = predict_logits(batch)
+        tokens = np.asarray(teacher_forced_predictions(logits, tokenizer.eot))
+        labels = np.asarray(batch["labels"])
+        for o_row, l_row in zip(tokens, labels):
+            o_ids = [int(t) for t in o_row if int(t) >= 0 and int(t) not in special]
+            l_ids = [int(t) for t in l_row if int(t) >= 0 and int(t) not in special]
+            hyps.append(normalize_text(tokenizer.decode(o_ids)))
+            refs.append(normalize_text(tokenizer.decode(l_ids)))
+    pairs = [(h, r) for h, r in zip(hyps, refs) if h.strip() or r.strip()]
+    if not pairs:
+        return {f"{prefix}/wer_av": 1.0, f"{prefix}/cer_av": 1.0}
+    wer, cer = wer_cer([h for h, _ in pairs], [r for _, r in pairs])
+    return {f"{prefix}/wer_av": wer, f"{prefix}/cer_av": cer}
+
+
+class TrainerRunner:
+    """Step-budgeted training with periodic validation + checkpointing."""
+
+    def __init__(
+        self,
+        loss_fn,
+        eval_logits_fn: Callable[[Any, Dict[str, Any]], jnp.ndarray],
+        tx,
+        init_state: TrainState,
+        tokenizer,
+        cfg,
+        mesh=None,
+        log_dir: str = "output/train",
+        ckpt_dir: str = "checkpoints/run",
+    ):
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.mesh = mesh
+        self.accum = int(getattr(cfg, "gradient_accumulation_steps", 1))
+        self.train_step = make_train_step(
+            loss_fn, tx, mesh=mesh, grad_accum_steps=self.accum, donate=False
+        )
+        self.eval_logits_fn = eval_logits_fn
+        self.state = init_state
+        self.logger = MetricLogger(log_dir)
+        self.ckpt_dir = os.path.abspath(ckpt_dir)
+        self.best_wer = float("inf")
+        self.best_step = -1
+
+    def maybe_resume(self) -> int:
+        step = latest_step(self.ckpt_dir)
+        if step is not None and getattr(self.cfg, "resume_training", False):
+            self.state = restore_checkpoint(self.ckpt_dir, self.state, step)
+            return step
+        return 0
+
+    def _reshape_accum(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        if self.accum <= 1:
+            return batch
+        out = {}
+        for k, v in batch.items():
+            b = v.shape[0]
+            micro = b // self.accum
+            if micro == 0:  # batch smaller than accum: no accumulation
+                return batch
+            out[k] = v[: micro * self.accum].reshape(self.accum, micro, *v.shape[1:])
+        return out
+
+    def fit(
+        self,
+        train_batches: Callable[[int], Iterator[Dict[str, np.ndarray]]],
+        val_batches: Optional[Callable[[], Iterator[Dict[str, np.ndarray]]]] = None,
+        num_steps: Optional[int] = None,
+        validate_every: Optional[int] = None,
+        sanity_val_steps: int = 0,
+    ) -> Dict[str, Any]:
+        cfg = self.cfg
+        num_steps = num_steps or int(getattr(cfg, "num_train_steps", 1000))
+        validate_every = validate_every or int(
+            getattr(cfg, "validate_every_n_batches", 1000)
+        )
+
+        if sanity_val_steps and val_batches is not None:
+            m = evaluate_wer(
+                lambda b: self.eval_logits_fn(self.state, b),
+                val_batches(), self.tokenizer, max_batches=sanity_val_steps,
+            )
+            self.logger.log(0, m)
+
+        step = self.maybe_resume()
+        epoch = 0
+        it = train_batches(epoch)
+        t0 = time.time()
+        history = []
+        while step < num_steps:
+            try:
+                batch = next(it)
+            except StopIteration:
+                epoch += 1
+                it = train_batches(epoch)
+                continue
+            self.state, metrics = self.train_step(self.state, self._reshape_accum(batch))
+            step += 1
+            if step % 10 == 0 or step == num_steps:
+                logd = {f"train/{k}": float(v) for k, v in metrics.items()}
+                logd["train/steps_per_sec"] = 10 / max(time.time() - t0, 1e-6)
+                t0 = time.time()
+                self.logger.log(step, logd)
+                history.append((step, float(metrics["loss"])))
+            if val_batches is not None and step % validate_every == 0:
+                m = evaluate_wer(
+                    lambda b: self.eval_logits_fn(self.state, b),
+                    val_batches(), self.tokenizer,
+                )
+                m[f"val/loss"] = float(metrics["loss"])
+                self.logger.log(step, m)
+                wer = m.get("val/wer_av", 1.0)
+                save_checkpoint(self.ckpt_dir, self.state, step)
+                if wer < self.best_wer:
+                    self.best_wer = wer
+                    self.best_step = step
+        save_checkpoint(self.ckpt_dir, self.state, step)
+        return {
+            "final_step": step,
+            "best_wer": self.best_wer,
+            "best_step": self.best_step,
+            "history": history,
+        }

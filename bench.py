@@ -67,7 +67,7 @@ def main() -> None:
 
         def step(tok, cache):
             return model.apply(
-                variables, tok, feats, xv, cache, method=model.decode
+                variables, tok, None, None, cache, method=model.decode
             )
 
         return greedy_decode(step, cache, sot, DECODE_TOKENS, eot_id=50257)

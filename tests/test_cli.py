@@ -1,0 +1,71 @@
+"""CLI end-to-end smokes (tiny model, synthetic data; each ~1 min on CPU)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_finetune_smoke(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from avsl_tpu.cli import finetune
+
+    result = finetune.main(["--smoke"])
+    assert result["final_step"] == 6
+    assert np.isfinite(result["history"][-1][1])
+    # checkpoints + logs landed
+    assert os.path.isdir("checkpoints/whisper_flamingo_ft")
+    assert os.path.isdir("output/train_whisper_flamingo_ft")
+
+
+def test_whisper_ft_smoke(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from avsl_tpu.cli import whisper_ft
+
+    result = whisper_ft.main(["--smoke", "--num_beams", "2"])
+    assert result["train"]["final_step"] == 4
+    assert 0 <= result["eval"]["wer"] <= 2.0
+    assert os.path.exists("output/whisper_ft/results.json")
+
+
+def test_evaluate_smoke(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from avsl_tpu.cli import evaluate
+
+    result = evaluate.main(["--smoke", "--beam", "2", "--max_new_tokens", "6"])
+    assert "test/wer_av" in result and "test/wer_beam" in result
+
+
+def test_preprocess_cli_subprocess(tmp_path):
+    # drive the real python -m surface for the annotation commands
+    tdir = tmp_path / "transcripts"
+    (tdir / "words").mkdir(parents=True)
+    (tdir / "segments").mkdir()
+    (tdir / "words" / "X.A.words.xml").write_text(
+        '<?xml version="1.0"?>\n'
+        '<nite:root xmlns:nite="http://nite.sourceforge.net/">\n'
+        '<w nite:id="X.A.words0" starttime="0.5" endtime="0.9">hey</w>\n'
+        "</nite:root>\n"
+    )
+    (tdir / "segments" / "X.A.segments.xml").write_text(
+        '<?xml version="1.0"?>\n'
+        '<nite:root xmlns:nite="http://nite.sourceforge.net/">\n'
+        '<segment transcriber_start="0.5" transcriber_end="0.9">\n'
+        '<nite:child href="X.A.words.xml#id(X.A.words0)"/>\n'
+        "</segment></nite:root>\n"
+    )
+    env = dict(os.environ, PYTHONPATH=REPO)
+    env.pop("JAX_PLATFORMS", None)
+    out = subprocess.run(
+        [sys.executable, "-m", "avsl_tpu.cli.preprocess", "transcripts",
+         "--input", str(tdir), "--output", str(tmp_path / "txt")],
+        capture_output=True, text=True, env=env, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    content = (tmp_path / "txt" / "X-A.txt").read_text()
+    assert content.strip() == "[0.5-0.9] hey"

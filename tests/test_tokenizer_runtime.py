@@ -1,0 +1,100 @@
+"""Tokenizer + runtime dataset/collator tests."""
+
+import numpy as np
+import pytest
+
+from avsl_tpu.data.runtime import AmiVideoDataset, WhisperVideoCollator
+from avsl_tpu.data.tokenizer import ByteTokenizer, get_tokenizer
+
+
+def test_byte_tokenizer_roundtrip():
+    tok = ByteTokenizer()
+    ids = tok.encode("hello <|en|> world")
+    assert tok.decode(ids) == "hello  world"  # special token dropped
+    assert tok.decode(tok.encode("héllo wörld")) == "héllo wörld"  # utf-8
+
+
+def test_byte_tokenizer_special_and_added():
+    tok = ByteTokenizer()
+    v0 = tok.vocab_size
+    v1 = tok.add_tokens(["<laugh>"])
+    assert v1 == v0 + 1
+    assert tok.add_tokens(["<laugh>"]) == v1  # idempotent
+    ids = tok.encode("a <laugh> b")
+    assert v0 in ids  # the new token id used
+    assert tok.decode(ids) == "a <laugh> b"
+
+
+def test_sot_sequence_and_prepare():
+    tok = ByteTokenizer()
+    seq = tok.sot_sequence("en")
+    assert seq[0] == tok.sot and seq[2] == tok.transcribe and seq[3] == tok.no_timestamps
+    ex = tok.prepare_example("hi there")
+    assert ex["labels"] == ex["dec_input_ids"][1:] + [tok.eot]
+    assert ex["dec_input_ids"][:4] == seq
+
+
+def test_get_tokenizer_fallback():
+    tok = get_tokenizer(None)
+    assert isinstance(tok, ByteTokenizer)
+    tok2 = get_tokenizer("/nonexistent/path")
+    assert isinstance(tok2, ByteTokenizer)
+
+
+@pytest.fixture()
+def rows():
+    rng = np.random.default_rng(0)
+    out = []
+    for i in range(4):
+        out.append(
+            {
+                "audio": {
+                    "array": (0.1 * rng.standard_normal(16000 + 1000 * i)).astype(np.float32),
+                    "sampling_rate": 16000,
+                },
+                "transcript": f"example utterance {i}",
+                "duration": 1.0 + 0.0625 * i,
+            }
+        )
+    return out
+
+
+def test_ami_video_dataset_items(rows):
+    tok = ByteTokenizer()
+    ds = AmiVideoDataset(rows, tok, audio_max_length=32000, n_mels=80, load_video=False)
+    assert len(ds) == 4
+    item = ds[0]
+    assert item["input_ids"].shape == (80, 200)  # 32000/160
+    assert item["labels"][-1] == tok.eot
+    assert item["audio_frames"] == 100  # 16000/160
+    assert ds.audio_length(3) == int(1.1875 * 16000)
+
+
+def test_collator_padding(rows):
+    tok = ByteTokenizer()
+    ds = AmiVideoDataset(rows, tok, audio_max_length=32000, load_video=False)
+    items = [ds[i] for i in range(4)]
+    # unequal label lengths pad with -100 / eot
+    batch = WhisperVideoCollator(eot_id=tok.eot)(items)
+    assert batch["input_ids"].shape == (4, 80, 200)
+    assert batch["labels"].shape == batch["dec_input_ids"].shape
+    lens = [len(it["labels"]) for it in items]
+    row = batch["labels"][int(np.argmin(lens))]
+    assert (row[min(lens):] == -100).all()
+
+    capped = WhisperVideoCollator(eot_id=tok.eot, max_label_len=10)(items)
+    assert capped["labels"].shape[1] == 10
+
+
+def test_collator_video_padding(rows):
+    tok = ByteTokenizer()
+    items = []
+    for i, r in enumerate(rows):
+        ds = AmiVideoDataset([r], tok, audio_max_length=16000, load_video=False)
+        it = ds[0]
+        it["video"] = np.zeros((5 + i, 8, 8, 1), np.float32)
+        items.append(it)
+    batch = WhisperVideoCollator(eot_id=tok.eot)(items)
+    assert batch["video"].shape == (4, 8, 8, 8, 1)
+    assert batch["video_mask"][0, 5:].sum() == 0
+    assert batch["video_mask"][3].all()
