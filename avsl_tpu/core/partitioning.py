@@ -1,0 +1,101 @@
+"""Parameter partitioning rules: tensor-parallel shardings over the mesh.
+
+The reference is data-parallel only (SURVEY.md §2.8); this module is the
+"design the mesh so a model axis can be added later" part done now:
+path-pattern rules map every parameter (and its optimizer-state mirrors)
+to a PartitionSpec over the (data, model) mesh — the Megatron-style
+column/row split for attention and MLP blocks:
+
+* fc1 / q,k,v projections: column-parallel  [d, F] -> P(None, 'model')
+* fc2 / out projections:   row-parallel     [F, d] -> P('model', None)
+* embeddings: vocab-sharded                 [V, d] -> P('model', None)
+* everything else (norms, biases of row-parallel layers, convs): replicated
+
+XLA's SPMD partitioner inserts the all-reduces between column- and
+row-parallel matmuls; with model_parallel=1 every spec collapses to
+replicated and the step is pure DP. A rule only applies when the sharded
+dim is divisible by the mesh axis size — otherwise the leaf silently
+falls back to replication (small models stay valid on any mesh).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from avsl_tpu.core.mesh import MODEL_AXIS
+
+# (path regex, spec builder) — first match wins. Specs reference dims of
+# the *kernel layout used by this framework* (flax conventions).
+DEFAULT_RULES: List[Tuple[str, P]] = [
+    (r"(mlp|x_mlp)/fc1/kernel$", P(None, MODEL_AXIS)),
+    (r"(mlp|x_mlp)/fc1/bias$", P(MODEL_AXIS)),
+    (r"(mlp|x_mlp)/fc2/kernel$", P(MODEL_AXIS, None)),
+    (r"(q_proj|k_proj|v_proj)/kernel$", P(None, MODEL_AXIS)),
+    (r"(q_proj|k_proj|v_proj)/bias$", P(MODEL_AXIS)),
+    (r"out_proj/kernel$", P(MODEL_AXIS, None)),
+    (r"token_embedding/embedding$", P(MODEL_AXIS, None)),
+    (r"embed_tokens/embedding$", P(MODEL_AXIS, None)),
+]
+
+
+def _path_str(path: Tuple) -> str:
+    return "/".join(
+        str(getattr(p, "key", getattr(p, "name", p))) for p in path
+    )
+
+
+def spec_for(path: str, shape: Tuple[int, ...], mesh: Mesh,
+             rules: Sequence[Tuple[str, P]] = DEFAULT_RULES) -> P:
+    """PartitionSpec for one leaf; falls back to replicated when no rule
+    matches or the sharded dim does not divide the axis size."""
+    n_model = mesh.shape.get(MODEL_AXIS, 1)
+    if n_model <= 1:
+        return P()
+    for pat, spec in rules:
+        if re.search(pat, path):
+            if len(spec) > len(shape):
+                return P()
+            ok = all(
+                axis is None or shape[d] % n_model == 0
+                for d, axis in enumerate(spec)
+            )
+            return spec if ok else P()
+    return P()
+
+
+def state_shardings(state: Any, mesh: Mesh,
+                    rules: Sequence[Tuple[str, P]] = DEFAULT_RULES) -> Any:
+    """Sharding pytree for a TrainState (params + optimizer mirrors).
+
+    Optimizer-state leaves (adam mu/nu) carry the same trailing param path,
+    so the same rules shard them identically; scalars replicate."""
+
+    def leaf(path, x):
+        if not hasattr(x, "shape") or x.ndim == 0:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, spec_for(_path_str(path), x.shape, mesh, rules))
+
+    return jax.tree_util.tree_map_with_path(leaf, state)
+
+
+def shard_state(state: Any, mesh: Mesh,
+                rules: Sequence[Tuple[str, P]] = DEFAULT_RULES) -> Any:
+    """device_put the whole train state onto the mesh per the rules."""
+    shardings = state_shardings(state, mesh, rules)
+    return jax.tree_util.tree_map(jax.device_put, state, shardings)
+
+
+def describe_shardings(params: Any, mesh: Mesh,
+                       rules: Sequence[Tuple[str, P]] = DEFAULT_RULES):
+    """List (path, shape, spec) for every non-replicated param (debugging)."""
+    out = []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        spec = spec_for(_path_str(path), leaf.shape, mesh, rules)
+        if spec != P():
+            out.append((_path_str(path), tuple(leaf.shape), spec))
+    return out

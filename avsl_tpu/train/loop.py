@@ -60,6 +60,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     grad_accum_steps: int = 1,
     donate: bool = True,
+    partitioned_state: bool = False,
 ):
     """Build a jit-compiled SPMD train step.
 
@@ -130,6 +131,11 @@ def make_train_step(
         )
         return step_fn(state, batch)
 
+    if partitioned_state:
+        # tensor-parallel state: shard via core.partitioning.shard_state
+        # beforehand; jit propagates the input shardings (no forced
+        # replication), XLA inserts the tp collectives
+        return jax.jit(sharded_step, donate_argnums=(0,) if donate else ())
     return jax.jit(
         sharded_step,
         in_shardings=(replicated, None),
