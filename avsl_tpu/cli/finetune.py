@@ -178,7 +178,10 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         n = int(getattr(cfg, "num_devices", 0)) or len(jax.devices())
         mesh = make_mesh(min(n, len(jax.devices())))
 
-    loss_fn = flamingo_loss_fn(model, train=True)
+    loss_fn = flamingo_loss_fn(
+        model, train=True,
+        freeze_video_bn_stats=bool(getattr(cfg, "freeze_video_batch_norm_stats", False)),
+    )
     eval_loss = flamingo_loss_fn(model, train=False)
 
     @jax.jit

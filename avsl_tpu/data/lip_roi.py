@@ -122,12 +122,16 @@ def smooth_landmarks(landmarks: np.ndarray, window: int = 12) -> np.ndarray:
     t = landmarks.shape[0]
     win = min(t, window)
     half = win // 2
-    out = np.empty_like(landmarks)
-    for i in range(t):
-        lo = max(0, i - half)
-        hi = min(t, i + half + 1)
-        out[i] = landmarks[lo:hi].mean(axis=0)
-    return out
+    # vectorized sliding mean with clamped edges via prefix sums
+    c = np.concatenate(
+        [np.zeros((1,) + landmarks.shape[1:], np.float64),
+         np.cumsum(landmarks.astype(np.float64), axis=0)]
+    )
+    idx = np.arange(t)
+    lo = np.maximum(0, idx - half)
+    hi = np.minimum(t, idx + half + 1)
+    out = (c[hi] - c[lo]) / (hi - lo).reshape(-1, *([1] * (landmarks.ndim - 1)))
+    return out.astype(landmarks.dtype)
 
 
 def extract_lip_clip(

@@ -29,20 +29,20 @@ def umeyama(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     form with SVD sign correction)."""
     src = src.astype(jnp.float32)
     dst = dst.astype(jnp.float32)
-    n = src.shape[0]
     mu_s = jnp.mean(src, axis=0)
     mu_d = jnp.mean(dst, axis=0)
     sc = src - mu_s
     dc = dst - mu_d
-    cov = dc.T @ sc / n  # [2,2]
-    u, s, vt = jnp.linalg.svd(cov)
-    d = jnp.sign(jnp.linalg.det(u) * jnp.linalg.det(vt))
-    diag = jnp.array([1.0, 0.0]) + jnp.array([0.0, 1.0]) * d  # [1, d]
-    r = u @ jnp.diag(diag) @ vt
-    var_s = jnp.mean(jnp.sum(sc * sc, axis=1))
-    scale = jnp.sum(s * diag) / jnp.maximum(var_s, 1e-8)
-    t = mu_d - scale * (r @ mu_s)
-    return jnp.concatenate([scale * r, t[:, None]], axis=1)  # [2,3]
+    # closed form for the 2-D rotation+scale least squares (no SVD — SVD is
+    # pathologically slow to compile/run on TPU and unnecessary in 2-D when
+    # reflections are excluded, which they are for faces):
+    #   a = sum(s . d), b = sum(cross(s, d));  sR = [[a,-b],[b,a]] / sum|s|^2
+    a = jnp.sum(sc * dc)
+    b = jnp.sum(sc[:, 0] * dc[:, 1] - sc[:, 1] * dc[:, 0])
+    denom = jnp.maximum(jnp.sum(sc * sc), 1e-8)
+    sr = jnp.array([[a, -b], [b, a]]) / denom  # scale * rotation
+    t = mu_d - sr @ mu_s
+    return jnp.concatenate([sr, t[:, None]], axis=1)  # [2,3]
 
 
 def invert_similarity(m: jnp.ndarray) -> jnp.ndarray:
@@ -114,18 +114,27 @@ def warp_and_crop_clip(
     (video_process.py:444-448). Returns [T, crop_size, crop_size].
     """
     stable = jnp.asarray(stable_idx)
+    half = crop_size // 2
 
     def per_frame(frame, lms):
         m = umeyama(lms[stable], mean_face[stable])
-        warped = warp_frame(frame, m, out_size, out_size)
         mouth = transform_points(lms[48:68], m)
-        center = jnp.mean(mouth, axis=0)  # (x, y)
-        half = crop_size // 2
+        center = jnp.mean(mouth, axis=0)  # (x, y) in warped space
         cx = jnp.clip(center[0], half, out_size - half).astype(jnp.int32)
         cy = jnp.clip(center[1], half, out_size - half).astype(jnp.int32)
-        return jax.lax.dynamic_slice(
-            warped, (cy - half, cx - half), (crop_size, crop_size)
-        )
+        # crop-first warping: evaluate the warp ONLY on the crop_size² grid
+        # (gathers are the expensive op on TPU; warping the full out_size²
+        # then slicing would do ~10x the gather work for identical output)
+        inv = invert_similarity(m)
+        ys = jax.lax.broadcasted_iota(jnp.float32, (crop_size, crop_size), 0) + (
+            cy - half
+        ).astype(jnp.float32)
+        xs = jax.lax.broadcasted_iota(jnp.float32, (crop_size, crop_size), 1) + (
+            cx - half
+        ).astype(jnp.float32)
+        sx = inv[0, 0] * xs + inv[0, 1] * ys + inv[0, 2]
+        sy = inv[1, 0] * xs + inv[1, 1] * ys + inv[1, 2]
+        return _bilinear_sample(frame.astype(jnp.float32), sx, sy)
 
     return jax.vmap(per_frame)(frames, landmarks)
 

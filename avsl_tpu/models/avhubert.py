@@ -244,9 +244,11 @@ class AVHuBERTTransformerEncoder(nn.Module):
             x = LayerNormF32(param_dtype=jnp.dtype(cfg.param_dtype), name="ln_pre")(x)
         x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
 
-        attn_mask = None
+        # suffix padding -> per-batch valid lengths feed the fused-attention
+        # kernel directly (no [B,1,1,K] mask materialization)
+        kv_lengths = None
         if padding_mask is not None:
-            attn_mask = padding_mask[:, None, None, :]  # [B,1,1,K]
+            kv_lengths = jnp.sum(padding_mask.astype(jnp.int32), axis=-1)
 
         for i in range(cfg.num_hidden_layers):
             out, _ = TransformerBlock(
@@ -261,7 +263,7 @@ class AVHuBERTTransformerEncoder(nn.Module):
                 dtype=jnp.dtype(cfg.dtype),
                 param_dtype=jnp.dtype(cfg.param_dtype),
                 name=f"layer_{i}",
-            )(x, self_mask=attn_mask, deterministic=deterministic)
+            )(x, kv_lengths=kv_lengths, deterministic=deterministic)
             if cfg.layerdrop > 0.0 and not deterministic:
                 keep = jax.random.bernoulli(
                     self.make_rng("dropout"), 1.0 - cfg.layerdrop
@@ -437,6 +439,7 @@ class AVHuBERTModel(nn.Module):
         video_present: Optional[jnp.ndarray] = None,
         apply_time_mask: bool = False,
         deterministic: bool = True,
+        use_running_average: Optional[bool] = None,
     ) -> jnp.ndarray:
         feature_mask = None
         if apply_time_mask and not deterministic:
@@ -458,6 +461,7 @@ class AVHuBERTModel(nn.Module):
             video_present=video_present,
             feature_mask=feature_mask,
             deterministic=deterministic,
+            use_running_average=use_running_average,
         )
 
 

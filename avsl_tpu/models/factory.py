@@ -25,9 +25,11 @@ def make_av_hubert_video_encoder(av_cfg: AVHuBERTConfig) -> nn.Module:
 
     class VideoEncoder(nn.Module):
         @nn.compact
-        def __call__(self, video, mask=None, deterministic=True):
+        def __call__(self, video, mask=None, deterministic=True,
+                     use_running_average=None):
             return AVHuBERTModel(cfg, name="av_hubert")(
-                video=video, padding_mask=mask, deterministic=deterministic
+                video=video, padding_mask=mask, deterministic=deterministic,
+                use_running_average=use_running_average,
             )
 
     return VideoEncoder()

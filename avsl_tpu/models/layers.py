@@ -189,6 +189,8 @@ class MultiHeadAttention(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         cache: Optional[Cache] = None,
         decode: bool = False,
+        causal: bool = False,
+        kv_lengths: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Optional[Cache]]:
         q = self._split(self.q_proj(x))
         new_cache = None
@@ -217,7 +219,14 @@ class MultiHeadAttention(nn.Module):
             src = x if kv_src is None else kv_src
             k = self._split(self.k_proj(src))
             v = self._split(self.v_proj(src))
-            out = dot_product_attention(q, k, v, mask)
+            if mask is None:
+                # hot full-sequence path: fused (flash-style) Pallas kernel
+                # on TPU, einsum fallback elsewhere (kernels/attention.py)
+                from avsl_tpu.kernels.attention import fused_attention
+
+                out = fused_attention(q, k, v, lengths=kv_lengths, causal=causal)
+            else:
+                out = dot_product_attention(q, k, v, mask)
 
         b, t, _, _ = out.shape
         return self.out_proj(out.reshape(b, t, self.d_model)), new_cache
@@ -301,6 +310,7 @@ class TransformerBlock(nn.Module):
         xv_mask: Optional[jnp.ndarray] = None,
         cache: Optional[Cache] = None,
         deterministic: bool = True,
+        kv_lengths: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Optional[Cache]]:
         new_cache: Optional[Cache] = {} if cache is not None else None
 
@@ -319,7 +329,8 @@ class TransformerBlock(nn.Module):
         residual = x
         h = self.self_attn_ln(x) if self.pre_norm else x
         h, c = self.self_attn(
-            h, mask=self_mask, cache=None if cache is None else cache.get("self")
+            h, mask=self_mask, cache=None if cache is None else cache.get("self"),
+            kv_lengths=kv_lengths,
         )
         x = self._residual(residual, h, deterministic)
         if not self.pre_norm:

@@ -198,12 +198,16 @@ class Whisper(nn.Module):
         video: Optional[jnp.ndarray] = None,
         video_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        freeze_video_bn_stats: bool = False,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         features = self.encoder(mel, deterministic=deterministic)
         x_v = None
         if video is not None and self.cfg.add_gated_x_attn:
             if self.video_model is not None:
-                v = self.video_model(video, mask=video_mask, deterministic=deterministic)
+                v = self.video_model(
+                    video, mask=video_mask, deterministic=deterministic,
+                    use_running_average=True if freeze_video_bn_stats else None,
+                )
             else:
                 v = video  # already-extracted video features [B, T, video_state]
             x_v = self.video_projection(v.astype(_dtype(self.cfg)))
@@ -254,9 +258,11 @@ class Whisper(nn.Module):
         video: Optional[jnp.ndarray] = None,
         video_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        freeze_video_bn_stats: bool = False,
     ) -> jnp.ndarray:
         features, x_v = self.encode(
-            mel, video, video_mask=video_mask, deterministic=deterministic
+            mel, video, video_mask=video_mask, deterministic=deterministic,
+            freeze_video_bn_stats=freeze_video_bn_stats,
         )
         logits, _ = self.decode(tokens, features, xv=x_v, deterministic=deterministic)
         return logits

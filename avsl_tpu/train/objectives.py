@@ -15,15 +15,20 @@ import jax.numpy as jnp
 from avsl_tpu.models.avhubert import cross_entropy_loss
 
 
-def flamingo_loss_fn(model, train: bool = True):
-    """CE loss for Whisper(+Flamingo): encoder(mel, video) -> decoder(...)."""
+def flamingo_loss_fn(model, train: bool = True, freeze_video_bn_stats: bool = False):
+    """CE loss for Whisper(+Flamingo): encoder(mel, video) -> decoder(...).
+
+    ``freeze_video_bn_stats`` mirrors the reference's
+    freeze_video_batch_norm_stats regime (video BN uses running stats and
+    never updates — whisper_flamingo_ft_ami.py:508-509)."""
 
     def loss_fn(params, batch_stats, batch, rng):
         variables = {"params": params["params"] if "params" in params else params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
         rngs = {"dropout": rng} if train else None
-        mutable = ["batch_stats"] if (train and batch_stats is not None) else False
+        update_stats = train and batch_stats is not None and not freeze_video_bn_stats
+        mutable = ["batch_stats"] if update_stats else False
 
         out = model.apply(
             variables,
@@ -32,6 +37,7 @@ def flamingo_loss_fn(model, train: bool = True):
             video=batch.get("video"),
             video_mask=batch.get("video_mask"),
             deterministic=not train,
+            freeze_video_bn_stats=freeze_video_bn_stats,
             rngs=rngs,
             mutable=mutable,
         )

@@ -1,14 +1,17 @@
 """Benchmark: AMI AV segments/sec/chip (preprocess + encode + decode).
 
-Measures the fused on-device pipeline on one TPU chip: Whisper log-mel
-front end -> Whisper(+Flamingo gated x-attn) audio encoder + AV-HuBERT
-video encoder -> KV-cached greedy decode, over synthetic AMI-like
-segments (10 s audio @16 kHz + 250 frames of 88x88 grayscale lip clip).
+Covers the full per-segment pipeline the baseline number describes
+(/root/repo/BASELINE.md — the reference bottleneck is ~1-2 segments/s for
+lip-ROI extraction alone on a GPU node):
 
-Baseline: the reference pipeline's published preprocess+inference
-bottleneck is ~1-2 segments/sec (lip-ROI extraction on a GPU node,
-/root/reference docs/preprocess/LAUGHTER_DATASET_INFO.md:110; BASELINE.md).
-We report vs_baseline against 1.5 seg/s.
+host:   68-landmark estimation per clip (model-free motion detector)
+device: similarity warp + 96x96 mouth crop for every frame (one fused
+        program per clip batch), 88-crop + normalization, Whisper log-mel,
+        Whisper(+Flamingo gated x-attn) audio encoder + AV-HuBERT video
+        encoder (Pallas fused attention), KV-cached greedy decode.
+
+Synthetic AMI-like segments: 10 s audio @16 kHz + 250 frames of 288x352
+closeup video per segment.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -29,6 +32,7 @@ ITERS = int(os.environ.get("AVSL_BENCH_ITERS", "5"))
 DECODE_TOKENS = int(os.environ.get("AVSL_BENCH_DECODE_TOKENS", "24"))
 AUDIO_SECONDS = 10
 VIDEO_FRAMES = 250  # 10 s @ 25 fps
+SRC_H, SRC_W = 288, 352  # AMI closeup resolution
 
 
 def main() -> None:
@@ -37,8 +41,11 @@ def main() -> None:
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __graft_entry__ as ge
+    from avsl_tpu.data.landmarks import BatchedMotionDetector
+    from avsl_tpu.data.lip_roi import canonical_mean_face, landmarks_interpolate, smooth_landmarks
     from avsl_tpu.decode import greedy_decode
     from avsl_tpu.kernels import log_mel_spectrogram
+    from avsl_tpu.kernels.warp import warp_and_crop_clip
 
     model, cfg = ge._flagship(dtype="bfloat16")
 
@@ -46,39 +53,107 @@ def main() -> None:
     audio = jnp.asarray(
         rng.normal(size=(BATCH, AUDIO_SECONDS * 16000)).astype(np.float32) * 0.1
     )
-    video = jnp.asarray(
-        rng.normal(size=(BATCH, VIDEO_FRAMES, 88, 88, 1)).astype(np.float32)
-    )
+    # synthetic closeup footage: moving bright blob over textured background
+    base = rng.integers(40, 200, (SRC_H, SRC_W)).astype(np.float32)
+    clips = np.empty((BATCH, VIDEO_FRAMES, SRC_H, SRC_W), np.uint8)
+    yy, xx = np.mgrid[0:SRC_H, 0:SRC_W]
+    for b in range(BATCH):
+        cx, cy = 170 + 10 * b % 40, 140
+        for t in range(VIDEO_FRAMES):
+            jitter = 6 * np.sin(t / 7 + b)
+            face = 80 * np.exp(
+                -(((xx - cx - jitter) / 60.0) ** 2 + ((yy - cy) / 80.0) ** 2)
+            )
+            clips[b, t] = np.clip(base + face, 0, 255).astype(np.uint8)
+
     sot = jnp.full((BATCH, 1), 50258, jnp.int32)
+    # landmark maps computed on device for the whole batch; host does only
+    # the scalar silhouette logic (the numpy-only detector was the
+    # bottleneck — the same role dlib played in the reference pipeline)
+    detector = BatchedMotionDetector(downsample=2)
+    mean_face = jnp.asarray(canonical_mean_face(300))
+
+    batched_warp = jax.jit(
+        jax.vmap(
+            lambda f, l: warp_and_crop_clip(f, l, mean_face, out_size=300, crop_size=96)
+        )
+    )
 
     # jit the init so parameter initialization is one compiled program
     mel_example = jnp.zeros((BATCH, cfg.n_mels, AUDIO_SECONDS * 100), jnp.float32)
+    video_example = jnp.zeros((BATCH, VIDEO_FRAMES, 88, 88, 1), jnp.float32)
     variables = jax.jit(model.init)(
-        jax.random.PRNGKey(0), mel_example, sot, video=video
+        jax.random.PRNGKey(0), mel_example, sot, video=video_example
     )
 
     @jax.jit
-    def pipeline(audio, video, sot):
+    def device_pipeline(audio, lip96, sot):
+        # 96 -> center-crop 88 + AV-HuBERT normalization, on device
+        lip = lip96[:, :, 4:92, 4:92, None].astype(jnp.float32)
+        lip = (lip / 255.0 - 0.421) / 0.165
         mel = log_mel_spectrogram(audio, n_mels=cfg.n_mels)
-        feats, xv = model.apply(variables, mel, video, method=model.encode)
+        feats, xv = model.apply(variables, mel, lip, method=model.encode)
         cache = model.apply(
             variables, feats, xv, DECODE_TOKENS + 4, method=model.init_decode_cache
         )
 
         def step(tok, cache):
-            return model.apply(
-                variables, tok, None, None, cache, method=model.decode
-            )
+            return model.apply(variables, tok, None, None, cache, method=model.decode)
 
         return greedy_decode(step, cache, sot, DECODE_TOKENS, eot_id=50257)
 
-    # warmup / compile
-    out = pipeline(audio, video, sot)
+    def landmarks_for_batch(dev_clips):
+        per_clip = detector(dev_clips)  # device maps + host scalar logic
+        out = np.empty((BATCH, VIDEO_FRAMES, 68, 2), np.float32)
+        for b in range(BATCH):
+            filled = landmarks_interpolate(per_clip[b])
+            if filled is None:
+                filled = np.tile(np.asarray(mean_face)[None], (VIDEO_FRAMES, 1, 1))
+            out[b] = smooth_landmarks(filled)
+        return out
+
+    def run_once(dev_clips):
+        # everything dense (detector maps, warp, model) stays on device
+        lms = landmarks_for_batch(dev_clips)
+        lip96 = batched_warp(dev_clips.astype(jnp.float32), jnp.asarray(lms))
+        return device_pipeline(audio, lip96, sot)
+
+    out = run_once(jax.device_put(clips))  # warmup / compile
     out.block_until_ready()
 
+    if os.environ.get("AVSL_BENCH_PROFILE"):
+        # per-stage timings to stderr (not part of the JSON contract)
+        import jax as _jax
+
+        t0 = time.perf_counter()
+        dev_clips = jax.device_put(clips)
+        jax.block_until_ready(dev_clips)
+        t1 = time.perf_counter()
+        lms = landmarks_for_batch(dev_clips)
+        t2 = time.perf_counter()
+        lip96 = batched_warp(dev_clips.astype(jnp.float32), jnp.asarray(lms))
+        jax.block_until_ready(lip96)
+        t3 = time.perf_counter()
+        toks = device_pipeline(audio, lip96, sot)
+        toks.block_until_ready()
+        t4 = time.perf_counter()
+        print(
+            f"stages: transfer={t1-t0:.3f}s detect={t2-t1:.3f}s "
+            f"warp={t3-t2:.3f}s model={t4-t3:.3f}s",
+            file=sys.stderr,
+        )
+
+    # steady-state throughput with double-buffered uploads: the next
+    # batch's host->device copy is issued asynchronously before the current
+    # batch is processed, so the h2d link overlaps device compute (the
+    # dev-harness tunnel here moves ~45 MB/s; production PCIe is ~200x).
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = pipeline(audio, video, sot)
+    next_clips = jax.device_put(clips)
+    for i in range(ITERS):
+        dev_clips = next_clips
+        if i + 1 < ITERS:
+            next_clips = jax.device_put(clips)  # async upload of next batch
+        out = run_once(dev_clips)
     out.block_until_ready()
     dt = time.perf_counter() - t0
 
