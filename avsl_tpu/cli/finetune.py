@@ -143,7 +143,20 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         max_label_len=min(int(getattr(cfg, "text_max_length", 350)), w_cfg.n_text_ctx),
     )
 
+    use_bucketing = not smoke
+
     def batches(ds, batch_size, shuffle, epoch=0) -> Iterator[Dict[str, np.ndarray]]:
+        if use_bucketing:
+            # token-budget length bucketing (LengthBatchSampler semantics:
+            # budget = audio_max_length x batch_size, expressed in 100 Hz
+            # frames) snapped to a static shape set
+            from avsl_tpu.data.runtime import make_bucketed_loader
+
+            batch_bins = (int(cfg.audio_max_length) // 160) * max(batch_size, 1)
+            yield from make_bucketed_loader(
+                ds, collator, batch_bins=batch_bins, shuffle=shuffle, epoch=epoch
+            )
+            return
         order = np.arange(len(ds))
         if shuffle:
             order = np.random.default_rng(epoch).permutation(order)

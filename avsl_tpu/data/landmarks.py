@@ -345,6 +345,79 @@ def _device_maps_fn(window: int, blur: int, max_diff_frames: int):
     return compute
 
 
+def _device_detect_fn(keep_mass: float, center_sigma: float, min_box: int):
+    """Jitted translation of MotionEnergyDetector.detect_from_maps.
+
+    Takes (motion_map, artic_map) [H, W] and returns
+    (mouth_x, mouth_y, face_w, ok) — all computed on device with static
+    shapes (nan-quantiles and boolean reductions replace the numpy
+    percentile/nonzero logic), so the host pulls back 4 floats instead of
+    dense maps (d2h is the slow direction on this link and also stalls
+    the next h2d transfer).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def blur2d(x, k):
+        pad = k // 2
+
+        def smooth(a, axis):
+            a = jnp.moveaxis(a, axis, -1)
+            a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(pad, pad)], mode="edge")
+            c = jnp.cumsum(a, axis=-1)
+            c = jnp.pad(c, [(0, 0)] * (a.ndim - 1) + [(1, 0)])
+            out = (c[..., k:] - c[..., :-k]) / k
+            return jnp.moveaxis(out, -1, axis)
+
+        return smooth(smooth(x, -2), -1)
+
+    def detect(motion_map, artic_map):
+        h, w = motion_map.shape
+        wy = jnp.exp(-0.5 * ((jnp.arange(h) - h / 2) / (center_sigma * h)) ** 2)
+        wx = jnp.exp(-0.5 * ((jnp.arange(w) - w / 2) / (center_sigma * w)) ** 2)
+        mw = motion_map * wy[:, None] * wx[None, :]
+
+        thresh = (1.0 - keep_mass) * jnp.max(mw)
+        mask = blur2d((mw > thresh).astype(jnp.float32), 25) > 0.5
+
+        rows_any = jnp.any(mask, axis=1)
+        cols_any = jnp.any(mask, axis=0)
+        row_ids = jnp.arange(h)
+        col_ids = jnp.arange(w)
+        y0 = jnp.min(jnp.where(rows_any, row_ids, h))
+        y1 = jnp.max(jnp.where(rows_any, row_ids, -1)) + 1
+        x0 = jnp.min(jnp.where(cols_any, col_ids, w))
+        x1 = jnp.max(jnp.where(cols_any, col_ids, -1)) + 1
+        ok = jnp.any(mask) & ((x1 - x0) >= min_box) & ((y1 - y0) >= min_box)
+
+        widths = jnp.sum(mask, axis=1).astype(jnp.float32)
+        head_rows = widths > 0.4 * jnp.max(widths)
+        y_head = jnp.min(jnp.where(head_rows, row_ids, h))
+        span = jnp.maximum((0.35 * (y1 - y_head)).astype(jnp.int32), 10)
+        in_span = (row_ids >= y_head) & (row_ids < y_head + span)
+        face_w = jnp.nanmedian(jnp.where(in_span, widths, jnp.nan))
+        face_w = jnp.clip(face_w, min_box, jnp.maximum(x1 - x0, min_box))
+
+        lo_y = y_head + 0.55 * face_w
+        hi_y = jnp.minimum(y_head + 1.35 * face_w, h)
+        row_band = (row_ids >= lo_y) & (row_ids < hi_y)
+        sub = artic_map * mask * row_band[:, None]
+        pos = sub > 0
+        q90 = jnp.nanquantile(jnp.where(pos, sub, jnp.nan), 0.9)
+        top = jnp.where(sub >= q90, sub, 0.0)
+        total = jnp.sum(top)
+        yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        mouth_x = jnp.sum(top * xx) / jnp.maximum(total, 1e-6)
+        mouth_y = jnp.sum(top * yy) / jnp.maximum(total, 1e-6)
+        ok = ok & (total > 0) & jnp.isfinite(face_w)
+        return jnp.stack(
+            [mouth_x, mouth_y, face_w, ok.astype(jnp.float32)]
+        )
+
+    return detect
+
+
 class BatchedMotionDetector:
     """TPU-accelerated MotionEnergyDetector over a clip batch.
 
@@ -356,13 +429,53 @@ class BatchedMotionDetector:
     per clip (window-regularized canonical landmarks).
     """
 
-    def __init__(self, window: int = 25, downsample: int = 1, **kw):
+    def __init__(self, window: int = 25, downsample: int = 1,
+                 device_logic: bool = True, **kw):
+        import jax
+
         self.window = window
         self.downsample = max(downsample, 1)
+        self.device_logic = device_logic
         self.base = MotionEnergyDetector(**kw)
         self._compute = _device_maps_fn(
             window, self.base.blur, self.base.max_diff_frames
         )
+        detect = _device_detect_fn(
+            self.base.keep_mass, self.base.center_sigma, self.base.min_box
+        )
+        # fused maps -> per-clip + per-window detections, ONE device program;
+        # the host receives [B,4] and [B,NW,4] floats only
+        self._detect_all = jax.jit(
+            lambda clips: self._maps_and_detect(clips, detect)
+        )
+
+    def _maps_and_detect(self, clips, detect):
+        import jax
+        import jax.numpy as jnp
+
+        cm, ca, wm, wa = self._compute(clips)
+        clip_det = jax.vmap(detect)(cm, ca)  # [B, 4]
+        win_det = jax.vmap(jax.vmap(detect))(wm, wa)  # [B, NW, 4]
+        return clip_det, win_det
+
+    def _estimates(self, dev_in) -> tuple:
+        """-> (clip_det [B,4], win_det [B,NW,4]) as numpy."""
+        if self.device_logic:
+            clip_det, win_det = self._detect_all(dev_in)
+            return np.asarray(clip_det), np.asarray(win_det)
+        cm, ca, wm, wa = [np.asarray(x) for x in self._compute(dev_in)]
+        b, nw = wm.shape[0], wm.shape[1]
+        clip_det = np.zeros((b, 4), np.float32)
+        win_det = np.zeros((b, nw, 4), np.float32)
+        for i in range(b):
+            d = self.base.detect_from_maps(cm[i], ca[i])
+            if d is not None:
+                clip_det[i] = (*d[1], d[2], 1.0)
+            for wi in range(nw):
+                dw = self.base.detect_from_maps(wm[i, wi], wa[i, wi])
+                if dw is not None:
+                    win_det[i, wi] = (*dw[1], dw[2], 1.0)
+        return clip_det, win_det
 
     def __call__(self, clips) -> List[List[Optional[np.ndarray]]]:
         """clips [B, T, H, W] (numpy or already-on-device jax array) ->
@@ -372,23 +485,21 @@ class BatchedMotionDetector:
         ds = self.downsample
         dev = jnp.asarray(clips)  # no-op if already on device
         dev_in = dev[:, :, ::ds, ::ds] if ds > 1 else dev
-        cm, ca, wm, wa = [np.asarray(x) for x in self._compute(dev_in)]
+        clip_det, win_det = self._estimates(dev_in)
         b, t = clips.shape[:2]
-        nw = wm.shape[1]
+        nw = win_det.shape[1]
         out: List[List[Optional[np.ndarray]]] = []
         for i in range(b):
             per = [None] * t
-            clip_det = self.base.detect_from_maps(cm[i], ca[i])
-            if clip_det is None:
+            if clip_det[i, 3] < 0.5:
                 out.append(per)
                 continue
-            _box, clip_mouth, clip_face_w = clip_det
+            clip_mouth, clip_face_w = clip_det[i, :2], float(clip_det[i, 2])
             est = []
             for wi in range(nw):
-                det = self.base.detect_from_maps(wm[i, wi], wa[i, wi])
-                if det is not None:
+                if win_det[i, wi, 3] >= 0.5:
                     center = min(wi * self.window + self.window // 2, t - 1)
-                    est.append((center, np.asarray(det[1], np.float32)))
+                    est.append((center, win_det[i, wi, :2].astype(np.float32)))
             if est:
                 mouths = np.stack([m for _, m in est])
                 med = np.median(mouths, axis=0)
@@ -397,9 +508,7 @@ class BatchedMotionDetector:
                     clamped = med + np.clip(0.7 * (m - med), -max_dev, max_dev)
                     per[idx] = self.base._landmarks_for(clamped * ds, clip_face_w * ds)
             else:
-                lms = self.base._landmarks_for(
-                    np.asarray(clip_mouth) * ds, clip_face_w * ds
-                )
+                lms = self.base._landmarks_for(clip_mouth * ds, clip_face_w * ds)
                 per = [lms.copy() for _ in range(t)]
             out.append(per)
         return out

@@ -197,6 +197,82 @@ class WhisperVideoCollator:
         return batch
 
 
+class AVHubertDataset:
+    """Per-item AV-HuBERT features with dataset-level modality dropout.
+
+    Parity with the reference's AVHubertDataset (utils/data_loading.py:
+    473-568): per-item probabilities of dropping the audio or video stream
+    during training, with an at-least-one-modality fallback; audio is the
+    104-dim stacked log-fbank path, video the normalized 88-crop lip clip.
+    Dropped modalities are emitted as zeroed features + presence flag 0 so
+    every batch shares one static-shape compiled program.
+    """
+
+    def __init__(
+        self,
+        rows,
+        audio_drop_prob: float = 0.0,
+        video_drop_prob: float = 0.0,
+        train: bool = False,
+        sample_rate: int = 16000,
+        stack_order: int = 4,
+        image_crop_size: int = 88,
+        seed: int = 0,
+    ):
+        self.rows = rows
+        self.audio_drop_prob = audio_drop_prob
+        self.video_drop_prob = video_drop_prob
+        self.train = train
+        self.sample_rate = sample_rate
+        self.stack_order = stack_order
+        self.image_crop_size = image_crop_size
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        from avsl_tpu.kernels.fbank import avhubert_audio_features
+
+        item = self.rows[idx]
+        rng = np.random.default_rng((self.seed, idx))
+        drop_audio = self.train and rng.random() < self.audio_drop_prob
+        drop_video = self.train and rng.random() < self.video_drop_prob
+        if drop_audio and drop_video:  # at-least-one-modality fallback
+            if rng.random() < 0.5:
+                drop_audio = False
+            else:
+                drop_video = False
+
+        audio = _extract_audio(item, self.sample_rate)
+        feats_a = np.asarray(
+            avhubert_audio_features(audio, self.sample_rate, self.stack_order)
+        )
+        path = _extract_video_path(item)
+        if path and os.path.exists(path):
+            from avsl_tpu.data.video_io import load_video_feats
+
+            feats_v = load_video_feats(path, image_crop_size=self.image_crop_size)
+        else:
+            feats_v = np.zeros(
+                (len(feats_a), self.image_crop_size, self.image_crop_size, 1),
+                np.float32,
+            )
+            drop_video = True
+            if drop_audio:  # re-assert the at-least-one guarantee
+                drop_audio = False
+        t = min(len(feats_a), len(feats_v))  # truncate-to-min alignment
+        out = {
+            "audio_feats": np.zeros_like(feats_a[:t]) if drop_audio else feats_a[:t],
+            "video_feats": np.zeros_like(feats_v[:t]) if drop_video else feats_v[:t],
+            "audio_present": 0.0 if drop_audio else 1.0,
+            "video_present": 0.0 if drop_video else 1.0,
+        }
+        if "transcript" in item:
+            out["transcript"] = item["transcript"]
+        return out
+
+
 def make_bucketed_loader(
     dataset: AmiVideoDataset,
     collator: WhisperVideoCollator,

@@ -108,6 +108,10 @@ class TrainerRunner:
         self.ckpt_dir = os.path.abspath(ckpt_dir)
         self.best_wer = float("inf")
         self.best_step = -1
+        # early stopping on the monitored metric (reference whisper_ft.py
+        # uses EarlyStoppingCallback with patience 5); 0 disables
+        self.early_stop_patience = int(getattr(cfg, "early_stop_patience", 0))
+        self._evals_since_best = 0
 
     def maybe_resume(self) -> int:
         step = latest_step(self.ckpt_dir)
@@ -181,6 +185,14 @@ class TrainerRunner:
                 if wer < self.best_wer:
                     self.best_wer = wer
                     self.best_step = step
+                    self._evals_since_best = 0
+                else:
+                    self._evals_since_best += 1
+                    if (
+                        self.early_stop_patience
+                        and self._evals_since_best >= self.early_stop_patience
+                    ):
+                        break
         save_checkpoint(self.ckpt_dir, self.state, step)
         return {
             "final_step": step,

@@ -98,3 +98,35 @@ def test_collator_video_padding(rows):
     assert batch["video"].shape == (4, 8, 8, 8, 1)
     assert batch["video_mask"][0, 5:].sum() == 0
     assert batch["video_mask"][3].all()
+
+
+def test_avhubert_dataset_modality_dropout(tmp_path):
+    import scipy.io.wavfile as wavfile
+
+    from avsl_tpu.data.runtime import AVHubertDataset
+
+    sr = 16000
+    wav_path = str(tmp_path / "a.wav")
+    wavfile.write(wav_path, sr, (np.random.default_rng(0).normal(0, 0.1, sr) * 32767).astype(np.int16))
+    rows = [{"audio": wav_path, "transcript": f"t{i}"} for i in range(30)]
+
+    ds = AVHubertDataset(rows, audio_drop_prob=0.5, video_drop_prob=0.5, train=True)
+    a_pres, v_pres = [], []
+    for i in range(30):
+        item = ds[i]
+        assert item["audio_feats"].shape[1] == 104
+        assert item["video_feats"].shape[1:] == (88, 88, 1)
+        # at-least-one-modality guarantee
+        assert item["audio_present"] + item["video_present"] >= 1.0
+        a_pres.append(item["audio_present"])
+        v_pres.append(item["video_present"])
+        if item["audio_present"] == 0.0:
+            assert not item["audio_feats"].any()
+    # no video files in this fixture: video always absent, so the
+    # at-least-one guarantee must keep audio present every time
+    assert min(a_pres) == 1.0
+    assert max(v_pres) == 0.0
+
+    # eval mode: no dropout
+    ds_eval = AVHubertDataset(rows, audio_drop_prob=0.9, video_drop_prob=0.9, train=False)
+    assert all(ds_eval[i]["audio_present"] == 1.0 for i in range(5))
