@@ -160,12 +160,13 @@ class MotionEnergyDetector(LandmarkDetector):
 
     def __init__(self, keep_mass: float = 0.85, blur: int = 11,
                  center_sigma: float = 0.5, min_box: int = 24,
-                 max_diff_frames: int = 64):
+                 max_diff_frames: int = 64, close_k: int = 25):
         self.keep_mass = keep_mass
         self.blur = blur
         self.center_sigma = center_sigma
         self.min_box = min_box
         self.max_diff_frames = max_diff_frames
+        self.close_k = close_k  # morphological-closing kernel (scale with frame size)
 
     def motion_map(self, frames: np.ndarray) -> np.ndarray:
         t = len(frames)
@@ -206,7 +207,7 @@ class MotionEnergyDetector(LandmarkDetector):
         # moving-blob silhouette (threshold at a fraction of the peak, then
         # morphological closing via blur so the head is one solid region)
         thresh = (1.0 - self.keep_mass) * mw.max()
-        mask = _box_blur((mw > thresh).astype(np.float32), 25) > 0.5
+        mask = _box_blur((mw > thresh).astype(np.float32), self.close_k) > 0.5
         ys, xs = np.nonzero(mask)
         if len(xs) == 0:
             return None
@@ -345,7 +346,7 @@ def _device_maps_fn(window: int, blur: int, max_diff_frames: int):
     return compute
 
 
-def _device_detect_fn(keep_mass: float, center_sigma: float, min_box: int):
+def _device_detect_fn(keep_mass: float, center_sigma: float, min_box: int, close_k: int = 25):
     """Jitted translation of MotionEnergyDetector.detect_from_maps.
 
     Takes (motion_map, artic_map) [H, W] and returns
@@ -378,7 +379,7 @@ def _device_detect_fn(keep_mass: float, center_sigma: float, min_box: int):
         mw = motion_map * wy[:, None] * wx[None, :]
 
         thresh = (1.0 - keep_mass) * jnp.max(mw)
-        mask = blur2d((mw > thresh).astype(jnp.float32), 25) > 0.5
+        mask = blur2d((mw > thresh).astype(jnp.float32), close_k) > 0.5
 
         rows_any = jnp.any(mask, axis=1)
         cols_any = jnp.any(mask, axis=0)
@@ -441,7 +442,8 @@ class BatchedMotionDetector:
             window, self.base.blur, self.base.max_diff_frames
         )
         detect = _device_detect_fn(
-            self.base.keep_mass, self.base.center_sigma, self.base.min_box
+            self.base.keep_mass, self.base.center_sigma, self.base.min_box,
+            self.base.close_k,
         )
         # fused maps -> per-clip + per-window detections, ONE device program;
         # the host receives [B,4] and [B,NW,4] floats only

@@ -139,6 +139,60 @@ def warp_and_crop_clip(
     return jax.vmap(per_frame)(frames, landmarks)
 
 
+@functools.partial(jax.jit, static_argnames=("out_size", "crop_size", "stable_idx"))
+def warp_and_crop_clip_separable(
+    frames: jnp.ndarray,  # [T, H, W] grayscale float/uint8
+    landmarks: jnp.ndarray,  # [T, 68, 2] (x, y)
+    mean_face: jnp.ndarray,  # [68, 2]
+    out_size: int = 300,
+    crop_size: int = 96,
+    stable_idx: Tuple[int, ...] = (33, 36, 39, 42, 45),
+) -> jnp.ndarray:
+    """Rotation-free lip-ROI warp as two MXU matmuls per frame.
+
+    When the similarity transform has no rotation component (exactly the
+    case for landmarks generated from an upright canonical layout, e.g.
+    the motion detector in avsl_tpu.data.landmarks), the bilinear sampling
+    grid is separable: out = Wy @ frame @ Wx^T with banded interpolation
+    matrices built on the fly. This replaces per-pixel gathers (slow on
+    TPU) with dense matmuls — the TPU-native formulation of the warp.
+    Matches :func:`warp_and_crop_clip` exactly for rotation-free
+    transforms; use the general kernel when landmarks carry head roll.
+    """
+    stable = jnp.asarray(stable_idx)
+    half = crop_size // 2
+    t, h, w = frames.shape
+
+    def per_frame_coords(lms):
+        m = umeyama(lms[stable], mean_face[stable])
+        mouth = transform_points(lms[48:68], m)
+        center = jnp.mean(mouth, axis=0)
+        cx = jnp.clip(center[0], half, out_size - half).astype(jnp.int32)
+        cy = jnp.clip(center[1], half, out_size - half).astype(jnp.int32)
+        inv = invert_similarity(m)
+        # separable assumption: inv[0,1] ~= inv[1,0] ~= 0 (no rotation)
+        xs = (jnp.arange(crop_size, dtype=jnp.float32) + (cx - half)) * inv[0, 0] + inv[0, 2]
+        ys = (jnp.arange(crop_size, dtype=jnp.float32) + (cy - half)) * inv[1, 1] + inv[1, 2]
+        return xs, ys
+
+    xs, ys = jax.vmap(per_frame_coords)(landmarks)  # [T, crop] each
+
+    def interp_matrix(coords, n):
+        # [T, crop, n] banded bilinear weights: W[t, i, k] = max(0, 1-|c-k|)
+        k = jnp.arange(n, dtype=jnp.float32)
+        d = jnp.abs(coords[:, :, None] - k[None, None, :])
+        wgt = jnp.maximum(0.0, 1.0 - d)
+        # zero outside the source (matches the gather kernel's zero fill)
+        valid = (coords >= 0) & (coords <= n - 1)
+        return wgt * valid[:, :, None]
+
+    wx = interp_matrix(xs, w)  # [T, crop, W]
+    wy = interp_matrix(ys, h)  # [T, crop, H]
+    f = frames.astype(jnp.float32)
+    tmp = jnp.einsum("tch,thw->tcw", wy, f, preferred_element_type=jnp.float32)
+    return jnp.einsum("tcw,tdw->tcd", tmp, wx, preferred_element_type=jnp.float32)
+
+
 def rgb_to_grayscale(frames: jnp.ndarray) -> jnp.ndarray:
     """ITU-R 601 luma ([..., H, W, 3] uint8/float -> [..., H, W] float32),
     matching the reference's conversion (utils/hf_video_utils.py:103-105)."""

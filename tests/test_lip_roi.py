@@ -192,3 +192,19 @@ def test_end_to_end_on_real_ami_clip(tmp_path):
     assert validate_video(out)[0]
     feats = load_video_feats(out)
     assert feats.shape[1:] == (88, 88, 1)
+
+
+def test_separable_warp_matches_gather_warp():
+    from avsl_tpu.kernels.warp import warp_and_crop_clip_separable
+
+    mean_face = jnp.asarray(canonical_mean_face(300))
+    # rotation-free landmarks: canonical layout scaled+translated
+    lms = np.asarray(mean_face) * 0.55 + np.array([35.0, 25.0])
+    rng = np.random.default_rng(0)
+    frames = rng.uniform(0, 255, (3, 240, 260)).astype(np.float32)
+    lms_t = jnp.asarray(np.tile(lms, (3, 1, 1)))
+
+    gather = np.asarray(warp_and_crop_clip(jnp.asarray(frames), lms_t, mean_face))
+    sep = np.asarray(warp_and_crop_clip_separable(jnp.asarray(frames), lms_t, mean_face))
+    assert sep.shape == gather.shape == (3, 96, 96)
+    np.testing.assert_allclose(sep, gather, atol=1e-2)
