@@ -194,6 +194,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     loss_fn = flamingo_loss_fn(
         model, train=True,
         freeze_video_bn_stats=bool(getattr(cfg, "freeze_video_batch_norm_stats", False)),
+        spec_augment=getattr(cfg, "spec_augment", None),
     )
     eval_loss = flamingo_loss_fn(model, train=False)
 

@@ -253,6 +253,45 @@ def balance_classes(
     return out
 
 
+def load_ami_segments_csv(csv_path: str, base_dir: str = ""):
+    """Load an ``ami-segments-info.csv`` (columns with ``_abs`` absolute
+    media paths, reference preprocess/ami_clean_dataset_process.py:19-68)
+    into packaging records."""
+    import pandas as pd
+
+    df = pd.read_csv(csv_path)
+    records: List[Dict[str, Any]] = []
+    for row in df.to_dict("records"):
+        rec: Dict[str, Any] = {}
+        for key, val in row.items():
+            if key.endswith("_abs"):
+                media = key[: -len("_abs")]
+                rec[media] = (
+                    os.path.join(base_dir, str(val)) if base_dir else str(val)
+                )
+            else:
+                rec[key] = val
+        rec.setdefault("id", rec.get("segment_id", ""))
+        records.append(rec)
+    return records
+
+
+def process_ami_segments_dataset(
+    csv_path: str,
+    output_dir: str,
+    base_dir: str = "",
+    check_videos: bool = True,
+    sample_rate: int = 16000,
+):
+    """CSV -> validated HF dataset (ami_clean_dataset_process.py:141)."""
+    from avsl_tpu.data.hf_dataset import av_to_hf_dataset
+
+    records = load_ami_segments_csv(csv_path, base_dir)
+    return av_to_hf_dataset(
+        records, output_dir, sample_rate=sample_rate, check_videos=check_videos
+    )
+
+
 def group_segments_by_source(
     segments: Sequence[Dict[str, Any]]
 ) -> Dict[Tuple[str, str], List[Dict[str, Any]]]:

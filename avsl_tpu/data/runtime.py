@@ -218,6 +218,9 @@ class AVHubertDataset:
         stack_order: int = 4,
         image_crop_size: int = 88,
         seed: int = 0,
+        add_noise_prob: float = 0.0,
+        noise_audio: Optional[np.ndarray] = None,
+        noise_snr_db: float = 0.0,
     ):
         self.rows = rows
         self.audio_drop_prob = audio_drop_prob
@@ -227,6 +230,12 @@ class AVHubertDataset:
         self.stack_order = stack_order
         self.image_crop_size = image_crop_size
         self.seed = seed
+        # SNR-controlled noise augmentation (reference
+        # process_audio_for_av_hubert add_noise_prob path,
+        # preprocess/audio_process.py:199-236)
+        self.add_noise_prob = add_noise_prob
+        self.noise_audio = noise_audio
+        self.noise_snr_db = noise_snr_db
 
     def __len__(self) -> int:
         return len(self.rows)
@@ -245,6 +254,14 @@ class AVHubertDataset:
                 drop_video = False
 
         audio = _extract_audio(item, self.sample_rate)
+        if (
+            self.train
+            and self.noise_audio is not None
+            and rng.random() < self.add_noise_prob
+        ):
+            from avsl_tpu.data.audio_segments import add_noise
+
+            audio = add_noise(audio, self.noise_audio, self.noise_snr_db, rng)
         feats_a = np.asarray(
             avhubert_audio_features(audio, self.sample_rate, self.stack_order)
         )

@@ -15,12 +15,16 @@ import jax.numpy as jnp
 from avsl_tpu.models.avhubert import cross_entropy_loss
 
 
-def flamingo_loss_fn(model, train: bool = True, freeze_video_bn_stats: bool = False):
+def flamingo_loss_fn(model, train: bool = True, freeze_video_bn_stats: bool = False,
+                     spec_augment: Optional[str] = None):
     """CE loss for Whisper(+Flamingo): encoder(mel, video) -> decoder(...).
 
     ``freeze_video_bn_stats`` mirrors the reference's
     freeze_video_batch_norm_stats regime (video BN uses running stats and
-    never updates — whisper_flamingo_ft_ami.py:508-509)."""
+    never updates — whisper_flamingo_ft_ami.py:508-509).
+    ``spec_augment``: "ls-basic" | "ls-double" applies on-device
+    SpecAugment to the mel batch during training (the reference does it
+    per item on the host — whisper_flamingo_ft_ami.py:216-226)."""
 
     def loss_fn(params, batch_stats, batch, rng):
         variables = {"params": params["params"] if "params" in params else params}
@@ -30,9 +34,24 @@ def flamingo_loss_fn(model, train: bool = True, freeze_video_bn_stats: bool = Fa
         update_stats = train and batch_stats is not None and not freeze_video_bn_stats
         mutable = ["batch_stats"] if update_stats else False
 
+        mel = batch["input_ids"]
+        if train and spec_augment in ("ls-basic", "ls-double"):
+            from avsl_tpu.kernels.specaugment import spec_augment_batch
+
+            n = 1 if spec_augment == "ls-basic" else 2
+            rng, sa_key = jax.random.split(rng)
+            frames = batch.get(
+                "audio_frames",
+                jnp.full((mel.shape[0],), mel.shape[-1], jnp.int32),
+            )
+            # mel is [B, n_mels, T]; spec_augment wants time-major
+            mel = spec_augment_batch(
+                mel.transpose(0, 2, 1), sa_key, frames, n_freq_mask=n, n_time_mask=n
+            ).transpose(0, 2, 1)
+
         out = model.apply(
             variables,
-            batch["input_ids"],
+            mel,
             batch["dec_input_ids"],
             video=batch.get("video"),
             video_mask=batch.get("video_mask"),

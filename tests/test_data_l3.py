@@ -253,3 +253,31 @@ def test_segment_sources_end_to_end(tmp_path, source_wav):
         str(tmp_path / "out" / "audio_segments"),
     )
     assert issues == []
+
+
+def test_ami_segments_csv_loader(tmp_path, source_wav):
+    import pandas as pd
+
+    from avsl_tpu.data.dataset_process import (
+        load_ami_segments_csv,
+        process_ami_segments_dataset,
+    )
+
+    csv_path = str(tmp_path / "ami-segments-info.csv")
+    pd.DataFrame(
+        {
+            "segment_id": ["s0", "s1"],
+            "transcript": ["hello", "world"],
+            "duration": [1.0, 2.0],
+            "audio_abs": [source_wav, source_wav],
+        }
+    ).to_csv(csv_path, index=False)
+
+    recs = load_ami_segments_csv(csv_path)
+    assert recs[0]["audio"] == source_wav
+    assert recs[0]["id"] == "s0"
+
+    ds = process_ami_segments_dataset(
+        csv_path, str(tmp_path / "hf_out"), check_videos=False
+    )
+    assert len(ds) == 2
