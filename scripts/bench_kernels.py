@@ -13,14 +13,25 @@ import numpy as np
 
 
 def timeit(fn, *args, iters=20):
-    """Per-call wall time with a sync after every call (async dispatch on
-    tunneled backends makes end-only syncs unreliable for small kernels)."""
+    """Per-call wall time, syncing every call and cycling DISTINCT inputs
+    (identical repeated calls can be result-cached by tunneled backends,
+    which reports impossible rates)."""
     import jax
+    import jax.numpy as jnp
 
-    jax.block_until_ready(fn(*args))
+    variants = []
+    for i in range(4):
+        variants.append(
+            tuple(
+                a + jnp.asarray(0.001 * (i + 1), a.dtype) if hasattr(a, "dtype") and a.dtype != bool else a
+                for a in args
+            )
+        )
+    for v in variants:
+        jax.block_until_ready(fn(*v))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        jax.block_until_ready(fn(*args))
+    for i in range(iters):
+        jax.block_until_ready(fn(*variants[i % len(variants)]))
     return (time.perf_counter() - t0) / iters
 
 

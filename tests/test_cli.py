@@ -69,3 +69,35 @@ def test_preprocess_cli_subprocess(tmp_path):
     assert out.returncode == 0, out.stderr[-500:]
     content = (tmp_path / "txt" / "X-A.txt").read_text()
     assert content.strip() == "[0.5-0.9] hey"
+
+
+def test_transcribe_smoke(tmp_path, monkeypatch):
+    import cv2
+    import scipy.io.wavfile as wavfile
+
+    from avsl_tpu.cli import transcribe
+
+    seg_dir = tmp_path / "segs"
+    seg_dir.mkdir()
+    for i in range(5):
+        sr = 16000
+        x = (0.2 * np.sin(2 * np.pi * (200 + 80 * i) * np.arange(sr) / sr)).astype(np.float32)
+        wavfile.write(str(seg_dir / f"seg{i}.wav"), sr, (x * 32767).astype(np.int16))
+    for i in range(2):
+        frames = np.random.default_rng(i).integers(0, 255, (20, 96, 96)).astype(np.uint8)
+        w = cv2.VideoWriter(
+            str(seg_dir / f"seg{i}-lip.mp4"),
+            cv2.VideoWriter_fourcc(*"mp4v"), 25, (96, 96), isColor=False,
+        )
+        for f in frames:
+            w.write(f)
+        w.release()
+
+    monkeypatch.chdir(tmp_path)
+    out = transcribe.main(
+        ["--input", str(seg_dir), "--smoke", "--batch_size", "4",
+         "--max_new_tokens", "6", "--output", str(tmp_path / "out.json")]
+    )
+    assert len(out) == 5
+    assert sum(r["has_video"] for r in out) == 2
+    assert os.path.exists(str(tmp_path / "out.json"))
