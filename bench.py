@@ -54,7 +54,13 @@ def main() -> None:
     from avsl_tpu.kernels import log_mel_spectrogram
     from avsl_tpu.kernels.warp import warp_and_crop_clip_separable
 
-    model, cfg = ge._flagship(dtype="bfloat16")
+    # AVSL_BENCH_MODEL=micro shrinks the model for fast experiments; the
+    # default is the flagship config from __graft_entry__ (whisper-tiny
+    # dims + AV-HuBERT video encoder — the throughput metric is
+    # preprocessing-dominated, so model scale barely moves it)
+    model, cfg = ge._flagship(
+        dtype="bfloat16", tiny=os.environ.get("AVSL_BENCH_MODEL", "") == "micro"
+    )
 
     rng = np.random.default_rng(0)
     audio = jnp.asarray(

@@ -2,6 +2,10 @@
 
 Usage: ``python scripts/bench_kernels.py``
 Prints a table: kernel, problem size, time/call, and achieved rate.
+
+Caveat: through the axon dev tunnel, sub-10ms kernels cannot be timed
+reliably (RPC acks return before execution settles); trust the relative
+ordering and the large-kernel numbers (e.g. the warp comparison).
 """
 
 from __future__ import annotations

@@ -5,5 +5,5 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 make -C cpp/avsl_media
-python -m pytest tests/ -q
+python -m pytest tests/ -q --junitxml=output/test_summary.xml
 python bench.py
