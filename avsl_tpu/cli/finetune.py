@@ -184,6 +184,15 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
               f"missing {len(report['missing'])}, unexpected {len(report['unexpected'])}")
 
     tx, _labels = select_optimizer(params, cfg, int(cfg.num_train_steps))
+    accum = max(int(cfg.gradient_accumulation_steps), 1)
+    runner_accum = accum
+    if use_bucketing and accum > 1:
+        # bucketed batches vary in size: accumulate across successive
+        # batches via optax.MultiSteps instead of an in-batch scan
+        import optax
+
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+        runner_accum = 1
     state = TrainState.create(params, tx, batch_stats=batch_stats)
 
     mesh = None
@@ -215,11 +224,15 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         loss_fn, eval_logits, tx, state, tokenizer, cfg, mesh=mesh,
         log_dir=os.path.join(cfg.log_output_dir, cfg.train_id),
         ckpt_dir=os.path.join(cfg.check_output_dir, cfg.train_id),
+        grad_accum_steps=runner_accum,
     )
+    train_bs = int(cfg.batch_size) * (runner_accum if runner_accum > 1 else 1)
     result = runner.fit(
-        train_batches=lambda epoch: batches(train_ds, int(cfg.batch_size) * max(int(cfg.gradient_accumulation_steps), 1), True, epoch),
+        train_batches=lambda epoch: batches(train_ds, train_bs, True, epoch),
         val_batches=lambda: batches(val_ds, int(cfg.eval_batch_size), False),
-        num_steps=int(cfg.num_train_steps),
+        # num_train_steps counts optimizer steps; under MultiSteps each
+        # optimizer step consumes `accum` micro-batches
+        num_steps=int(cfg.num_train_steps) * (accum if runner_accum == 1 and accum > 1 else 1),
         validate_every=int(cfg.validate_every_n_batches),
         sanity_val_steps=int(getattr(cfg, "num_sanity_val_steps", 0)),
     )

@@ -34,6 +34,18 @@ def _extract_audio(item: Dict[str, Any], target_sr: int = 16000) -> np.ndarray:
     if isinstance(audio, dict) and audio.get("array") is not None:
         data = np.asarray(audio["array"], np.float32)
         sr = int(audio.get("sampling_rate", target_sr))
+    elif isinstance(audio, dict) and audio.get("path") is None and audio.get("bytes"):
+        # decode=False HF Audio cells may carry only raw wav bytes
+        import io
+
+        import scipy.io.wavfile as wavfile
+
+        sr, data = wavfile.read(io.BytesIO(audio["bytes"]))
+        if data.ndim == 2:
+            data = data.mean(axis=1)
+        if data.dtype == np.int16:
+            data = data.astype(np.float32) / 32768.0
+        data = data.astype(np.float32)
     else:
         path = audio.get("path") if isinstance(audio, dict) else audio
         from avsl_tpu.data.audio_segments import load_wav

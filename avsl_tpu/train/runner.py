@@ -94,11 +94,20 @@ class TrainerRunner:
         mesh=None,
         log_dir: str = "output/train",
         ckpt_dir: str = "checkpoints/run",
+        grad_accum_steps: Optional[int] = None,
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.mesh = mesh
-        self.accum = int(getattr(cfg, "gradient_accumulation_steps", 1))
+        # grad_accum_steps=1 + an optax.MultiSteps-wrapped tx accumulates
+        # ACROSS successive batches (required for variable-size bucketed
+        # batches); the default reshapes one big batch into micro-batches
+        # and scans inside the jit (fixed-size batches only)
+        self.accum = (
+            int(grad_accum_steps)
+            if grad_accum_steps is not None
+            else int(getattr(cfg, "gradient_accumulation_steps", 1))
+        )
         self.train_step = make_train_step(
             loss_fn, tx, mesh=mesh, grad_accum_steps=self.accum, donate=False
         )

@@ -101,3 +101,60 @@ def test_transcribe_smoke(tmp_path, monkeypatch):
     assert len(out) == 5
     assert sum(r["has_video"] for r in out) == 2
     assert os.path.exists(str(tmp_path / "out.json"))
+
+
+def test_finetune_bucketed_multisteps(tmp_path, monkeypatch):
+    """Non-smoke finetune path: HF dataset from disk, token-budget
+    bucketing, cross-batch grad accumulation via optax.MultiSteps."""
+    import scipy.io.wavfile as wavfile
+    import yaml
+
+    from avsl_tpu.cli import finetune
+    from avsl_tpu.data.hf_dataset import av_to_hf_dataset
+
+    rng = np.random.default_rng(0)
+    recs = []
+    for i in range(12):
+        sr = 16000
+        dur = 0.4 + 0.05 * i
+        x = (0.2 * rng.standard_normal(int(sr * dur))).astype(np.float32)
+        p = str(tmp_path / f"u{i}.wav")
+        wavfile.write(p, sr, (x * 32767).astype(np.int16))
+        recs.append(
+            {"id": f"u{i}", "transcript": f"utterance number {i}",
+             "duration": dur, "audio": p}
+        )
+    av_to_hf_dataset(recs[:8], str(tmp_path / "train"), check_videos=False)
+    av_to_hf_dataset(recs[8:], str(tmp_path / "val"), check_videos=False)
+
+    cfg = {
+        "model_name": "test",
+        "train_data_path": str(tmp_path / "train"),
+        "val_data_path": str(tmp_path / "val"),
+        "test_data_path": "",
+        "audio_max_length": 16000,
+        "batch_size": 2,
+        "eval_batch_size": 2,
+        "num_train_steps": 2,
+        "warmup_steps": 1,
+        "gradient_accumulation_steps": 2,
+        "validate_every_n_batches": 100,
+        "add_gated_x_attn": 0,
+        "use_av_hubert_encoder": False,
+        "spec_augment": "ls-basic",
+        "precision": 32,
+        "train_id": "bucketed_test",
+        "log_output_dir": str(tmp_path / "logs"),
+        "check_output_dir": str(tmp_path / "ckpt"),
+        "num_sanity_val_steps": 0,
+        "max_duration_filter_seconds": 10.0,
+    }
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    monkeypatch.chdir(tmp_path)
+    result = finetune.main([cfg_path])
+    # 2 optimizer steps x accum 2 = 4 micro steps
+    assert result["final_step"] == 4
+    assert np.isfinite(result["history"][-1][1]) if result["history"] else True
