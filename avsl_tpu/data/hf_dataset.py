@@ -187,6 +187,37 @@ def load_sharded_records(output_dir: str) -> List[Dict[str, Any]]:
     return out
 
 
+def split_dataset(
+    records: Sequence[Dict[str, Any]],
+    output_dir: Optional[str] = None,
+    train_frac: float = 0.7,
+    val_frac: float = 0.1,
+    seed: int = 0,
+    check_videos: bool = False,
+):
+    """70/10/20 train/val/test split, optionally saved to disk as three HF
+    datasets (reference utils/data_loading.py:68-94)."""
+    import numpy as np
+
+    idx = np.random.default_rng(seed).permutation(len(records))
+    n_train = int(len(records) * train_frac)
+    n_val = int(len(records) * val_frac)
+    splits = {
+        "train": [records[i] for i in idx[:n_train]],
+        "val": [records[i] for i in idx[n_train : n_train + n_val]],
+        "test": [records[i] for i in idx[n_train + n_val :]],
+    }
+    if output_dir:
+        out = {}
+        for name, recs in splits.items():
+            if recs:
+                out[name] = av_to_hf_dataset(
+                    recs, os.path.join(output_dir, name), check_videos=check_videos
+                )
+        return out
+    return splits
+
+
 def push_dataset_to_hub(
     push_fn: Callable[[], Any],
     max_retries: int = 6,

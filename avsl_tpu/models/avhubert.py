@@ -464,6 +464,18 @@ class AVHuBERTModel(nn.Module):
             use_running_average=use_running_average,
         )
 
+    # fairseq-compat aliases (reference av_hubert_model.py:234-398 exposes
+    # extract_features / extract_finetune for downstream consumers)
+    def extract_features(self, audio=None, video=None, padding_mask=None,
+                         **kw) -> jnp.ndarray:
+        return self(audio=audio, video=video, padding_mask=padding_mask,
+                    deterministic=True, **kw)
+
+    def extract_finetune(self, audio=None, video=None, padding_mask=None,
+                         **kw) -> jnp.ndarray:
+        return self(audio=audio, video=video, padding_mask=padding_mask,
+                    apply_time_mask=False, **kw)
+
 
 class AVHuBERTForCTC(nn.Module):
     """Encoder + dropout + linear CTC head.

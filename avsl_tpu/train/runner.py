@@ -50,6 +50,18 @@ class MetricLogger:
             self._jsonl.flush()
 
 
+def setup_logging_and_checkpoint(
+    log_dir: str, ckpt_dir: str, name: str, run_id: str, monitor: str = "val/wer_av"
+):
+    """(logger, ckpt_dir, monitor) wiring — the external fork's
+    setup_logging_and_checkpoint contract (SURVEY.md §2.7; call site
+    whisper_flamingo_ft_ami.py:762-766)."""
+    full_log = os.path.join(log_dir, name, run_id)
+    full_ckpt = os.path.join(ckpt_dir, name, run_id)
+    os.makedirs(full_ckpt, exist_ok=True)
+    return MetricLogger(full_log), full_ckpt, monitor
+
+
 def evaluate_wer(
     predict_logits: Callable[[Dict[str, Any]], jnp.ndarray],
     batches: Iterable[Dict[str, Any]],

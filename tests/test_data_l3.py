@@ -281,3 +281,21 @@ def test_ami_segments_csv_loader(tmp_path, source_wav):
         csv_path, str(tmp_path / "hf_out"), check_videos=False
     )
     assert len(ds) == 2
+
+
+def test_split_dataset(tmp_path, records):
+    from avsl_tpu.data.hf_dataset import split_dataset
+
+    recs = [dict(r) for r in records[:5]] * 4  # 20 records
+    for i, r in enumerate(recs):
+        r["id"] = f"r{i}"
+    splits = split_dataset(recs, seed=1)
+    assert len(splits["train"]) == 14
+    assert len(splits["val"]) == 2
+    assert len(splits["test"]) == 4
+    ids = [r["id"] for s in splits.values() for r in s]
+    assert sorted(ids) == sorted(r["id"] for r in recs)  # disjoint + complete
+
+    on_disk = split_dataset(recs, str(tmp_path / "splits"), seed=1)
+    assert len(on_disk["train"]) == 14
+    assert os.path.isdir(str(tmp_path / "splits" / "test"))
