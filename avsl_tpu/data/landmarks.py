@@ -431,12 +431,19 @@ class BatchedMotionDetector:
     """
 
     def __init__(self, window: int = 25, downsample: int = 1,
-                 device_logic: bool = True, **kw):
+                 device_logic: bool = True, track: bool = False,
+                 track_template: int = 40, track_search: int = 20, **kw):
         import jax
 
         self.window = window
         self.downsample = max(downsample, 1)
         self.device_logic = device_logic
+        # NCC refinement: per-frame mouth track seeded by the clip-level
+        # estimate (kernels/track.py) — true frame-rate tracking instead of
+        # window-center interpolation
+        self.track = track
+        self.track_template = track_template
+        self.track_search = track_search
         self.base = MotionEnergyDetector(**kw)
         self._compute = _device_maps_fn(
             window, self.base.blur, self.base.max_diff_frames
@@ -490,6 +497,18 @@ class BatchedMotionDetector:
         clip_det, win_det = self._estimates(dev_in)
         b, t = clips.shape[:2]
         nw = win_det.shape[1]
+
+        tracks = None
+        if self.track:
+            from avsl_tpu.kernels.track import ncc_track_batch
+
+            tracks = np.asarray(
+                ncc_track_batch(
+                    dev_in, jnp.asarray(clip_det[:, :2]),
+                    template_size=self.track_template, search=self.track_search,
+                )
+            )  # [B, T, 2] in downsampled coords
+
         out: List[List[Optional[np.ndarray]]] = []
         for i in range(b):
             per = [None] * t
@@ -497,6 +516,14 @@ class BatchedMotionDetector:
                 out.append(per)
                 continue
             clip_mouth, clip_face_w = clip_det[i, :2], float(clip_det[i, 2])
+            if tracks is not None:
+                med = np.median(tracks[i], axis=0)
+                max_dev = np.array([0.30, 0.15], np.float32) * clip_face_w
+                for fi in range(t):
+                    m = med + np.clip(tracks[i, fi] - med, -max_dev, max_dev)
+                    per[fi] = self.base._landmarks_for(m * ds, clip_face_w * ds)
+                out.append(per)
+                continue
             est = []
             for wi in range(nw):
                 if win_det[i, wi, 3] >= 0.5:

@@ -1,0 +1,110 @@
+"""Template tracking via normalized cross-correlation, on device.
+
+Refines the clip-level mouth estimate of the motion detector into a TRUE
+per-frame track: a template patch around the detected mouth is correlated
+(conv on the MXU) against a search window in every frame, scanned
+sequentially so the search window follows the target. This replaces the
+role dlib's per-frame landmark regression plays in the reference pipeline
+(utils/lips_cropping.py) with a model-free tracker that runs as one jit
+program per clip.
+
+NCC = <w - mean(w), t - mean(t)> / (||w - mean(w)|| * ||t - mean(t)||),
+computed for every offset via three convolutions (raw correlation, local
+sum, local sum of squares).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _corr2d(window: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """VALID 2-D cross-correlation: [H,W] x [h,w] -> [H-h+1, W-w+1]."""
+    return jax.lax.conv_general_dilated(
+        window[None, None],
+        kernel[None, None],
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
+    )[0, 0]
+
+
+def ncc_scores(window: jnp.ndarray, template: jnp.ndarray) -> jnp.ndarray:
+    """NCC of ``template`` at every valid offset inside ``window``."""
+    window = window.astype(jnp.float32)
+    t = template.astype(jnp.float32)
+    th, tw = t.shape
+    n = th * tw
+    t_zero = t - jnp.mean(t)
+    t_norm = jnp.sqrt(jnp.maximum(jnp.sum(t_zero * t_zero), 1e-6))
+
+    raw = _corr2d(window, t_zero)  # <w, t0> = <w0, t0> since sum(t0)=0
+    ones = jnp.ones_like(t)
+    local_sum = _corr2d(window, ones)
+    local_sq = _corr2d(window * window, ones)
+    local_var = jnp.maximum(local_sq - local_sum * local_sum / n, 1e-6)
+    return raw / (jnp.sqrt(local_var) * t_norm)
+
+
+@functools.partial(jax.jit, static_argnames=("template_size", "search"))
+def ncc_track_clip(
+    frames: jnp.ndarray,  # [T, H, W]
+    init_pos: jnp.ndarray,  # (x, y) center in frame coords
+    template_size: int = 48,
+    search: int = 24,
+) -> jnp.ndarray:
+    """Track the patch centered at ``init_pos`` through the clip.
+
+    The template is cut from frame 0 at ``init_pos`` and kept fixed
+    (drift-free); each subsequent frame is searched within ``±search`` px
+    of the previous position. Returns [T, 2] (x, y) centers.
+    """
+    t_len, h, w = frames.shape
+    ts = template_size
+    half = ts // 2
+    frames = frames.astype(jnp.float32)
+
+    def clamp(p):
+        x = jnp.clip(p[0], half + search, w - half - search - 1)
+        y = jnp.clip(p[1], half + search, h - half - search - 1)
+        return jnp.stack([x, y])
+
+    p0 = clamp(init_pos.astype(jnp.float32))
+    x0 = (p0[0] - half).astype(jnp.int32)
+    y0 = (p0[1] - half).astype(jnp.int32)
+    template = jax.lax.dynamic_slice(frames[0], (y0, x0), (ts, ts))
+
+    win = ts + 2 * search
+
+    def step(pos, frame):
+        pos = clamp(pos)
+        wx = (pos[0] - half - search).astype(jnp.int32)
+        wy = (pos[1] - half - search).astype(jnp.int32)
+        window = jax.lax.dynamic_slice(frame, (wy, wx), (win, win))
+        scores = ncc_scores(window, template)  # [2s+1, 2s+1]
+        flat = jnp.argmax(scores)
+        dy = (flat // scores.shape[1]).astype(jnp.float32) - search
+        dx = (flat % scores.shape[1]).astype(jnp.float32) - search
+        new = clamp(jnp.stack([pos[0] + dx, pos[1] + dy]))
+        return new, new
+
+    _, track = jax.lax.scan(step, p0, frames)
+    return track
+
+
+def ncc_track_batch(
+    clips: jnp.ndarray,  # [B, T, H, W]
+    init_pos: jnp.ndarray,  # [B, 2]
+    template_size: int = 48,
+    search: int = 24,
+) -> jnp.ndarray:
+    """vmapped tracker: [B, T, 2] positions for a clip batch."""
+    return jax.vmap(
+        lambda f, p: ncc_track_clip(f, p, template_size=template_size, search=search)
+    )(clips, init_pos)

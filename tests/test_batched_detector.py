@@ -65,3 +65,39 @@ def test_batched_on_real_clip():
     lms = BatchedMotionDetector()(frames[None])[0]
     clip = extract_lip_clip(frames, lms)
     assert clip is not None and clip.shape[1:] == (96, 96)
+
+
+def test_ncc_tracker_follows_moving_patch():
+    """Synthetic: a textured patch translating across frames; the tracker
+    must follow it within a couple of pixels."""
+    import jax.numpy as jnp
+
+    from avsl_tpu.kernels.track import ncc_track_clip
+
+    rng = np.random.default_rng(0)
+    patch = rng.uniform(0, 255, (30, 30)).astype(np.float32)
+    t, h, w = 20, 160, 200
+    frames = rng.uniform(0, 40, (t, h, w)).astype(np.float32)
+    xs = (80 + 2.0 * np.arange(t)).astype(int)
+    ys = (70 + 1.0 * np.arange(t)).astype(int)
+    for i in range(t):
+        frames[i, ys[i] - 15 : ys[i] + 15, xs[i] - 15 : xs[i] + 15] = patch
+
+    track = np.asarray(
+        ncc_track_clip(jnp.asarray(frames), jnp.asarray([80.0, 70.0]),
+                       template_size=30, search=10)
+    )
+    assert track.shape == (t, 2)
+    err = np.abs(track - np.stack([xs, ys], axis=1))
+    assert err[2:].max() <= 3, err.max()
+
+
+def test_batched_detector_track_mode():
+    clips = np.stack([_synthetic_clip(seed=0), _synthetic_clip(seed=1)])
+    out = BatchedMotionDetector(track=True, track_template=24, track_search=10)(clips)
+    for per in out:
+        # track mode emits landmarks for EVERY frame
+        assert all(l is not None for l in per)
+        centers = np.stack([l[48:68].mean(axis=0) for l in per])
+        # bounded jitter frame to frame
+        assert np.abs(np.diff(centers, axis=0)).max() < 25
