@@ -48,6 +48,15 @@ def load_datasets(cfg):
                     val = cand
                 else:
                     test = cand
+    frac = float(getattr(cfg, "dataset_fraction", 0) or 0)
+    if 0 < frac < 1:
+        # the reference trains on a slice of the corpus
+        # (whisper_flamingo_ft_ami.py:908-918 takes 20%)
+        def take(ds):
+            return ds.select(range(int(len(ds) * frac))) if ds is not None else ds
+
+        train, val, test = take(train), take(val), take(test)
+
     max_dur = float(getattr(cfg, "max_duration_filter_seconds", 0) or 0)
     if max_dur > 0:
         def filt(ds):

@@ -105,6 +105,7 @@ _WHISPER_FLAMINGO_DEFAULTS: Dict[str, Any] = {
     "audio_max_length": 160000,
     "dataset_audio_max_length": 160000,
     "max_duration_filter_seconds": 10.0,
+    "dataset_fraction": 0.0,
     "text_max_length": 350,
     "accelerator": "auto",
     "weight_decay": 0.01,
@@ -572,6 +573,7 @@ class FlamingoTrainConfig:
     audio_max_length: int = 160000
     dataset_audio_max_length: int = 160000
     max_duration_filter_seconds: float = 10.0
+    dataset_fraction: float = 0.0  # 0/1 = full corpus; 0.2 = reference's 20% slice
     text_max_length: int = 350
     accelerator: str = "auto"
     weight_decay: float = 0.01

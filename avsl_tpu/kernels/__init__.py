@@ -19,3 +19,9 @@ from avsl_tpu.kernels.fbank import (  # noqa: F401
 )
 from avsl_tpu.kernels.resample import resample_poly  # noqa: F401
 from avsl_tpu.kernels.specaugment import spec_augment  # noqa: F401
+from avsl_tpu.kernels.track import ncc_track_clip, ncc_track_batch  # noqa: F401
+from avsl_tpu.kernels.warp import (  # noqa: F401
+    umeyama,
+    warp_and_crop_clip,
+    warp_and_crop_clip_separable,
+)
