@@ -33,7 +33,7 @@ import csv
 import os
 import re
 import xml.etree.ElementTree as ET
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Iterable, List, Optional, Tuple
 
 NITE_NS = "http://nite.sourceforge.net/"

@@ -24,7 +24,6 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from avsl_tpu.data.ami_xml import AMI_SPEAKERS
 from avsl_tpu.data.audio_segments import batch_segment_audio
 from avsl_tpu.data.segments import Segment, collect_segments_from_transcripts
 from avsl_tpu.data.video_segments import batch_segment_video

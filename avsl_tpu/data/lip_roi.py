@@ -26,7 +26,7 @@ pipeline.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -23,7 +23,7 @@ from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 
-from avsl_tpu.data.batching import LengthBucketBatcher, pad_to
+from avsl_tpu.data.batching import LengthBucketBatcher
 from avsl_tpu.data.tokenizer import Tokenizer
 from avsl_tpu.decode.text_norm import normalize_text
 

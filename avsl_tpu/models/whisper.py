@@ -32,7 +32,6 @@ from avsl_tpu.core.config import WhisperConfig
 from avsl_tpu.models.layers import (
     Cache,
     LayerNormF32,
-    MultiHeadAttention,
     TransformerBlock,
     init_self_attn_cache,
     sinusoid_embedding,

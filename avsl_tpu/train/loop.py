@@ -18,7 +18,6 @@ here:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax.struct

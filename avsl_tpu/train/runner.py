@@ -23,7 +23,7 @@ import numpy as np
 from avsl_tpu.decode.greedy import teacher_forced_predictions
 from avsl_tpu.decode.text_norm import normalize_text, wer_cer
 from avsl_tpu.train.checkpoints import latest_step, restore_checkpoint, save_checkpoint
-from avsl_tpu.train.loop import TrainState, make_eval_step, make_train_step
+from avsl_tpu.train.loop import TrainState, make_train_step
 
 
 class MetricLogger:
