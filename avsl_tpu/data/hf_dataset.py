@@ -97,13 +97,9 @@ def av_to_hf_dataset(
             ds = ds.cast_column(
                 "audio", datasets.Audio(sampling_rate=sample_rate, decode=False)
             )
-        if hasattr(datasets, "Video"):
-            for key in ("video", "lip_video"):
-                if key in columns:
-                    try:
-                        ds = ds.cast_column(key, datasets.Video())
-                    except Exception:
-                        pass
+        # video columns intentionally stay as path strings: datasets.Video()
+        # decodes through torchcodec (absent here) on item access; this
+        # framework's own media path (native libav / cv2) reads the files
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
         ds.save_to_disk(output_dir)

@@ -34,8 +34,11 @@ def _extract_audio(item: Dict[str, Any], target_sr: int = 16000) -> np.ndarray:
     if isinstance(audio, dict) and audio.get("array") is not None:
         data = np.asarray(audio["array"], np.float32)
         sr = int(audio.get("sampling_rate", target_sr))
-    elif isinstance(audio, dict) and audio.get("path") is None and audio.get("bytes"):
-        # decode=False HF Audio cells may carry only raw wav bytes
+    elif isinstance(audio, dict) and audio.get("bytes") and not (
+        audio.get("path") and os.path.exists(audio["path"])
+    ):
+        # decode=False HF Audio cells carry embedded wav bytes after
+        # save_to_disk (the stored path is just the original basename)
         import io
 
         import scipy.io.wavfile as wavfile
