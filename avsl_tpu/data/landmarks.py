@@ -26,6 +26,7 @@ avsl_tpu.data.lip_roi.extract_lip_clip.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -543,34 +544,59 @@ class BatchedMotionDetector:
         return out
 
 
+def landmark_net():
+    """The CNN landmark regressor: [B,128,128,1] -> [B,68,2] in [0,1]."""
+    import flax.linen as nn
+
+    class LandmarkNet(nn.Module):
+        @nn.compact
+        def __call__(self, x):  # [B, 128, 128, 1]
+            for feat in (16, 32, 64, 128, 128):
+                x = nn.Conv(feat, (3, 3), strides=(2, 2))(x)
+                x = nn.relu(x)
+            x = x.reshape(x.shape[0], -1)
+            x = nn.Dense(256)(x)
+            x = nn.relu(x)
+            x = nn.Dense(136)(x)
+            return nn.sigmoid(x).reshape(-1, 68, 2)
+
+    return LandmarkNet()
+
+
+DEFAULT_CNN_WEIGHTS = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "assets", "landmark_cnn.pkl"
+)
+
+
 class CNNLandmarkDetector(LandmarkDetector):
-    """Small conv regressor batched over the clip (one jit call)."""
+    """Conv landmark regressor batched over the clip (one jit call).
+
+    Loads the synthetic-face-pretrained weights shipped under
+    data/assets/landmark_cnn.pkl when present (train with
+    ``python -m avsl_tpu.cli.train_landmarks``); random init otherwise.
+    """
 
     INPUT = 128
 
-    def __init__(self, params=None, seed: int = 0):
-        import flax.linen as nn
+    def __init__(self, params=None, seed: int = 0, weights_path: Optional[str] = None):
         import jax
         import jax.numpy as jnp
 
-        class Net(nn.Module):
-            @nn.compact
-            def __call__(self, x):  # [B, 128, 128, 1]
-                for feat in (16, 32, 64, 128):
-                    x = nn.Conv(feat, (3, 3), strides=(2, 2))(x)
-                    x = nn.relu(x)
-                x = x.reshape(x.shape[0], -1)
-                x = nn.Dense(256)(x)
-                x = nn.relu(x)
-                x = nn.Dense(136)(x)
-                return nn.sigmoid(x).reshape(-1, 68, 2)
-
-        self._net = Net()
+        self._net = landmark_net()
         if params is None:
-            params = self._net.init(
-                jax.random.PRNGKey(seed),
-                jnp.zeros((1, self.INPUT, self.INPUT, 1), jnp.float32),
+            path = weights_path or (
+                DEFAULT_CNN_WEIGHTS if os.path.exists(DEFAULT_CNN_WEIGHTS) else None
             )
+            if path:
+                import pickle
+
+                with open(path, "rb") as f:
+                    params = pickle.load(f)
+            else:
+                params = self._net.init(
+                    jax.random.PRNGKey(seed),
+                    jnp.zeros((1, self.INPUT, self.INPUT, 1), jnp.float32),
+                )
         self.params = params
         self._apply = jax.jit(lambda p, x: self._net.apply(p, x))
 

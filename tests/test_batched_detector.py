@@ -101,3 +101,23 @@ def test_batched_detector_track_mode():
         centers = np.stack([l[48:68].mean(axis=0) for l in per])
         # bounded jitter frame to frame
         assert np.abs(np.diff(centers, axis=0)).max() < 25
+
+
+def test_cnn_detector_accurate_on_synthetic_domain():
+    """The shipped synthetic-pretrained weights localize procedural faces
+    to a few pixels (its training domain). Real-face transfer is the
+    documented round-2 gap; the motion detector remains the default."""
+    import os
+
+    from avsl_tpu.data.landmarks import DEFAULT_CNN_WEIGHTS, CNNLandmarkDetector
+    from avsl_tpu.data.synthetic_faces import generate_dataset
+
+    if not os.path.exists(DEFAULT_CNN_WEIGHTS):
+        import pytest
+
+        pytest.skip("trained weights not present")
+    imgs, lms = generate_dataset(16, seed=123)
+    det = CNNLandmarkDetector()
+    pred = det(imgs)
+    errs = [np.abs(p - l * 128).mean() for p, l in zip(pred, lms)]
+    assert np.mean(errs) < 6.0, np.mean(errs)
