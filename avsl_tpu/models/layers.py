@@ -262,6 +262,7 @@ class TransformerBlock(nn.Module):
     d_ff: int
     has_cross_attn: bool = False
     gated_x_attn: bool = False
+    causal_self_attn: bool = False  # full-sequence self-attn is causal
     pre_norm: bool = True
     dropout: float = 0.0
     attention_dropout: float = 0.0
@@ -331,6 +332,7 @@ class TransformerBlock(nn.Module):
         h, c = self.self_attn(
             h, mask=self_mask, cache=None if cache is None else cache.get("self"),
             kv_lengths=kv_lengths,
+            causal=self.causal_self_attn and cache is None,
         )
         x = self._residual(residual, h, deterministic)
         if not self.pre_norm:

@@ -107,6 +107,7 @@ class WhisperTextDecoder(nn.Module):
                 d_ff=4 * cfg.n_text_state,
                 has_cross_attn=True,
                 gated_x_attn=bool(cfg.add_gated_x_attn),
+                causal_self_attn=True,  # fused causal kernel, no mask tensor
                 dropout=cfg.dropout_rate,
                 dtype=_dtype(cfg),
                 param_dtype=_pdtype(cfg),
@@ -137,10 +138,8 @@ class WhisperTextDecoder(nn.Module):
         )
         x = x + pos.astype(x.dtype)
 
-        if cache is None and self_mask is None:
-            t = tokens.shape[1]
-            self_mask = nn.make_causal_mask(jnp.zeros((1, t)), dtype=bool)[0]  # [1, t, t]
-            self_mask = self_mask[None]
+        # full-sequence causality comes from the blocks' fused causal
+        # attention (causal_self_attn=True); no mask tensor materialized
 
         new_cache: Optional[List[Cache]] = [] if cache is not None else None
         for i, block in enumerate(self.blocks):
