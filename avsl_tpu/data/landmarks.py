@@ -289,6 +289,25 @@ class MotionEnergyDetector(LandmarkDetector):
         return out
 
 
+
+def _box_blur_jnp(x, k):
+    """Edge-padded cumulative-sum box blur over the last two axes (the jnp
+    twin of :func:`_box_blur`); shared by the device map and detect fns."""
+    import jax.numpy as jnp
+
+    pad = k // 2
+
+    def smooth(a, axis):
+        a = jnp.moveaxis(a, axis, -1)
+        a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(pad, pad)], mode="edge")
+        c = jnp.cumsum(a, axis=-1)
+        c = jnp.pad(c, [(0, 0)] * (a.ndim - 1) + [(1, 0)])
+        out = (c[..., k:] - c[..., :-k]) / k
+        return jnp.moveaxis(out, -1, axis)
+
+    return smooth(smooth(x, -2), -1)
+
+
 def _device_maps_fn(window: int, blur: int, max_diff_frames: int):
     """Build a jitted function computing all detection maps on device.
 
@@ -304,30 +323,15 @@ def _device_maps_fn(window: int, blur: int, max_diff_frames: int):
     import jax
     import jax.numpy as jnp
 
-    def blur2d(x, k):  # [..., H, W]
-        pad = k // 2
-
-        def smooth(a, axis):
-            a = jnp.moveaxis(a, axis, -1)
-            a = jnp.pad(
-                a, [(0, 0)] * (a.ndim - 1) + [(pad, pad)], mode="edge"
-            )
-            c = jnp.cumsum(a, axis=-1)
-            c = jnp.pad(c, [(0, 0)] * (a.ndim - 1) + [(1, 0)])
-            out = (c[..., k:] - c[..., :-k]) / k
-            return jnp.moveaxis(out, -1, axis)
-
-        return smooth(smooth(x, -2), -1)
-
     def maps_of(f):  # f: [..., t, H, W]
         t = f.shape[-3]
         step = max(1, t // max_diff_frames)
         sub = f[..., ::step, :, :]
-        motion = blur2d(jnp.abs(jnp.diff(sub, axis=-3)).mean(axis=-3), blur)
+        motion = _box_blur_jnp(jnp.abs(jnp.diff(sub, axis=-3)).mean(axis=-3), blur)
         fast = jnp.abs(jnp.diff(f, axis=-3)).mean(axis=-3)
         lag = min(6, t - 1)
         slow = jnp.abs(f[..., lag:, :, :] - f[..., :-lag, :, :]).mean(axis=-3) / lag
-        artic = blur2d(fast, blur) / (blur2d(slow, blur) + 0.05)
+        artic = _box_blur_jnp(fast, blur) / (_box_blur_jnp(slow, blur) + 0.05)
         return motion, artic
 
     @jax.jit
@@ -360,19 +364,6 @@ def _device_detect_fn(keep_mass: float, center_sigma: float, min_box: int, close
     import jax
     import jax.numpy as jnp
 
-    def blur2d(x, k):
-        pad = k // 2
-
-        def smooth(a, axis):
-            a = jnp.moveaxis(a, axis, -1)
-            a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(pad, pad)], mode="edge")
-            c = jnp.cumsum(a, axis=-1)
-            c = jnp.pad(c, [(0, 0)] * (a.ndim - 1) + [(1, 0)])
-            out = (c[..., k:] - c[..., :-k]) / k
-            return jnp.moveaxis(out, -1, axis)
-
-        return smooth(smooth(x, -2), -1)
-
     def detect(motion_map, artic_map):
         h, w = motion_map.shape
         wy = jnp.exp(-0.5 * ((jnp.arange(h) - h / 2) / (center_sigma * h)) ** 2)
@@ -380,7 +371,7 @@ def _device_detect_fn(keep_mass: float, center_sigma: float, min_box: int, close
         mw = motion_map * wy[:, None] * wx[None, :]
 
         thresh = (1.0 - keep_mass) * jnp.max(mw)
-        mask = blur2d((mw > thresh).astype(jnp.float32), close_k) > 0.5
+        mask = _box_blur_jnp((mw > thresh).astype(jnp.float32), close_k) > 0.5
 
         rows_any = jnp.any(mask, axis=1)
         cols_any = jnp.any(mask, axis=0)

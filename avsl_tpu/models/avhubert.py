@@ -567,6 +567,7 @@ class AVHuBERTDecoder(nn.Module):
                 n_heads=cfg.decoder_attention_heads,
                 d_ff=cfg.decoder_ffn_dim,
                 has_cross_attn=True,
+                causal_self_attn=True,  # fused causal kernel in full mode
                 pre_norm=cfg.decoder_normalize_before,
                 dropout=cfg.decoder_dropout,
                 attention_dropout=cfg.decoder_attention_dropout,
@@ -608,12 +609,13 @@ class AVHuBERTDecoder(nn.Module):
         x = x + pos
         x = self.input_dropout(x, deterministic=deterministic)
 
-        self_mask = None
+        # full mode: fused causal attention + suffix-pad key lengths (the
+        # collators pad decoder tokens at the end)
+        dec_lengths = None
         if cache is None:
-            t = tokens.shape[1]
-            self_mask = nn.make_causal_mask(jnp.zeros((1, t)), dtype=bool)[0][None]
-            pad_valid = tokens != cfg.pad_token_id
-            self_mask = self_mask & pad_valid[:, None, None, :]
+            dec_lengths = jnp.sum(
+                (tokens != cfg.pad_token_id).astype(jnp.int32), axis=-1
+            )
         enc_mask = None
         if encoder_padding is not None:
             enc_mask = encoder_padding[:, None, None, :]
@@ -623,10 +625,10 @@ class AVHuBERTDecoder(nn.Module):
             x, c = layer(
                 x,
                 enc=encoder_out,
-                self_mask=self_mask,
                 enc_mask=enc_mask,
                 cache=None if cache is None else cache[i],
                 deterministic=deterministic,
+                kv_lengths=dec_lengths,
             )
             if new_cache is not None:
                 new_cache.append(c)
