@@ -10,9 +10,11 @@ online-softmax K-blocking is needed at these lengths (the loop-over-K
 upgrade applies the same structure when sequences outgrow VMEM).
 
 Supports optional causal masking and per-batch key-length masking
-(padded positions excluded). Backward pass: ``custom_vjp`` recomputes
-standard attention under ``jax.vjp`` — inference and activation memory
-get the fused path; training gradients stay exact.
+(padded positions excluded). Backward pass is a second Pallas kernel:
+it recomputes the softmax per (batch, head, q-block) in VMEM (flash
+recompute — the [Tq, Tk] probability matrix never exists in HBM in
+either direction) and accumulates dK/dV across the sequential q-block
+grid dimension in fp32 VMEM scratch-resident output blocks.
 
 On non-TPU backends (tests run on CPU) the public entry transparently
 falls back to the reference einsum implementation.
@@ -98,7 +100,7 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "block_q"))
+@functools.partial(jax.jit, static_argnames=("causal", "block_q", "interpret"))
 def _flash_fwd_pallas(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -106,6 +108,7 @@ def _flash_fwd_pallas(
     lengths: Optional[jnp.ndarray],
     causal: bool = False,
     block_q: int = 256,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     b, h, tq, d = q.shape
     tk = k.shape[2]
@@ -143,6 +146,7 @@ def _flash_fwd_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * tq * tk * d,
             bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
@@ -152,20 +156,139 @@ def _flash_fwd_pallas(
     return out[:, :, :tq] if pad_q else out
 
 
+def _attn_bwd_kernel(
+    lengths_ref, q_ref, k_ref, v_ref, o_ref, g_ref,
+    dq_ref, dk_ref, dv_ref, *, scale, causal, block_q,
+):
+    """One (batch, head, q-block) step of the flash backward.
+
+    Recomputes p = softmax(qk^T) in VMEM, then
+        dv += p^T g
+        ds  = p * (g v^T - rowsum(g * o)) * scale
+        dq  = ds k          (written per q-block)
+        dk += ds^T q        (accumulated across the sequential q-block dim)
+    dk/dv output blocks are indexed by (b, h) only, so they stay VMEM-
+    resident across the innermost grid dimension and accumulate in fp32.
+    """
+    i = pl.program_id(2)
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    o = o_ref[0, 0].astype(jnp.float32)
+    g = g_ref[0, 0].astype(jnp.float32)
+    tk = k.shape[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [block_q, Tk]
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, tk), 1)
+    if causal:
+        q_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, tk), 0) + i * block_q
+        s = jnp.where(k_ids <= q_ids, s, NEG_INF)
+    if lengths_ref is not None:
+        b = pl.program_id(0)
+        s = jnp.where(k_ids < lengths_ref[b], s, NEG_INF)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)  # [block_q, Tk] fp32
+
+    # dv_blk = p^T g : [Tk, D]
+    dv_blk = jax.lax.dot_general(
+        p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # dp = g v^T : [block_q, Tk]
+    dp = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    delta = jnp.sum(g * o, axis=-1, keepdims=True)  # [block_q, 1]
+    ds = p * (dp - delta) * scale
+    # dq = ds k : [block_q, D]
+    dq_ref[0, 0] = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # dk_blk = ds^T q : [Tk, D]
+    dk_blk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[0, 0] = dk_blk
+        dv_ref[0, 0] = dv_blk
+
+    @pl.when(i > 0)
+    def _accum():
+        dk_ref[0, 0] += dk_blk
+        dv_ref[0, 0] += dv_blk
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "block_q", "interpret"))
+def _flash_bwd_pallas(
+    q, k, v, out, g, lengths, causal=False, block_q=256, interpret=False
+):
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    block_q = min(block_q, tq)
+    pad_q = (-tq) % block_q
+    if pad_q:
+        pad = ((0, 0), (0, 0), (0, pad_q), (0, 0))
+        q, out, g = jnp.pad(q, pad), jnp.pad(out, pad), jnp.pad(g, pad)
+    n_q_blocks = q.shape[2] // block_q
+    scale = 1.0 / np.sqrt(d)
+
+    kernel = functools.partial(
+        _attn_bwd_kernel, scale=scale, causal=causal, block_q=block_q
+    )
+    if lengths is None:
+        kernel = functools.partial(kernel, None)
+        num_scalar = 0
+        args = (q, k, v, out, g)
+    else:
+        num_scalar = 1
+        args = (lengths.astype(jnp.int32), q, k, v, out, g)
+
+    qblock = pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i, *_: (b_, h_, i, 0))
+    kblock = pl.BlockSpec((1, 1, tk, d), lambda b_, h_, i, *_: (b_, h_, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=num_scalar,
+        grid=(b, h, n_q_blocks),
+        in_specs=[qblock, kblock, kblock, qblock, qblock],
+        out_specs=[qblock, kblock, kblock],
+    )
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, jnp.float32),
+            jax.ShapeDtypeStruct(k.shape, jnp.float32),
+            jax.ShapeDtypeStruct(v.shape, jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=11 * b * h * tq * tk * d,
+            bytes_accessed=3 * (q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * h * tq * tk,
+        ),
+    )(*args)
+    if pad_q:
+        dq = dq[:, :, :tq]
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _flash_attention(q, k, v, lengths, causal):
     return _flash_fwd_pallas(q, k, v, lengths, causal=causal)
 
 
 def _flash_fwd(q, k, v, lengths, causal):
-    return _flash_fwd_pallas(q, k, v, lengths, causal=causal), (q, k, v, lengths)
+    out = _flash_fwd_pallas(q, k, v, lengths, causal=causal)
+    return out, (q, k, v, out, lengths)
 
 
 def _flash_bwd(causal, residuals, g):
-    q, k, v, lengths = residuals
-    # exact gradients via the reference implementation's VJP
-    _, vjp = jax.vjp(lambda q, k, v: _reference_attention(q, k, v, lengths, causal), q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, out, lengths = residuals
+    dq, dk, dv = _flash_bwd_pallas(q, k, v, out, g, lengths, causal=causal)
     return dq, dk, dv, None
 
 

@@ -197,8 +197,18 @@ class Whisper(nn.Module):
         video_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         freeze_video_bn_stats: bool = False,
+        track_norm: bool = False,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        """Reference contract: ``model.encoder(x, video, training=,
+        padding_mask=, track_norm=)`` (whisper_flamingo_ft_ami.py:527,569).
+        With ``track_norm=True`` the per-stream feature L2 norms are
+        recorded via ``self.sow('intermediates', ...)`` — the functional
+        equivalent of the reference's norm tracking — retrievable with
+        ``mutable=['intermediates']`` at apply time."""
         features = self.encoder(mel, deterministic=deterministic)
+        if track_norm:
+            self.sow("intermediates", "audio_feature_norm",
+                     jnp.linalg.norm(features.astype(jnp.float32)))
         x_v = None
         if video is not None and self.cfg.add_gated_x_attn:
             if self.video_model is not None:
@@ -209,6 +219,9 @@ class Whisper(nn.Module):
             else:
                 v = video  # already-extracted video features [B, T, video_state]
             x_v = self.video_projection(v.astype(_dtype(self.cfg)))
+            if track_norm:
+                self.sow("intermediates", "video_feature_norm",
+                         jnp.linalg.norm(x_v.astype(jnp.float32)))
         return features, x_v
 
     def decode(

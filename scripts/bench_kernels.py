@@ -85,6 +85,22 @@ def main():
         dt = timeit(fn, q)
         rows.append((name, f"b{b} h{h} t{t} d{d}", dt, f"{flops / dt / 1e12:.1f} TFLOP/s"))
 
+    # attention fwd+bwd (training step shape; flash bwd kernel vs XLA vjp)
+    bwd_flops = 10 * b * h * t * t * d  # fwd (4) + bwd (~6, softmax recompute + 4 grads)
+    for name, loss in (
+        ("attention fwd+bwd pallas", lambda q: jnp.sum(
+            fused_attention(q, q, q).astype(jnp.float32) ** 2)),
+        ("attention fwd+bwd xla", lambda q: jnp.sum(
+            _reference_attention(
+                q.transpose(0, 2, 1, 3), q.transpose(0, 2, 1, 3),
+                q.transpose(0, 2, 1, 3), None, False,
+            ).astype(jnp.float32) ** 2)),
+    ):
+        fn = jax.jit(jax.grad(loss))
+        dt = timeit(fn, q)
+        rows.append((name, f"b{b} h{h} t{t} d{d}", dt,
+                     f"{bwd_flops / dt / 1e12:.1f} TFLOP/s"))
+
     # lip warp: 250-frame clip batch of 8
     mean_face = jnp.asarray(canonical_mean_face(300))
     frames = jnp.asarray(rng.integers(0, 255, (8, 250, 144, 144)).astype(np.float32))

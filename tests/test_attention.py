@@ -50,6 +50,33 @@ def test_gradients_flow(qkv):
         assert np.abs(np.asarray(g)).max() > 0
 
 
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("with_lengths", [False, True])
+def test_pallas_kernels_interpret_mode(qkv, causal, with_lengths):
+    """Run the actual Pallas fwd+bwd kernels in interpret mode on CPU and
+    check both the output and all three gradients against the reference
+    attention's autodiff, including q-block padding (T=24, block_q=16)."""
+    from avsl_tpu.kernels import attention as A
+
+    q, k, v = (x.transpose(0, 2, 1, 3) for x in qkv)  # [B,H,T,D]
+    lengths = jnp.asarray([10, 24]) if with_lengths else None
+
+    out = A._flash_fwd_pallas(q, k, v, lengths, causal=causal, block_q=16,
+                              interpret=True)
+    want, ref_vjp = jax.vjp(
+        lambda q, k, v: A._reference_attention(q, k, v, lengths, causal), q, k, v
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
+
+    g = jnp.asarray(np.random.default_rng(7).normal(size=out.shape), jnp.float32)
+    dq, dk, dv = A._flash_bwd_pallas(q, k, v, out, g, lengths, causal=causal,
+                                     block_q=16, interpret=True)
+    rq, rk, rv = ref_vjp(g)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=2e-4)
+
+
 def test_length_zero_rows_are_safe():
     rng = np.random.default_rng(1)
     q = jnp.asarray(rng.normal(size=(2, 8, 2, 16)), jnp.float32)

@@ -225,3 +225,26 @@ def test_cross_entropy_label_smoothing():
     smooth = cross_entropy_loss(logits, labels, 0.1)
     assert np.isfinite(float(plain)) and np.isfinite(float(smooth))
     assert abs(float(plain) - float(smooth)) > 1e-6
+
+
+def test_encode_track_norm_sows_feature_norms():
+    """Reference contract: encoder(..., track_norm=) records feature norms
+    (whisper_flamingo_ft_ami.py:527,569). Functional equivalent: sow to
+    the 'intermediates' collection."""
+    cfg = WhisperConfig.tiny_test(dtype="float32", add_gated_x_attn=1)
+    model = Whisper(cfg)
+    mel = jnp.zeros((1, 80, 64), jnp.float32)
+    tokens = jnp.asarray([[1, 2, 3]])
+    video_feats = jnp.asarray(
+        np.random.default_rng(3).normal(size=(1, 10, cfg.video_state)), jnp.float32
+    )
+    params = model.init(jax.random.PRNGKey(0), mel, tokens, video=video_feats)
+    (_, x_v), aux = model.apply(
+        params, mel, video=video_feats, track_norm=True,
+        method=model.encode, mutable=["intermediates"],
+    )
+    inter = aux["intermediates"]
+    a = float(inter["audio_feature_norm"][0])
+    v = float(inter["video_feature_norm"][0])
+    assert np.isfinite(a) and a >= 0
+    assert np.isfinite(v) and v > 0
