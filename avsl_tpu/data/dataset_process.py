@@ -19,6 +19,7 @@ Parity with the reference's pipeline drivers:
 from __future__ import annotations
 
 import os
+import re
 from collections import defaultdict
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -189,12 +190,19 @@ def load_laughter_markers(csv_path: str, drop_punctuation: bool = True):
     return df.reset_index(drop=True)
 
 
+def sanitize_filename(label: str) -> str:
+    """Replace filesystem-hostile characters with '_'
+    (dsfl_dataset_process.py:116: event labels like 'uh-huh?' become
+    part of segment filenames)."""
+    return re.sub(r'[\\/*?:"<>|]', "_", label)
+
+
 def marker_segment_id(
     meeting: str, speaker: str, start: float, end: float, event_type: str
 ) -> str:
-    """Segment id carrying the event type
-    (laugh_dataset_process.py:89-107)."""
-    return f"{meeting}-{speaker}-{event_type}-{start:.2f}-{end:.2f}"
+    """Segment id carrying the (filename-sanitized) event type
+    (laugh_dataset_process.py:89-107; dsfl_dataset_process.py:116)."""
+    return f"{meeting}-{speaker}-{sanitize_filename(event_type)}-{start:.2f}-{end:.2f}"
 
 
 def collect_marker_segments(

@@ -110,3 +110,147 @@ def load_torch_checkpoint_into(
     state = load_torch_state_dict(ckpt_path)
     flat = converter(state)
     return partial_load(params, flat)
+
+
+# ---------------------------------------------------------------------------
+# fairseq AV-HuBERT checkpoints
+# ---------------------------------------------------------------------------
+#
+# The reference consumes the public fairseq AV-HuBERT .pt weights
+# (whisper-flamingo loads them via `av_hubert_path`, and
+# avsl/modules/resnet.py:177-198 split-loads the frontend3D/trunk subtrees
+# of the same layout). Key layout per the fairseq AVHubertModel:
+# `feature_extractor_{audio,video}.*`, `post_extract_proj`, `mask_emb`,
+# `layer_norm`, `encoder.pos_conv.0.{weight_g,weight_v,bias}` (weight-normed
+# grouped Conv1d), `encoder.layers.N.*`; seq2seq fine-tunes nest the encoder
+# under `encoder.w2v_model.` and add a `decoder.*` transformer.
+
+_AVHUBERT_RULES: List[Tuple[str, str]] = [
+    (r"^encoder\.w2v_model\.", r""),  # seq2seq fine-tune nesting
+    # frontends
+    (r"^feature_extractor_audio\.proj\.", r"params/avhubert/encoder/audio_encoder/proj/"),
+    (r"^feature_extractor_video\.proj\.", r"params/avhubert/encoder/visual_encoder/proj/"),
+    (r"^feature_extractor_video\.resnet\.", r"RESNET/"),
+    (r"^RESNET/frontend3D\.0\.weight$", r"RESNET/stem_conv/kernel"),
+    (r"^RESNET/frontend3D\.1\.", r"RESNET/stem_bn."),
+    (r"^RESNET/frontend3D\.2\.weight$", r"RESNET/stem_prelu/negative_slope"),
+    (r"^RESNET/trunk\.layer(\d)\.(\d)\.", r"RESNET/trunk.layer\1_\2."),
+    (r"\.conv(\d)\.weight$", r".conv\1/kernel"),
+    (r"\.relu(\d)\.weight$", r".prelu\1/negative_slope"),
+    (r"\.downsample\.0\.weight$", r".downsample_conv/kernel"),
+    (r"\.downsample\.1\.", r".downsample_bn."),
+    # BatchNorm leaves: affine -> params, running stats -> batch_stats
+    # (conv kernels and PReLU slopes were consumed by the rules above, so
+    # every remaining RESNET .weight/.bias is a BN affine)
+    (r"^RESNET/(.+)\.weight$", r"RESNET/\1/scale"),
+    (r"^RESNET/(.+)\.bias$", r"RESNET/\1/bias"),
+    (r"^RESNET/(.+)\.running_mean$", r"STATS/\1/mean"),
+    (r"^RESNET/(.+)\.running_var$", r"STATS/\1/var"),
+    (r"^RESNET/", r"params/avhubert/encoder/visual_encoder/frontend/"),
+    (r"^STATS/", r"batch_stats/avhubert/encoder/visual_encoder/frontend/"),
+    (r"\.", r"/"),  # remaining torch dots
+    # wrapper-level pieces
+    (r"^post_extract_proj/", r"params/avhubert/encoder/post_extract_proj/"),
+    (r"^mask_emb$", r"params/avhubert/encoder/mask_emb"),
+    (r"^layer_norm/(weight|scale)$", r"params/avhubert/encoder/fuse_ln/LayerNorm_0/scale"),
+    (r"^layer_norm/bias$", r"params/avhubert/encoder/fuse_ln/LayerNorm_0/bias"),
+    # transformer encoder
+    (r"^encoder/pos_conv/0/bias$",
+     r"params/avhubert/encoder/transformer/pos_conv/conv/bias"),
+    (r"^encoder/layers/(\d+)/self_attn/",
+     r"params/avhubert/encoder/transformer/layer_\1/self_attn/"),
+    (r"^encoder/layers/(\d+)/self_attn_layer_norm/",
+     r"params/avhubert/encoder/transformer/layer_\1/self_attn_ln/LayerNorm_0/"),
+    (r"^encoder/layers/(\d+)/fc1/",
+     r"params/avhubert/encoder/transformer/layer_\1/mlp/fc1/"),
+    (r"^encoder/layers/(\d+)/fc2/",
+     r"params/avhubert/encoder/transformer/layer_\1/mlp/fc2/"),
+    (r"^encoder/layers/(\d+)/final_layer_norm/",
+     r"params/avhubert/encoder/transformer/layer_\1/mlp_ln/LayerNorm_0/"),
+    (r"^encoder/layer_norm/", r"params/avhubert/encoder/transformer/LNFINAL/"),
+    # decoder (seq2seq fine-tunes)
+    (r"^decoder/embed_tokens/weight$", r"params/decoder/embed_tokens/embedding"),
+    (r"^decoder/embed_positions/weight$", r"params/decoder/embed_positions/embedding"),
+    (r"^decoder/layers/(\d+)/self_attn/", r"params/decoder/layer_\1/self_attn/"),
+    (r"^decoder/layers/(\d+)/encoder_attn/", r"params/decoder/layer_\1/cross_attn/"),
+    (r"^decoder/layers/(\d+)/self_attn_layer_norm/",
+     r"params/decoder/layer_\1/self_attn_ln/LayerNorm_0/"),
+    (r"^decoder/layers/(\d+)/encoder_attn_layer_norm/",
+     r"params/decoder/layer_\1/cross_attn_ln/LayerNorm_0/"),
+    (r"^decoder/layers/(\d+)/fc1/", r"params/decoder/layer_\1/mlp/fc1/"),
+    (r"^decoder/layers/(\d+)/fc2/", r"params/decoder/layer_\1/mlp/fc2/"),
+    (r"^decoder/layers/(\d+)/final_layer_norm/",
+     r"params/decoder/layer_\1/mlp_ln/LayerNorm_0/"),
+    (r"^decoder/layer_norm/", r"params/decoder/ln/LayerNorm_0/"),
+    (r"^decoder/(output_projection|embed_out)/weight$",
+     r"params/decoder/output_proj/kernel"),
+    # leaf renames on the converted side
+    (r"/weight$", r"/kernel"),
+    (r"(LayerNorm_0)/kernel$", r"\1/scale"),
+]
+
+# fairseq keys with no counterpart here (pretraining heads, torch buffers)
+_AVHUBERT_SKIP = re.compile(
+    r"(label_embs_concat|final_proj\.|target_glu|num_batches_tracked"
+    r"|num_updates|_float_tensor|version)"
+)
+
+
+def rename_avhubert_key(key: str, layer_norm_first: bool = True) -> str:
+    for pat, rep in _AVHUBERT_RULES:
+        key = re.sub(pat, rep, key)
+    # fairseq applies `encoder.layer_norm` after the block stack when
+    # layer_norm_first (pre-norm blocks) and before it otherwise
+    key = key.replace("/LNFINAL/", "/ln_post/LayerNorm_0/" if layer_norm_first
+                      else "/ln_pre/LayerNorm_0/")
+    return re.sub(r"(LayerNorm_0)/kernel$", r"\1/scale", key)
+
+
+def convert_avhubert_state_dict(
+    state: Dict[str, np.ndarray], layer_norm_first: bool = True
+) -> Dict[str, np.ndarray]:
+    """fairseq AV-HuBERT state_dict -> flat path dict over the FULL
+    variables tree of ``AVHuBERTForSpeech2Text`` (``params/...`` +
+    ``batch_stats/...``), ready for ``partial_load(variables, ...)``.
+
+    The weight-normed positional conv (``encoder.pos_conv.0.weight_g`` /
+    ``weight_v``, torch ``dim=2``) is recombined into the effective dense
+    kernel and re-decomposed into flax ``nn.WeightNorm``'s (direction,
+    per-output-channel scale) parameterization, which reproduces the same
+    effective weight at apply time.
+    """
+    out: Dict[str, np.ndarray] = {}
+    pos_g = pos_v = None
+    for k, v in state.items():
+        if _AVHUBERT_SKIP.search(k):
+            continue
+        nk = re.sub(r"^encoder\.w2v_model\.", "", k)
+        if nk == "encoder.pos_conv.0.weight_g":
+            pos_g = np.asarray(v)
+            continue
+        if nk == "encoder.pos_conv.0.weight_v":
+            pos_v = np.asarray(v)
+            continue
+        path = rename_avhubert_key(nk, layer_norm_first)
+        val = np.asarray(v)
+        if path.endswith("negative_slope"):
+            out[path] = val  # per-channel PReLU slopes, shape (C,)
+        else:
+            out[path] = _to_flax_array(path, val)
+    if pos_v is not None:
+        # torch: w = g * v / ||v|| with the norm over all dims except dim=2
+        # (v: [out, in/groups, k]; g broadcast [1, 1, k])
+        if pos_g is not None:
+            norm = np.sqrt((pos_v ** 2).sum(axis=(0, 1), keepdims=True))
+            w = pos_v * (pos_g / np.maximum(norm, 1e-12))
+        else:  # weight-norm already fused (e.g. re-saved checkpoint)
+            w = pos_v
+        w_flax = w.transpose(2, 1, 0)  # [k, in/groups, out]
+        prefix = "params/avhubert/encoder/transformer/pos_conv"
+        out[f"{prefix}/conv/kernel"] = w_flax
+        # flax nn.WeightNorm: w_eff = scale * kernel/||kernel|| (norm over
+        # all axes but the last); scale = ||w|| keeps w_eff == w exactly
+        out[f"{prefix}/WeightNorm_0/conv/kernel/scale"] = np.sqrt(
+            (w_flax ** 2).sum(axis=(0, 1))
+        )
+    return out

@@ -23,6 +23,23 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+class ChannelPReLU(nn.Module):
+    """Per-channel PReLU (torch ``nn.PReLU(num_parameters=C)`` semantics:
+    one learned negative slope per channel, reference
+    avsl/modules/resnet.py:59-61). flax's ``nn.PReLU`` is scalar-only."""
+
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        slope = self.param(
+            "negative_slope",
+            lambda _, shape: jnp.full(shape, 0.25, self.param_dtype),
+            (x.shape[-1],),
+        )
+        return jnp.where(x >= 0, x, x * slope.astype(x.dtype))
+
+
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
@@ -33,11 +50,13 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, use_running_average: bool = True) -> jnp.ndarray:
-        act = (
-            nn.PReLU(param_dtype=self.param_dtype)
-            if self.relu_type == "prelu"
-            else nn.relu
-        )
+        # two distinct per-channel PReLUs, as in the reference block
+        # (avsl/modules/resnet.py:59-61: relu1/relu2, num_parameters=planes)
+        if self.relu_type == "prelu":
+            act1 = ChannelPReLU(param_dtype=self.param_dtype, name="prelu1")
+            act2 = ChannelPReLU(param_dtype=self.param_dtype, name="prelu2")
+        else:
+            act1 = act2 = nn.relu
         norm = lambda name: nn.BatchNorm(  # noqa: E731
             use_running_average=use_running_average,
             momentum=0.9,
@@ -58,7 +77,7 @@ class BasicBlock(nn.Module):
 
         residual = x
         out = conv("conv1", self.stride)(x)
-        out = act(norm("bn1")(out).astype(self.dtype))
+        out = act1(norm("bn1")(out).astype(self.dtype))
         out = conv("conv2", 1)(out)
         out = norm("bn2")(out).astype(self.dtype)
 
@@ -90,7 +109,7 @@ class BasicBlock(nn.Module):
                 )(residual)
             residual = norm("downsample_bn")(residual).astype(self.dtype)
 
-        return act(out + residual)
+        return act2(out + residual)
 
 
 class ResNetTrunk(nn.Module):
@@ -160,7 +179,10 @@ class ResNet3DFrontend(nn.Module):
             param_dtype=self.param_dtype,
             name="stem_bn",
         )(x).astype(self.dtype)
-        x = nn.PReLU(param_dtype=self.param_dtype)(x) if self.relu_type == "prelu" else nn.relu(x)
+        if self.relu_type == "prelu":
+            x = ChannelPReLU(param_dtype=self.param_dtype, name="stem_prelu")(x)
+        else:
+            x = nn.relu(x)
         x = nn.max_pool(
             x,
             window_shape=(1, 3, 3),

@@ -114,3 +114,154 @@ def test_full_checkpoint_conversion(tmp_path):
     after = model.apply({"params": new_params}, mel, toks)
     assert np.abs(np.asarray(after) - np.asarray(before)).max() > 1e-3
     assert np.isfinite(np.asarray(after)).all()
+
+
+# ---------------------------------------------------------------------------
+# fairseq AV-HuBERT conversion
+# ---------------------------------------------------------------------------
+
+
+def _fairseq_avhubert_state(cfg, rng):
+    """Synthesize a fairseq AVHubertSeq2Seq state_dict with tiny shapes."""
+    t = lambda shape: torch.tensor(  # noqa: E731
+        rng.normal(size=shape).astype(np.float32)
+    )
+    tv = lambda shape: torch.tensor(  # noqa: E731
+        (np.abs(rng.normal(size=shape)) + 0.5).astype(np.float32)
+    )  # running_var must be positive
+    H, F = cfg.hidden_size, cfg.intermediate_size
+    sd = {}
+    P = "encoder.w2v_model."  # seq2seq fine-tune nesting
+    sd[P + "feature_extractor_audio.proj.weight"] = t((H, cfg.audio_feat_dim))
+    sd[P + "feature_extractor_audio.proj.bias"] = t((H,))
+    bc = cfg.visual_backbone_channels
+    sd[P + "feature_extractor_video.proj.weight"] = t((H, bc))
+    sd[P + "feature_extractor_video.proj.bias"] = t((H,))
+    # ResNet frontend
+    R = P + "feature_extractor_video.resnet."
+    fc = cfg.visual_frontend_channels
+    sd[R + "frontend3D.0.weight"] = t((fc, 1, 5, 7, 7))
+    for leaf, shape in (("weight", (fc,)), ("bias", (fc,)),
+                        ("running_mean", (fc,)), ("running_var", (fc,))):
+        sd[R + f"frontend3D.1.{leaf}"] = tv(shape) if leaf == "running_var" else t(shape)
+    sd[R + "frontend3D.1.num_batches_tracked"] = torch.tensor(0)
+    sd[R + "frontend3D.2.weight"] = t((fc,))
+    planes = [max(bc // 8, 8), max(bc // 4, 8), max(bc // 2, 8), bc]
+    inp = fc
+    for stage, pl_ in enumerate(planes, start=1):
+        for b in range(2):
+            pre = R + f"trunk.layer{stage}.{b}."
+            cin = inp if b == 0 else pl_
+            sd[pre + "conv1.weight"] = t((pl_, cin, 3, 3))
+            sd[pre + "conv2.weight"] = t((pl_, pl_, 3, 3))
+            for bn in ("bn1", "bn2"):
+                for leaf in ("weight", "bias", "running_mean", "running_var"):
+                    sd[pre + f"{bn}.{leaf}"] = tv((pl_,)) if leaf == "running_var" else t((pl_,))
+                sd[pre + f"{bn}.num_batches_tracked"] = torch.tensor(0)
+            sd[pre + "relu1.weight"] = t((pl_,))
+            sd[pre + "relu2.weight"] = t((pl_,))
+            if b == 0 and cin != pl_:
+                sd[pre + "downsample.0.weight"] = t((pl_, cin, 1, 1))
+                for leaf in ("weight", "bias", "running_mean", "running_var"):
+                    sd[pre + f"downsample.1.{leaf}"] = tv((pl_,)) if leaf == "running_var" else t((pl_,))
+                sd[pre + "downsample.1.num_batches_tracked"] = torch.tensor(0)
+        inp = pl_
+    # wrapper
+    fused = 2 * H  # concat fusion
+    sd[P + "post_extract_proj.weight"] = t((H, fused))
+    sd[P + "post_extract_proj.bias"] = t((H,))
+    sd[P + "mask_emb"] = t((H,))
+    sd[P + "layer_norm.weight"] = t((fused,))
+    sd[P + "layer_norm.bias"] = t((fused,))
+    # transformer encoder w/ weight-normed pos conv
+    sd[P + "encoder.pos_conv.0.weight_g"] = t((1, 1, cfg.conv_pos))
+    sd[P + "encoder.pos_conv.0.weight_v"] = t(
+        (H, H // cfg.conv_pos_groups, cfg.conv_pos))
+    sd[P + "encoder.pos_conv.0.bias"] = t((H,))
+    for i in range(cfg.num_hidden_layers):
+        pre = P + f"encoder.layers.{i}."
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            sd[pre + f"self_attn.{proj}.weight"] = t((H, H))
+            sd[pre + f"self_attn.{proj}.bias"] = t((H,))
+        sd[pre + "self_attn_layer_norm.weight"] = t((H,))
+        sd[pre + "self_attn_layer_norm.bias"] = t((H,))
+        sd[pre + "fc1.weight"] = t((F, H))
+        sd[pre + "fc1.bias"] = t((F,))
+        sd[pre + "fc2.weight"] = t((H, F))
+        sd[pre + "fc2.bias"] = t((H,))
+        sd[pre + "final_layer_norm.weight"] = t((H,))
+        sd[pre + "final_layer_norm.bias"] = t((H,))
+    sd[P + "encoder.layer_norm.weight"] = t((H,))
+    sd[P + "encoder.layer_norm.bias"] = t((H,))
+    # pretrain-only keys that must be skipped
+    sd[P + "label_embs_concat"] = t((4, cfg.final_dim))
+    sd[P + "final_proj.weight"] = t((cfg.final_dim, H))
+    sd[P + "final_proj.bias"] = t((cfg.final_dim,))
+    # decoder
+    D, DF = cfg.decoder_hidden_size, cfg.decoder_ffn_dim
+    sd["decoder.embed_tokens.weight"] = t((cfg.vocab_size, D))
+    sd["decoder.embed_positions._float_tensor"] = t((1,))
+    for i in range(cfg.decoder_layers):
+        pre = f"decoder.layers.{i}."
+        for attn in ("self_attn", "encoder_attn"):
+            for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                sd[pre + f"{attn}.{proj}.weight"] = t((D, D))
+                sd[pre + f"{attn}.{proj}.bias"] = t((D,))
+            sd[pre + f"{attn}_layer_norm.weight"] = t((D,))
+            sd[pre + f"{attn}_layer_norm.bias"] = t((D,))
+        sd[pre + "fc1.weight"] = t((DF, D))
+        sd[pre + "fc1.bias"] = t((DF,))
+        sd[pre + "fc2.weight"] = t((D, DF))
+        sd[pre + "fc2.bias"] = t((D,))
+        sd[pre + "final_layer_norm.weight"] = t((D,))
+        sd[pre + "final_layer_norm.bias"] = t((D,))
+    sd["decoder.layer_norm.weight"] = t((D,))
+    sd["decoder.layer_norm.bias"] = t((D,))
+    return sd
+
+
+def test_avhubert_fairseq_conversion(tmp_path):
+    from avsl_tpu.core.config import AVHuBERTConfig
+    from avsl_tpu.models.avhubert import AVHuBERTForSpeech2Text
+    from avsl_tpu.models.convert import (
+        convert_avhubert_state_dict,
+        load_torch_checkpoint_into,
+    )
+
+    cfg = AVHuBERTConfig.tiny_test(dtype="float32")
+    model = AVHuBERTForSpeech2Text(cfg)
+    audio = jnp.asarray(
+        np.random.default_rng(1).normal(size=(1, 12, cfg.audio_feat_dim)),
+        jnp.float32,
+    )
+    video = jnp.zeros((1, 12, 88, 88, 1), jnp.float32)
+    toks = jnp.asarray([[0, 5, 6]])
+    variables = model.init(jax.random.PRNGKey(0), audio, video, toks)
+
+    rng = np.random.default_rng(0)
+    sd = _fairseq_avhubert_state(cfg, rng)
+    ckpt = str(tmp_path / "avhubert_test.pt")
+    torch.save({"model": sd}, ckpt)
+
+    before = model.apply(variables, audio, video, toks)
+    new_vars, report = load_torch_checkpoint_into(
+        variables, ckpt, converter=convert_avhubert_state_dict
+    )
+    assert report["unexpected"] == [], report["unexpected"][:8]
+    assert report["shape_mismatch"] == [], report["shape_mismatch"][:8]
+    assert report["missing"] == [], report["missing"][:8]
+
+    # weight-norm round trip: flax effective kernel == torch effective kernel
+    g = np.asarray(sd["encoder.w2v_model.encoder.pos_conv.0.weight_g"])
+    v = np.asarray(sd["encoder.w2v_model.encoder.pos_conv.0.weight_v"])
+    w_torch = v * (g / np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True)))
+    pc = new_vars["params"]["avhubert"]["encoder"]["transformer"]["pos_conv"]
+    kernel = np.asarray(pc["conv"]["kernel"])
+    # flax WeightNorm names its param with a literal "/" path string
+    scale = np.asarray(pc["WeightNorm_0"]["conv/kernel/scale"])
+    w_flax = scale * kernel / np.sqrt((kernel ** 2).sum(axis=(0, 1)))
+    np.testing.assert_allclose(w_flax, w_torch.transpose(2, 1, 0), rtol=1e-5)
+
+    after = model.apply(new_vars, audio, video, toks)
+    assert np.abs(np.asarray(after["logits"]) - np.asarray(before["logits"])).max() > 1e-3
+    assert np.isfinite(np.asarray(after["logits"])).all()

@@ -299,3 +299,13 @@ def test_split_dataset(tmp_path, records):
     on_disk = split_dataset(recs, str(tmp_path / "splits"), seed=1)
     assert len(on_disk["train"]) == 14
     assert os.path.isdir(str(tmp_path / "splits" / "test"))
+
+
+def test_marker_segment_id_sanitizes_event_labels():
+    """Filename-hostile event labels (dsfl types like 'uh-huh?') are
+    sanitized before entering segment ids (dsfl_dataset_process.py:116)."""
+    from avsl_tpu.data.dataset_process import marker_segment_id, sanitize_filename
+
+    assert sanitize_filename('uh/huh?*"x"') == "uh_huh___x_"
+    sid = marker_segment_id("M", "A", 1.0, 1.5, "uh-huh?")
+    assert "?" not in sid and sid.startswith("M-A-uh-huh_")
