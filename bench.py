@@ -58,8 +58,10 @@ def main() -> None:
     # default is the flagship config from __graft_entry__ (whisper-tiny
     # dims + AV-HuBERT video encoder — the throughput metric is
     # preprocessing-dominated, so model scale barely moves it)
+    bench_model = os.environ.get("AVSL_BENCH_MODEL", "")
     model, cfg = ge._flagship(
-        dtype="bfloat16", tiny=os.environ.get("AVSL_BENCH_MODEL", "") == "micro"
+        dtype="bfloat16", tiny=bench_model == "micro",
+        size="large" if bench_model == "large" else "base",
     )
 
     rng = np.random.default_rng(0)

@@ -55,3 +55,15 @@ def test_system_requirements():
     so = os.path.join("cpp", "avsl_media", "libavsl_media.so")
     makefile = os.path.join("cpp", "avsl_media", "Makefile")
     assert os.path.exists(so) or os.path.exists(makefile)
+
+
+def test_flagship_large_config_constructs():
+    """AVSL_BENCH_MODEL=large builds the reference training envelope
+    (whisper large-v2 + AV-HuBERT-large dims,
+    config/ami_whisper_flamingo_large.yaml) — construct-only."""
+    import __graft_entry__ as ge
+
+    model, cfg = ge._flagship(size="large")
+    assert cfg.name == "large-v2"
+    assert cfg.n_audio_state == 1280 and cfg.n_audio_layer == 32
+    assert cfg.video_state == 1024
