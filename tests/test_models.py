@@ -248,3 +248,24 @@ def test_encode_track_norm_sows_feature_norms():
     v = float(inter["video_feature_norm"][0])
     assert np.isfinite(a) and a >= 0
     assert np.isfinite(v) and v > 0
+
+
+def test_factory_model_builds_twice():
+    """Reference regression: loading the AV model twice must not fail
+    (test_av_hubert_fix.py:162-180 guards a fairseq duplicate-registration
+    bug; the functional flax factory must be construct-twice safe and
+    produce identical init trees)."""
+    from avsl_tpu.models.factory import build_whisper_flamingo
+
+    m1, c1 = build_whisper_flamingo(model_name="test", dtype="float32")
+    m2, c2 = build_whisper_flamingo(model_name="test", dtype="float32")
+    mel = jnp.zeros((1, c1.n_mels, 64), jnp.float32)
+    toks = jnp.asarray([[1, 2, 3]])
+    video = jnp.zeros((1, 4, 88, 88, 1), jnp.float32)
+    v1 = m1.init(jax.random.PRNGKey(0), mel, toks, video=video)
+    v2 = m2.init(jax.random.PRNGKey(0), mel, toks, video=video)
+    leaves1 = jax.tree_util.tree_leaves(v1)
+    leaves2 = jax.tree_util.tree_leaves(v2)
+    assert len(leaves1) == len(leaves2)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
