@@ -108,8 +108,13 @@ def main() -> None:
         jax.random.PRNGKey(0), mel_example, sot, video=video_example
     )
 
+    # params enter as a jit ARGUMENT (uploaded once with device_put), not
+    # as captured constants — at large-v2 dims captured fp32 constants are
+    # ~10 GB and dominate compile/upload time
+    variables = jax.device_put(variables)
+
     @jax.jit
-    def device_pipeline(audio, lip96, sot):
+    def device_pipeline(variables, audio, lip96, sot):
         # 96 -> center-crop 88 + AV-HuBERT normalization, on device
         lip = lip96[:, :, 4:92, 4:92, None].astype(jnp.float32)
         lip = (lip / 255.0 - 0.421) / 0.165
@@ -166,7 +171,7 @@ def main() -> None:
         # cross the link
         rois, lms_roi = extract_rois(clips, lms)
         lip96 = batched_warp(jax.device_put(rois), jnp.asarray(lms_roi))
-        return device_pipeline(audio, lip96, sot)
+        return device_pipeline(variables, audio, lip96, sot)
 
     out = run_once()  # warmup / compile
     out.block_until_ready()
@@ -182,7 +187,7 @@ def main() -> None:
             lip96 = batched_warp(jax.device_put(rois), jnp.asarray(lms_roi))
             jax.block_until_ready(lip96)
             t3 = time.perf_counter()
-            toks = device_pipeline(audio, lip96, sot)
+            toks = device_pipeline(variables, audio, lip96, sot)
             toks.block_until_ready()
             t4 = time.perf_counter()
             print(
