@@ -7,6 +7,13 @@ notimestamps]`` + BPE of " " + text; labels are the shifted sequence +
 EOT). This environment has no network, so the BPE merges cannot be
 downloaded; the framework defines the *interface* plus two backends:
 
+* :class:`BPETokenizer` — from-scratch GPT-2-style byte-level BPE (the
+  algorithm Whisper's tokenizer uses): byte-to-unicode alphabet, regex
+  pre-tokenization, ranked merge loop. Loads a local ``vocab.json`` +
+  ``merges.txt`` (never downloads); when the base vocab has GPT-2's 50257
+  entries the appended special tokens land on the published Whisper ids.
+  Also provides :meth:`BPETokenizer.train` so offline runs can build a
+  real subword vocab from their own transcripts.
 * :class:`ByteTokenizer` — self-contained byte-level tokenizer (ids 0-255
   are raw bytes) with the standard Whisper special-token ids appended
   above a configurable base. Fully offline; used for tests and
@@ -71,6 +78,250 @@ class Tokenizer:
         dec = self.sot_sequence(lang) + self.encode(" " + text.strip())
         labels = dec[1:] + [self.eot]
         return {"dec_input_ids": dec, "labels": labels}
+
+
+# Whisper's canonical language ordering (lang token id = 50259 + index when
+# the base vocab is GPT-2's 50257; matches openai-whisper tokenizer.py).
+WHISPER_ALL_LANGS = (
+    "en zh de es ru ko fr ja pt tr pl ca nl ar sv it id hi fi vi he uk el ms "
+    "cs ro da hu ta no th ur hr bg lt la mi ml cy sk te fa lv bn sr az sl kn "
+    "et mk br eu is hy ne mn bs kk sq sw gl mr pa si km sn yo so af oc ka be "
+    "tg sd gu am yi lo uz fo ht ps tk nn mt sa lb my bo tl mg as tt haw ln "
+    "ha ba jw su"
+).split()
+
+# GPT-2 pre-tokenization pattern (same one Whisper uses).
+_BPE_PATTERN = (
+    r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"""
+    r"""|\s+(?!\S)|\s+"""
+)
+
+
+def bytes_to_unicode() -> Dict[int, str]:
+    """GPT-2's reversible byte <-> printable-unicode alphabet."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
+class BPETokenizer(Tokenizer):
+    """From-scratch byte-level BPE with the Whisper special-token layout.
+
+    ``vocab`` maps token string (in byte-unicode alphabet) -> id; ``merges``
+    is the ranked list of (left, right) pairs. Special tokens are appended
+    above the base vocab in Whisper's canonical order, so with a genuine
+    GPT-2/Whisper vocab (50257 entries) every special id matches the
+    published values (sot 50258, <|en|> 50259, transcribe 50359, ...).
+    """
+
+    def __init__(
+        self,
+        vocab: Dict[str, int],
+        merges: Sequence[tuple],
+        langs: Sequence[str] = WHISPER_ALL_LANGS,
+    ):
+        import regex
+
+        self._pat = regex.compile(_BPE_PATTERN)
+        self._byte_enc = bytes_to_unicode()
+        self._byte_dec = {v: k for k, v in self._byte_enc.items()}
+        self._vocab = dict(vocab)
+        self._inv_vocab = {v: k for k, v in self._vocab.items()}
+        self._ranks = {tuple(m): i for i, m in enumerate(merges)}
+        self._cache: Dict[str, List[int]] = {}
+
+        nid = max(self._vocab.values()) + 1 if self._vocab else 0
+        self.special_tokens: Dict[str, int] = {}
+        for name in ("<|endoftext|>", "<|startoftranscript|>"):
+            self.special_tokens[name] = nid
+            nid += 1
+        for lang in langs:
+            self.special_tokens[f"<|{lang}|>"] = nid
+            nid += 1
+        for name in (
+            "<|translate|>", "<|transcribe|>", "<|startoflm|>",
+            "<|startofprev|>", "<|nospeech|>", "<|notimestamps|>",
+        ):
+            self.special_tokens[name] = nid
+            nid += 1
+        self.eot = self.special_tokens["<|endoftext|>"]
+        self.sot = self.special_tokens["<|startoftranscript|>"]
+        self.translate = self.special_tokens["<|translate|>"]
+        self.transcribe = self.special_tokens["<|transcribe|>"]
+        self.no_timestamps = self.special_tokens["<|notimestamps|>"]
+        self._added: Dict[str, int] = {}
+        self._next_id = nid
+
+    # -- construction -----------------------------------------------------
+    @classmethod
+    def from_files(cls, vocab_json: str, merges_txt: str, **kw) -> "BPETokenizer":
+        """Load a local GPT-2/Whisper ``vocab.json`` + ``merges.txt``."""
+        import json
+
+        with open(vocab_json, encoding="utf-8") as f:
+            vocab = json.load(f)
+        merges = []
+        with open(merges_txt, encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line or line.startswith("#version"):
+                    continue
+                a, b = line.split(" ")
+                merges.append((a, b))
+        return cls(vocab, merges, **kw)
+
+    @classmethod
+    def from_dir(cls, path: str, **kw) -> "BPETokenizer":
+        import os
+
+        return cls.from_files(
+            os.path.join(path, "vocab.json"), os.path.join(path, "merges.txt"), **kw
+        )
+
+    @classmethod
+    def train(
+        cls, texts: Iterable[str], vocab_size: int, **kw
+    ) -> "BPETokenizer":
+        """Train a BPE vocab offline (standard most-frequent-pair merges
+        over the byte-unicode alphabet; deterministic tie-break)."""
+        import collections
+
+        import regex
+
+        pat = regex.compile(_BPE_PATTERN)
+        byte_enc = bytes_to_unicode()
+        words: collections.Counter = collections.Counter()
+        for text in texts:
+            for piece in pat.findall(text):
+                words[
+                    tuple(byte_enc[b] for b in piece.encode("utf-8"))
+                ] += 1
+
+        vocab = {ch: i for i, ch in enumerate(sorted(byte_enc.values()))}
+        merges: List[tuple] = []
+        while len(vocab) < vocab_size:
+            pairs: collections.Counter = collections.Counter()
+            for word, freq in words.items():
+                for pair in zip(word, word[1:]):
+                    pairs[pair] += freq
+            if not pairs:
+                break
+            best = max(pairs, key=lambda p: (pairs[p], p))
+            merges.append(best)
+            merged = best[0] + best[1]
+            vocab[merged] = len(vocab)
+            new_words: collections.Counter = collections.Counter()
+            for word, freq in words.items():
+                out, i = [], 0
+                while i < len(word):
+                    if i + 1 < len(word) and (word[i], word[i + 1]) == best:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(word[i])
+                        i += 1
+                new_words[tuple(out)] += freq
+            words = new_words
+        return cls(vocab, merges, **kw)
+
+    def save(self, path: str) -> None:
+        """Write vocab.json + merges.txt (round-trips via from_dir)."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "vocab.json"), "w", encoding="utf-8") as f:
+            json.dump(self._vocab, f, ensure_ascii=False)
+        with open(os.path.join(path, "merges.txt"), "w", encoding="utf-8") as f:
+            f.write("#version: 0.2\n")
+            ordered = sorted(self._ranks, key=self._ranks.get)
+            f.writelines(f"{a} {b}\n" for a, b in ordered)
+
+    # -- core BPE ----------------------------------------------------------
+    def _bpe(self, piece: str) -> List[int]:
+        if piece in self._cache:
+            return self._cache[piece]
+        word = [self._byte_enc[b] for b in piece.encode("utf-8")]
+        while len(word) > 1:
+            pairs = set(zip(word, word[1:]))
+            best = min(pairs, key=lambda p: self._ranks.get(p, float("inf")))
+            if best not in self._ranks:
+                break
+            merged, out, i = best[0] + best[1], [], 0
+            while i < len(word):
+                if i + 1 < len(word) and (word[i], word[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            word = out
+        # byte fallback: unknown symbols decompose to single-char entries
+        ids: List[int] = []
+        for tok in word:
+            if tok in self._vocab:
+                ids.append(self._vocab[tok])
+            else:
+                ids.extend(self._vocab[c] for c in tok if c in self._vocab)
+        self._cache[piece] = ids
+        return ids
+
+    @property
+    def vocab_size(self) -> int:
+        return self._next_id
+
+    def add_tokens(self, tokens: Iterable[str]) -> int:
+        for tok in tokens:
+            if tok not in self._added and tok not in self.special_tokens:
+                self._added[tok] = self._next_id
+                self._next_id += 1
+        return self.vocab_size
+
+    def encode(self, text: str) -> List[int]:
+        import regex
+
+        markers = {**self._added, **self.special_tokens}
+        if markers:
+            split_pat = "(" + "|".join(
+                regex.escape(n) for n in sorted(markers, key=len, reverse=True)
+            ) + ")"
+            chunks = regex.split(split_pat, text)
+        else:
+            chunks = [text]
+        out: List[int] = []
+        for chunk in chunks:
+            if not chunk:
+                continue
+            if chunk in markers:
+                out.append(markers[chunk])
+                continue
+            for piece in self._pat.findall(chunk):
+                out.extend(self._bpe(piece))
+        return out
+
+    def decode(self, ids: Sequence[int]) -> str:
+        rev_added = {v: k for k, v in self._added.items()}
+        parts: List[str] = []
+        for i in ids:
+            i = int(i)
+            if i in self._inv_vocab:
+                parts.append(self._inv_vocab[i])
+            elif i in rev_added:
+                parts.append(rev_added[i])
+            # special tokens are dropped from text output
+        buf = "".join(parts)
+        data = bytes(self._byte_dec[c] for c in buf if c in self._byte_dec)
+        return data.decode("utf-8", errors="replace")
 
 
 class ByteTokenizer(Tokenizer):
@@ -199,10 +450,15 @@ class HFWhisperTokenizer(Tokenizer):
 def get_tokenizer(
     name_or_path: Optional[str] = None, lang: str = "en"
 ) -> Tokenizer:
-    """Factory: local HF tokenizer when a path is given, else ByteTokenizer."""
+    """Factory: local BPE (vocab.json+merges.txt) or HF tokenizer when a
+    path is given, else ByteTokenizer."""
     if name_or_path:
         import os
 
+        if os.path.isdir(name_or_path) and os.path.exists(
+            os.path.join(name_or_path, "merges.txt")
+        ):
+            return BPETokenizer.from_dir(name_or_path)
         if os.path.exists(name_or_path):
             return HFWhisperTokenizer(name_or_path, lang=lang)
     return ByteTokenizer()

@@ -1,0 +1,198 @@
+"""Fully fused on-device lip-ROI frontend.
+
+One XLA program per clip batch: motion/articulation detection maps, scalar
+face/mouth detection, landmark-trajectory synthesis (the device twin of the
+host logic in avsl_tpu.data.landmarks.BatchedMotionDetector.__call__ +
+lip_roi.landmarks_interpolate + lip_roi.smooth_landmarks), and the separable
+similarity warp to 96x96 mouth crops.
+
+Replaces the reference's hottest loop (per-frame dlib detect + skimage warp,
+/root/reference/preprocess/video_process.py:305-490) AND round 1's remaining
+host stages: the only host<->device traffic is one uint8 clip upload in and
+the crops (or downstream tokens) out. No d2h round-trip for landmarks.
+
+Key identity that makes the device port small: the synthesized landmarks are
+an affine image of the canonical layout,
+
+    lms[t] = s * (canon - canon_mouth_center) + mouth_traj[t],   s = face_w/156
+
+so interpolation/smoothing of the 68-point field reduces to interpolation/
+smoothing of the 2-D mouth trajectory.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+
+from avsl_tpu.data.lip_roi import canonical_mean_face
+
+# canonical face box inside the 300x300 layout (landmarks.canonical_landmarks_from_box)
+_CANON_X0, _CANON_Y0, _CANON_W, _CANON_H = 72.0, 100.0, 156.0, 170.0
+
+
+def masked_time_interp(values, valid, centers, t: int):
+    """Linear interpolation of sparse window estimates onto a length-``t`` grid.
+
+    ``values`` [NW, D] estimates, ``valid`` [NW] bool, ``centers`` [NW] int32
+    frame indices (static or traced). Device twin of
+    lip_roi.landmarks_interpolate: linear between consecutive valid
+    estimates, edge fill outside. Assumes at least one valid entry (callers
+    mask the no-detection case separately). Returns [t, D].
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    d = values.shape[-1]
+    grid_val = jnp.zeros((t, d), values.dtype)
+    grid_has = jnp.zeros((t,), bool)
+    safe_vals = jnp.where(valid[:, None], values, 0.0)
+    grid_val = grid_val.at[centers].add(safe_vals)
+    grid_has = grid_has.at[centers].max(valid)
+    # duplicate centers (clamped at t-1) would double-count: renormalize
+    counts = jnp.zeros((t,), jnp.float32).at[centers].add(valid.astype(jnp.float32))
+    grid_val = grid_val / jnp.maximum(counts, 1.0)[:, None]
+
+    idx = jnp.arange(t)
+    ff = lax.cummax(jnp.where(grid_has, idx, -1))          # prev valid index
+    bf = lax.cummin(jnp.where(grid_has, idx, t), reverse=True)  # next valid index
+    prev = jnp.where(ff >= 0, ff, bf)
+    nxt = jnp.where(bf < t, bf, ff)
+    prev = jnp.clip(prev, 0, t - 1)
+    nxt = jnp.clip(nxt, 0, t - 1)
+    span = jnp.maximum(nxt - prev, 1)
+    w = jnp.clip((idx - prev) / span, 0.0, 1.0)
+    return (1.0 - w)[:, None] * grid_val[prev] + w[:, None] * grid_val[nxt]
+
+
+def smooth_time(x, window: int = 12):
+    """Clamped-edge sliding mean over axis 0 — device twin of
+    lip_roi.smooth_landmarks ([t, ...] with a min(t, window) window)."""
+    import jax.numpy as jnp
+
+    t = x.shape[0]
+    win = min(t, window)
+    half = win // 2
+    c = jnp.concatenate([jnp.zeros_like(x[:1]), jnp.cumsum(x, axis=0)])
+    idx = jnp.arange(t)
+    lo = jnp.maximum(0, idx - half)
+    hi = jnp.minimum(t, idx + half + 1)
+    shape = (-1,) + (1,) * (x.ndim - 1)
+    return (c[hi] - c[lo]) / (hi - lo).astype(x.dtype).reshape(shape)
+
+
+def synthesize_landmarks(
+    clip_det,  # [4]  (mouth_x, mouth_y, face_w, ok) in detection coords
+    win_det,   # [NW, 4] per-window detections
+    t: int,
+    window: int = 25,
+    detect_ds: int = 1,
+    smoothing_window: int = 12,
+):
+    """Device twin of BatchedMotionDetector.__call__ (no-track branch) +
+    landmark interpolation + smoothing for ONE clip.
+
+    Returns landmarks [t, 68, 2] in full-resolution coordinates. Detection
+    failure (ok=0) falls back to the canonical mean face — exactly what the
+    round-1 host pipeline did (bench.py landmarks_for_batch fallback).
+    """
+    import jax.numpy as jnp
+
+    canon = jnp.asarray(canonical_mean_face(300), jnp.float32)  # [68, 2]
+    canon_mouth = jnp.mean(canon[48:68], axis=0)                # ~(150, 218)
+
+    nw = win_det.shape[0]
+    clip_ok = clip_det[3] >= 0.5
+    face_w_det = clip_det[2]
+
+    valid = win_det[:, 3] >= 0.5
+    mouths = win_det[:, :2]  # detection coords
+    med = jnp.nanmedian(jnp.where(valid[:, None], mouths, jnp.nan), axis=0)
+    med = jnp.where(jnp.isfinite(med), med, clip_det[:2])
+    max_dev = jnp.array([0.30, 0.12], jnp.float32) * face_w_det
+    clamped = med + jnp.clip(0.7 * (mouths - med), -max_dev, max_dev)
+
+    centers = jnp.minimum(jnp.arange(nw) * window + window // 2, t - 1)
+    traj = masked_time_interp(clamped, valid, centers, t)  # [t, 2]
+    traj = jnp.where(jnp.any(valid), traj, clip_det[None, :2])
+
+    # to full-res coords; detection-failure fallback = canonical layout
+    traj = jnp.where(clip_ok, traj * detect_ds, canon_mouth[None])
+    face_w = jnp.where(clip_ok, face_w_det * detect_ds, _CANON_W)
+
+    traj = smooth_time(traj, smoothing_window)
+    s = face_w / _CANON_W
+    return s * (canon - canon_mouth)[None] + traj[:, None, :]
+
+
+def make_lip_frontend(
+    t: int,
+    window: int = 25,
+    detect_ds: int = 2,
+    crop_size: int = 96,
+    out_size: int = 300,
+    smoothing_window: int = 12,
+    roi: int | None = 144,
+    detector_kw: dict | None = None,
+):
+    """Build the fused clips->crops function (jit-compatible, vmapped over B).
+
+    clips_u8 [B, t, H, W] uint8 -> lip crops [B, t, crop, crop] float32
+    (0..255 scale). Everything runs on device; compose inside a larger jit
+    (e.g. with the encoder/decoder) for a single per-batch program.
+
+    ``roi``: side of the mouth region dynamically sliced (on device) around
+    the clip-median mouth center before warping — bounds the warp working
+    set to [B, t, roi, roi] instead of full frames (same trick round 1 did
+    on the host, now without the host round-trip). None warps full frames.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from avsl_tpu.data.landmarks import (
+        MotionEnergyDetector,
+        _device_detect_fn,
+        _device_maps_fn,
+    )
+    from avsl_tpu.kernels.warp import warp_and_crop_clip_separable
+
+    base = MotionEnergyDetector(**(detector_kw or {}))
+    compute_maps = _device_maps_fn(window, base.blur, base.max_diff_frames)
+    detect = _device_detect_fn(
+        base.keep_mass, base.center_sigma, base.min_box, base.close_k
+    )
+    mean_face = jnp.asarray(canonical_mean_face(out_size), jnp.float32)
+
+    def warp_one(frames, lms):
+        if roi is not None:
+            h, w = frames.shape[-2:]
+            mouth = jnp.mean(lms[:, 48:68], axis=1)         # [t, 2]
+            cx, cy = jnp.median(mouth[:, 0]), jnp.median(mouth[:, 1])
+            x0 = jnp.clip(cx - roi / 2, 0, w - roi).astype(jnp.int32)
+            y0 = jnp.clip(cy - roi / 2, 0, h - roi).astype(jnp.int32)
+            frames = jax.lax.dynamic_slice(
+                frames, (jnp.int32(0), y0, x0), (frames.shape[0], roi, roi)
+            )
+            lms = lms - jnp.stack(
+                [x0.astype(jnp.float32), y0.astype(jnp.float32)]
+            )[None, None]
+        return warp_and_crop_clip_separable(
+            frames, lms, mean_face, out_size=out_size, crop_size=crop_size
+        )
+
+    def frontend(clips_u8):
+        small = clips_u8[:, :, ::detect_ds, ::detect_ds].astype(jnp.float32)
+        cm, ca, wm, wa = compute_maps(small)
+        clip_det = jax.vmap(detect)(cm, ca)                 # [B, 4]
+        win_det = jax.vmap(jax.vmap(detect))(wm, wa)        # [B, NW, 4]
+        lms = jax.vmap(
+            lambda c, w: synthesize_landmarks(
+                c, w, t, window=window, detect_ds=detect_ds,
+                smoothing_window=smoothing_window,
+            )
+        )(clip_det, win_det)                                # [B, t, 68, 2]
+        return jax.vmap(warp_one)(clips_u8, lms)
+
+    return frontend

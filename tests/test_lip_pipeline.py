@@ -1,0 +1,158 @@
+"""Parity tests: fused on-device lip frontend vs the host reference path.
+
+The fused pipeline (kernels/lip_pipeline.py) must reproduce the host logic
+it replaces: BatchedMotionDetector.__call__ landmark synthesis,
+lip_roi.landmarks_interpolate, lip_roi.smooth_landmarks, and the separable
+warp — end to end, to float tolerance.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from avsl_tpu.data.landmarks import BatchedMotionDetector, MotionEnergyDetector
+from avsl_tpu.data.lip_roi import (
+    canonical_mean_face,
+    landmarks_interpolate,
+    smooth_landmarks,
+)
+from avsl_tpu.kernels.lip_pipeline import (
+    make_lip_frontend,
+    masked_time_interp,
+    smooth_time,
+    synthesize_landmarks,
+)
+from avsl_tpu.kernels.warp import warp_and_crop_clip_separable
+
+T, H, W = 75, 144, 176
+DS = 2
+WINDOW = 25
+
+
+def _synthetic_clips(b=2, t=T, h=H, w=W, seed=0):
+    """Moving-blob closeup footage (same construction as bench.py)."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(40, 200, (h, w)).astype(np.float32)
+    clips = np.empty((b, t, h, w), np.uint8)
+    yy, xx = np.mgrid[0:h, 0:w]
+    for bi in range(b):
+        cx, cy = w // 2 + 5 * bi, h // 2
+        for ti in range(t):
+            jitter = 4 * np.sin(ti / 7 + bi)
+            face = 80 * np.exp(
+                -(((xx - cx - jitter) / 30.0) ** 2 + ((yy - cy) / 40.0) ** 2)
+            )
+            # articulating mouth: flickering patch below face center
+            mouth = 40 * (ti % 2) * np.exp(
+                -(((xx - cx) / 8.0) ** 2 + ((yy - cy - 18) / 6.0) ** 2)
+            )
+            clips[bi, ti] = np.clip(base + face + mouth, 0, 255).astype(np.uint8)
+    return clips
+
+
+def test_smooth_time_matches_host():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(T, 68, 2)).astype(np.float32)
+    got = np.asarray(smooth_time(jnp.asarray(x), 12))
+    want = smooth_landmarks(x, 12)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_masked_interp_matches_host():
+    rng = np.random.default_rng(2)
+    nw = 4
+    centers = np.minimum(np.arange(nw) * WINDOW + WINDOW // 2, T - 1)
+    values = rng.normal(size=(nw, 2)).astype(np.float32) * 10
+    for valid_pattern in ([1, 1, 1, 1], [0, 1, 1, 0], [1, 0, 0, 1], [0, 0, 1, 0]):
+        valid = np.asarray(valid_pattern, bool)
+        got = np.asarray(
+            masked_time_interp(
+                jnp.asarray(values), jnp.asarray(valid), jnp.asarray(centers), T
+            )
+        )
+        per = [None] * T
+        for i in range(nw):
+            if valid[i]:
+                # host path interpolates full 68x2 landmark fields; a 2-D
+                # trajectory is the same math (affine identity)
+                per[centers[i]] = np.tile(values[i], (68, 1))
+        want = landmarks_interpolate(per)[:, 0, :]
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_landmarks_affine_identity():
+    """synthesize's lms = s*(canon-canon_mouth)+mouth identity equals
+    MotionEnergyDetector._landmarks_for exactly."""
+    det = MotionEnergyDetector()
+    canon = canonical_mean_face(300).astype(np.float64)
+    canon_mouth = canon[48:68].mean(axis=0)
+    for mouth, face_w in [((80.0, 120.0), 100.0), ((150.0, 220.0), 156.0)]:
+        want = det._landmarks_for(mouth, face_w)
+        s = face_w / 156.0
+        got = s * (canon - canon_mouth) + np.asarray(mouth)
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_synthesize_fallback_is_canonical_face():
+    clip_det = jnp.asarray([0.0, 0.0, 0.0, 0.0])  # ok = 0
+    win_det = jnp.zeros((3, 4))
+    lms = np.asarray(synthesize_landmarks(clip_det, win_det, T, window=WINDOW,
+                                          detect_ds=DS))
+    want = canonical_mean_face(300)
+    np.testing.assert_allclose(lms[0], want, atol=1e-2)
+    np.testing.assert_allclose(lms[-1], want, atol=1e-2)
+
+
+def test_synthesize_matches_host_detector_path():
+    """Device synthesis from the detector's own (clip_det, win_det) equals
+    the host path: per-clip lists -> interpolate -> smooth -> *ds."""
+    clips = _synthetic_clips()
+    small = np.ascontiguousarray(clips[:, :, ::DS, ::DS])
+    det = BatchedMotionDetector(downsample=1, window=WINDOW)
+    per_clip = det(small)
+    clip_det, win_det = det._estimates(jnp.asarray(small))
+
+    mean_face = canonical_mean_face(300)
+    for b in range(clips.shape[0]):
+        filled = landmarks_interpolate(per_clip[b])
+        if filled is None:
+            want = np.tile(mean_face[None], (T, 1, 1))
+        else:
+            want = smooth_landmarks(filled) * DS
+        got = np.asarray(
+            synthesize_landmarks(
+                jnp.asarray(clip_det[b]), jnp.asarray(win_det[b]), T,
+                window=WINDOW, detect_ds=DS,
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=0.1)
+
+
+@pytest.mark.parametrize("roi", [None, 96])
+def test_fused_frontend_matches_host_pipeline(roi):
+    clips = _synthetic_clips()
+    b = clips.shape[0]
+    small = np.ascontiguousarray(clips[:, :, ::DS, ::DS])
+    det = BatchedMotionDetector(downsample=1, window=WINDOW)
+    per_clip = det(small)
+    mean_face = canonical_mean_face(300)
+
+    want = np.empty((b, T, 96, 96), np.float32)
+    for bi in range(b):
+        filled = landmarks_interpolate(per_clip[bi])
+        lms = (smooth_landmarks(filled) * DS if filled is not None
+               else np.tile(mean_face[None], (T, 1, 1)))
+        want[bi] = np.asarray(
+            warp_and_crop_clip_separable(
+                jnp.asarray(clips[bi]), jnp.asarray(lms),
+                jnp.asarray(mean_face, jnp.float32),
+            )
+        )
+
+    frontend = jax.jit(make_lip_frontend(T, window=WINDOW, detect_ds=DS, roi=roi))
+    got = np.asarray(frontend(jnp.asarray(clips)))
+    assert got.shape == (b, T, 96, 96)
+    # identical math modulo f32 association; ROI slicing only changes
+    # out-of-frame zero-fill, which the centered synthetic face avoids
+    np.testing.assert_allclose(got, want, atol=0.75)

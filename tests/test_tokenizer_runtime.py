@@ -130,3 +130,90 @@ def test_avhubert_dataset_modality_dropout(tmp_path):
     # eval mode: no dropout
     ds_eval = AVHubertDataset(rows, audio_drop_prob=0.9, video_drop_prob=0.9, train=False)
     assert all(ds_eval[i]["audio_present"] == 1.0 for i in range(5))
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer (from-scratch byte-level BPE, Whisper layout)
+# ---------------------------------------------------------------------------
+
+from avsl_tpu.data.tokenizer import (  # noqa: E402
+    BPETokenizer,
+    WHISPER_ALL_LANGS,
+    WHISPER_EOT,
+    WHISPER_LANG_BASE,
+    WHISPER_NO_TIMESTAMPS,
+    WHISPER_SOT,
+    WHISPER_TRANSCRIBE,
+    WHISPER_TRANSLATE,
+    bytes_to_unicode,
+)
+
+_CORPUS = [
+    "the meeting starts now",
+    "so the the remote control design",
+    "that is a good point about the design",
+    "we need to decide on the remote",
+    "I think the rubber buttons are better",
+]
+
+
+@pytest.fixture(scope="module")
+def bpe():
+    return BPETokenizer.train(_CORPUS, vocab_size=300)
+
+
+def test_bpe_roundtrip(bpe):
+    for text in _CORPUS + ["unseen wörds still rönd-trip!", "  spaces  kept "]:
+        assert bpe.decode(bpe.encode(text)) == text
+
+
+def test_bpe_actually_merges(bpe):
+    # "the" is the most frequent word: must encode to fewer ids than chars
+    ids = bpe.encode(" the")
+    assert len(ids) < 4
+    assert bpe.decode(ids) == " the"
+
+
+def test_bpe_save_load_roundtrip(bpe, tmp_path):
+    bpe.save(str(tmp_path))
+    loaded = BPETokenizer.from_dir(str(tmp_path))
+    for text in _CORPUS:
+        assert loaded.encode(text) == bpe.encode(text)
+    assert loaded.vocab_size == bpe.vocab_size
+
+
+def test_bpe_get_tokenizer_factory(bpe, tmp_path):
+    bpe.save(str(tmp_path))
+    tok = get_tokenizer(str(tmp_path))
+    assert isinstance(tok, BPETokenizer)
+    assert tok.decode(tok.encode("hello world")) == "hello world"
+
+
+def test_bpe_whisper_special_ids_at_gpt2_size():
+    """With a 50257-entry base vocab the special ids match published
+    Whisper ids (the real-checkpoint parity contract)."""
+    alphabet = sorted(bytes_to_unicode().values())
+    vocab = {c: i for i, c in enumerate(alphabet)}
+    # pad with synthetic entries up to GPT-2's vocab size
+    for i in range(len(vocab), 50257):
+        vocab[f"<pad{i}>"] = i
+    tok = BPETokenizer(vocab, merges=[])
+    assert tok.eot == WHISPER_EOT == 50257
+    assert tok.sot == WHISPER_SOT == 50258
+    assert tok.special_tokens["<|en|>"] == WHISPER_LANG_BASE == 50259
+    assert tok.special_tokens[f"<|{WHISPER_ALL_LANGS[-1]}|>"] == 50357
+    assert tok.translate == WHISPER_TRANSLATE == 50358
+    assert tok.transcribe == WHISPER_TRANSCRIBE == 50359
+    assert tok.no_timestamps == WHISPER_NO_TIMESTAMPS == 50363
+
+
+def test_bpe_laugh_token_and_sot_contract(bpe):
+    v0 = bpe.vocab_size
+    v1 = bpe.add_tokens(["<laugh>"])
+    assert v1 == v0 + 1 and bpe.add_tokens(["<laugh>"]) == v1
+    ids = bpe.encode("a <laugh> b")
+    assert v0 in ids
+    assert bpe.decode(ids) == "a <laugh> b"
+    ex = bpe.prepare_example("the design <laugh>")
+    assert ex["dec_input_ids"][:4] == bpe.sot_sequence("en")
+    assert ex["labels"] == ex["dec_input_ids"][1:] + [bpe.eot]
