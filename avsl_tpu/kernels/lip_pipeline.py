@@ -165,22 +165,20 @@ def make_lip_frontend(
     )
     mean_face = jnp.asarray(canonical_mean_face(out_size), jnp.float32)
 
-    def warp_one(frames, lms):
-        if roi is not None:
-            h, w = frames.shape[-2:]
-            mouth = jnp.mean(lms[:, 48:68], axis=1)         # [t, 2]
-            cx, cy = jnp.median(mouth[:, 0]), jnp.median(mouth[:, 1])
-            x0 = jnp.clip(cx - roi / 2, 0, w - roi).astype(jnp.int32)
-            y0 = jnp.clip(cy - roi / 2, 0, h - roi).astype(jnp.int32)
-            frames = jax.lax.dynamic_slice(
-                frames, (jnp.int32(0), y0, x0), (frames.shape[0], roi, roi)
-            )
-            lms = lms - jnp.stack(
-                [x0.astype(jnp.float32), y0.astype(jnp.float32)]
-            )[None, None]
-        return warp_and_crop_clip_separable(
-            frames, lms, mean_face, out_size=out_size, crop_size=crop_size
+    def roi_slice_one(frames, lms):
+        # per-clip mouth ROI window (array-level ops only — safe under vmap)
+        h, w = frames.shape[-2:]
+        mouth = jnp.mean(lms[:, 48:68], axis=1)         # [t, 2]
+        cx, cy = jnp.median(mouth[:, 0]), jnp.median(mouth[:, 1])
+        x0 = jnp.clip(cx - roi / 2, 0, w - roi).astype(jnp.int32)
+        y0 = jnp.clip(cy - roi / 2, 0, h - roi).astype(jnp.int32)
+        frames = jax.lax.dynamic_slice(
+            frames, (jnp.int32(0), y0, x0), (frames.shape[0], roi, roi)
         )
+        lms = lms - jnp.stack(
+            [x0.astype(jnp.float32), y0.astype(jnp.float32)]
+        )[None, None]
+        return frames, lms
 
     def frontend(clips_u8):
         small = clips_u8[:, :, ::detect_ds, ::detect_ds].astype(jnp.float32)
@@ -193,6 +191,14 @@ def make_lip_frontend(
                 smoothing_window=smoothing_window,
             )
         )(clip_det, win_det)                                # [B, t, 68, 2]
-        return jax.vmap(warp_one)(clips_u8, lms)
+        frames = clips_u8
+        if roi is not None:
+            frames, lms = jax.vmap(roi_slice_one)(frames, lms)
+        # the warp itself is batched array math — NO vmap (vmapping the
+        # per-frame transform-estimation code compiles pathologically, see
+        # kernels/warp.py module docstring)
+        return warp_and_crop_clip_separable(
+            frames, lms, mean_face, out_size=out_size, crop_size=crop_size
+        )
 
     return frontend

@@ -6,9 +6,17 @@ similarity transform aligning per-frame stable landmarks to a canonical
 mean face, warp each frame, and cut a mouth-centered square patch. The
 reference does this one frame at a time on the host (the pipeline's
 hottest loop, SURVEY.md §3.4); here the whole clip (or a batch of clips)
-is one jit-compiled program — transform estimation is a closed-form
-Umeyama solve (vmapped), warping is a bilinear gather evaluated for all
-output pixels at once.
+is one jit-compiled program.
+
+All transform math is *batched closed-form array arithmetic* over arbitrary
+leading dims — a similarity is carried as four coefficient arrays
+``(a, b, tx, ty)`` meaning ``dst = [[a, -b], [b, a]] @ src + (tx, ty)``
+rather than per-frame 2x2 matrices. This matters beyond style: vmapping
+scalar-and-tiny-matrix code (the obvious port of the reference's per-frame
+loop) produces HLO that XLA:TPU compiles pathologically slowly (minutes for
+toy shapes), and on tunneled runtimes the resulting executable degrades
+every subsequent host->device transfer in the process. The batched
+formulation compiles in milliseconds and composes under vmap/scan freely.
 """
 
 from __future__ import annotations
@@ -20,54 +28,101 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+Coeffs = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]
 
-def umeyama(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
-    """Least-squares similarity transform (scale+rot+trans) src -> dst.
 
-    ``src``, ``dst``: [N, 2]. Returns a 2x3 matrix M with
-    ``dst ~= src @ M[:, :2].T + M[:, 2]`` (the standard Umeyama closed
-    form with SVD sign correction)."""
+def similarity_coeffs(src: jnp.ndarray, dst: jnp.ndarray) -> Coeffs:
+    """Least-squares similarity transform src -> dst, batched.
+
+    ``src``: [..., N, 2], ``dst``: [..., N, 2] or [N, 2] (broadcast).
+    Returns ``(a, b, tx, ty)`` arrays of the leading batch shape with
+    ``dst ~= [[a, -b], [b, a]] @ src + (tx, ty)`` — the standard closed
+    form for the 2-D rotation+scale least squares (no SVD; reflections are
+    excluded, which they are for faces):
+    ``a = sum(s . d)/sum|s|^2``, ``b = sum(cross(s, d))/sum|s|^2``.
+    """
     src = src.astype(jnp.float32)
     dst = dst.astype(jnp.float32)
-    mu_s = jnp.mean(src, axis=0)
-    mu_d = jnp.mean(dst, axis=0)
-    sc = src - mu_s
-    dc = dst - mu_d
-    # closed form for the 2-D rotation+scale least squares (no SVD — SVD is
-    # pathologically slow to compile/run on TPU and unnecessary in 2-D when
-    # reflections are excluded, which they are for faces):
-    #   a = sum(s . d), b = sum(cross(s, d));  sR = [[a,-b],[b,a]] / sum|s|^2
-    a = jnp.sum(sc * dc)
-    b = jnp.sum(sc[:, 0] * dc[:, 1] - sc[:, 1] * dc[:, 0])
-    denom = jnp.maximum(jnp.sum(sc * sc), 1e-8)
-    sr = jnp.array([[a, -b], [b, a]]) / denom  # scale * rotation
-    t = mu_d - sr @ mu_s
-    return jnp.concatenate([sr, t[:, None]], axis=1)  # [2,3]
+    mu_s = jnp.mean(src, axis=-2)
+    mu_d = jnp.mean(dst, axis=-2)
+    sc = src - mu_s[..., None, :]
+    dc = dst - mu_d[..., None, :]
+    num_a = jnp.sum(sc * dc, axis=(-2, -1))
+    num_b = jnp.sum(sc[..., 0] * dc[..., 1] - sc[..., 1] * dc[..., 0], axis=-1)
+    den = jnp.maximum(jnp.sum(sc * sc, axis=(-2, -1)), 1e-8)
+    a = num_a / den
+    b = num_b / den
+    tx = mu_d[..., 0] - (a * mu_s[..., 0] - b * mu_s[..., 1])
+    ty = mu_d[..., 1] - (b * mu_s[..., 0] + a * mu_s[..., 1])
+    return a, b, tx, ty
+
+
+def inverse_coeffs(coeffs: Coeffs) -> Coeffs:
+    """Invert batched similarity coefficients (same parameterization)."""
+    a, b, tx, ty = coeffs
+    det = jnp.maximum(a * a + b * b, 1e-12)
+    ia = a / det
+    ib = -b / det
+    itx = -(ia * tx - ib * ty)
+    ity = -(ib * tx + ia * ty)
+    return ia, ib, itx, ity
+
+
+def apply_coeffs(points: jnp.ndarray, coeffs: Coeffs) -> jnp.ndarray:
+    """Apply batched similarity coeffs to points [..., N, 2]."""
+    a, b, tx, ty = coeffs
+    x = points[..., 0]
+    y = points[..., 1]
+    return jnp.stack(
+        [
+            a[..., None] * x - b[..., None] * y + tx[..., None],
+            b[..., None] * x + a[..., None] * y + ty[..., None],
+        ],
+        axis=-1,
+    )
+
+
+def umeyama(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """Similarity transform as a 2x3 matrix (unbatched convenience wrapper).
+
+    ``src``, ``dst``: [N, 2]. Returns M with
+    ``dst ~= src @ M[:, :2].T + M[:, 2]``.
+    """
+    a, b, tx, ty = similarity_coeffs(src, dst)
+    return jnp.stack(
+        [jnp.stack([a, -b, tx]), jnp.stack([b, a, ty])]
+    )
 
 
 def invert_similarity(m: jnp.ndarray) -> jnp.ndarray:
-    """Invert a 2x3 similarity matrix."""
-    a = m[:, :2]
-    t = m[:, 2]
-    a_inv = jnp.linalg.inv(a)
-    return jnp.concatenate([a_inv, (-a_inv @ t)[:, None]], axis=1)
+    """Invert a 2x3 similarity matrix (closed form, no linalg.inv)."""
+    ia, ib, itx, ity = inverse_coeffs((m[0, 0], m[1, 0], m[0, 2], m[1, 2]))
+    return jnp.stack(
+        [jnp.stack([ia, -ib, itx]), jnp.stack([ib, ia, ity])]
+    )
 
 
 def _bilinear_sample(image: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray) -> jnp.ndarray:
-    """Sample ``image`` [H, W] at float coords (xs, ys); zero outside."""
-    h, w = image.shape
+    """Sample ``image`` [..., H, W] at float coords xs/ys [..., h, w]
+    (leading dims must match); zero outside the source."""
+    h, w = image.shape[-2:]
     x0 = jnp.floor(xs)
     y0 = jnp.floor(ys)
     dx = xs - x0
     dy = ys - y0
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
+    flat = image.reshape(*image.shape[:-2], h * w)
 
     def gather(yi, xi):
         valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
         yi = jnp.clip(yi, 0, h - 1)
         xi = jnp.clip(xi, 0, w - 1)
-        return jnp.where(valid, image[yi, xi], 0.0)
+        idx = yi * w + xi
+        vals = jnp.take_along_axis(
+            flat, idx.reshape(*idx.shape[:-2], -1), axis=-1
+        ).reshape(idx.shape)
+        return jnp.where(valid, vals, 0.0)
 
     v00 = gather(y0i, x0i)
     v01 = gather(y0i, x0i + 1)
@@ -96,53 +151,66 @@ def transform_points(points: jnp.ndarray, matrix: jnp.ndarray) -> jnp.ndarray:
     return points @ matrix[:, :2].T + matrix[:, 2]
 
 
+def _crop_window_coeffs(
+    landmarks: jnp.ndarray,  # [..., 68, 2]
+    mean_face: jnp.ndarray,  # [68, 2]
+    out_size: int,
+    crop_size: int,
+    stable_idx: Tuple[int, ...],
+):
+    """Batched transform + mouth-centered crop window for every frame.
+
+    Returns ``(inv, cx, cy)``: inverse similarity coeffs (dst->src) and the
+    integer crop-window centers in warped (dst) space, each of the
+    landmarks' leading batch shape."""
+    stable = np.asarray(stable_idx)
+    half = crop_size // 2
+    coeffs = similarity_coeffs(landmarks[..., stable, :], mean_face[stable])
+    mouth = apply_coeffs(landmarks[..., 48:68, :], coeffs)
+    center = jnp.mean(mouth, axis=-2)  # [..., 2] (x, y) in warped space
+    cx = jnp.clip(center[..., 0], half, out_size - half).astype(jnp.int32)
+    cy = jnp.clip(center[..., 1], half, out_size - half).astype(jnp.int32)
+    return inverse_coeffs(coeffs), cx, cy
+
+
 @functools.partial(jax.jit, static_argnames=("out_size", "crop_size", "stable_idx"))
 def warp_and_crop_clip(
-    frames: jnp.ndarray,  # [T, H, W] grayscale float
-    landmarks: jnp.ndarray,  # [T, 68, 2] (x, y)
+    frames: jnp.ndarray,  # [..., H, W] grayscale float/uint8
+    landmarks: jnp.ndarray,  # [..., 68, 2] (x, y)
     mean_face: jnp.ndarray,  # [68, 2] canonical coords in out_size space
     out_size: int = 300,
     crop_size: int = 96,
     stable_idx: Tuple[int, ...] = (33, 36, 39, 42, 45),
 ) -> jnp.ndarray:
-    """Full lip-ROI geometry for one clip in a single program.
+    """Full lip-ROI geometry for a clip (or batch of clips) in one program.
 
     Per frame: similarity transform from stable landmarks to the mean face
     (reference uses points [33, 36, 39, 42, 45] — video_process.py:398,431),
-    warp to ``out_size``², transform the mouth landmarks (48..67) by the same
-    matrix, and cut a ``crop_size``² patch centered on their mean
-    (video_process.py:444-448). Returns [T, crop_size, crop_size].
+    transform the mouth landmarks (48..67) by the same coeffs, and bilinear-
+    sample a ``crop_size``² patch centered on their mean
+    (video_process.py:444-448). Crop-first warping: the warp is evaluated
+    ONLY on the crop_size² grid — warping the full out_size² then slicing
+    would do ~10x the gather work for identical output.
+    Returns [..., crop_size, crop_size].
     """
-    stable = jnp.asarray(stable_idx)
     half = crop_size // 2
-
-    def per_frame(frame, lms):
-        m = umeyama(lms[stable], mean_face[stable])
-        mouth = transform_points(lms[48:68], m)
-        center = jnp.mean(mouth, axis=0)  # (x, y) in warped space
-        cx = jnp.clip(center[0], half, out_size - half).astype(jnp.int32)
-        cy = jnp.clip(center[1], half, out_size - half).astype(jnp.int32)
-        # crop-first warping: evaluate the warp ONLY on the crop_size² grid
-        # (gathers are the expensive op on TPU; warping the full out_size²
-        # then slicing would do ~10x the gather work for identical output)
-        inv = invert_similarity(m)
-        ys = jax.lax.broadcasted_iota(jnp.float32, (crop_size, crop_size), 0) + (
-            cy - half
-        ).astype(jnp.float32)
-        xs = jax.lax.broadcasted_iota(jnp.float32, (crop_size, crop_size), 1) + (
-            cx - half
-        ).astype(jnp.float32)
-        sx = inv[0, 0] * xs + inv[0, 1] * ys + inv[0, 2]
-        sy = inv[1, 0] * xs + inv[1, 1] * ys + inv[1, 2]
-        return _bilinear_sample(frame.astype(jnp.float32), sx, sy)
-
-    return jax.vmap(per_frame)(frames, landmarks)
+    (ia, ib, itx, ity), cx, cy = _crop_window_coeffs(
+        landmarks, mean_face, out_size, crop_size, stable_idx
+    )
+    grid_y = jax.lax.broadcasted_iota(jnp.float32, (crop_size, crop_size), 0)
+    grid_x = jax.lax.broadcasted_iota(jnp.float32, (crop_size, crop_size), 1)
+    ys = grid_y + (cy - half).astype(jnp.float32)[..., None, None]
+    xs = grid_x + (cx - half).astype(jnp.float32)[..., None, None]
+    e = (...,) + (None, None)
+    sx = ia[e] * xs - ib[e] * ys + itx[e]
+    sy = ib[e] * xs + ia[e] * ys + ity[e]
+    return _bilinear_sample(frames.astype(jnp.float32), sx, sy)
 
 
 @functools.partial(jax.jit, static_argnames=("out_size", "crop_size", "stable_idx"))
 def warp_and_crop_clip_separable(
-    frames: jnp.ndarray,  # [T, H, W] grayscale float/uint8
-    landmarks: jnp.ndarray,  # [T, 68, 2] (x, y)
+    frames: jnp.ndarray,  # [..., H, W] grayscale float/uint8
+    landmarks: jnp.ndarray,  # [..., 68, 2] (x, y)
     mean_face: jnp.ndarray,  # [68, 2]
     out_size: int = 300,
     crop_size: int = 96,
@@ -158,39 +226,32 @@ def warp_and_crop_clip_separable(
     TPU) with dense matmuls — the TPU-native formulation of the warp.
     Matches :func:`warp_and_crop_clip` exactly for rotation-free
     transforms; use the general kernel when landmarks carry head roll.
+    Batched over arbitrary leading dims ([T, H, W] or [B, T, H, W]).
     """
-    stable = jnp.asarray(stable_idx)
     half = crop_size // 2
-    t, h, w = frames.shape
-
-    def per_frame_coords(lms):
-        m = umeyama(lms[stable], mean_face[stable])
-        mouth = transform_points(lms[48:68], m)
-        center = jnp.mean(mouth, axis=0)
-        cx = jnp.clip(center[0], half, out_size - half).astype(jnp.int32)
-        cy = jnp.clip(center[1], half, out_size - half).astype(jnp.int32)
-        inv = invert_similarity(m)
-        # separable assumption: inv[0,1] ~= inv[1,0] ~= 0 (no rotation)
-        xs = (jnp.arange(crop_size, dtype=jnp.float32) + (cx - half)) * inv[0, 0] + inv[0, 2]
-        ys = (jnp.arange(crop_size, dtype=jnp.float32) + (cy - half)) * inv[1, 1] + inv[1, 2]
-        return xs, ys
-
-    xs, ys = jax.vmap(per_frame_coords)(landmarks)  # [T, crop] each
+    h, w = frames.shape[-2:]
+    (ia, ib, itx, ity), cx, cy = _crop_window_coeffs(
+        landmarks, mean_face, out_size, crop_size, stable_idx
+    )
+    # separable assumption: ib ~= 0 (no rotation)
+    grid = jnp.arange(crop_size, dtype=jnp.float32)
+    xs = (grid + (cx - half).astype(jnp.float32)[..., None]) * ia[..., None] + itx[..., None]
+    ys = (grid + (cy - half).astype(jnp.float32)[..., None]) * ia[..., None] + ity[..., None]
 
     def interp_matrix(coords, n):
-        # [T, crop, n] banded bilinear weights: W[t, i, k] = max(0, 1-|c-k|)
+        # [..., crop, n] banded bilinear weights: W[..., i, k] = max(0, 1-|c-k|)
         k = jnp.arange(n, dtype=jnp.float32)
-        d = jnp.abs(coords[:, :, None] - k[None, None, :])
+        d = jnp.abs(coords[..., None] - k)
         wgt = jnp.maximum(0.0, 1.0 - d)
         # zero outside the source (matches the gather kernel's zero fill)
         valid = (coords >= 0) & (coords <= n - 1)
-        return wgt * valid[:, :, None]
+        return wgt * valid[..., None]
 
-    wx = interp_matrix(xs, w)  # [T, crop, W]
-    wy = interp_matrix(ys, h)  # [T, crop, H]
+    wx = interp_matrix(xs, w)  # [..., crop, W]
+    wy = interp_matrix(ys, h)  # [..., crop, H]
     f = frames.astype(jnp.float32)
-    tmp = jnp.einsum("tch,thw->tcw", wy, f, preferred_element_type=jnp.float32)
-    return jnp.einsum("tcw,tdw->tcd", tmp, wx, preferred_element_type=jnp.float32)
+    tmp = jnp.einsum("...ch,...hw->...cw", wy, f, preferred_element_type=jnp.float32)
+    return jnp.einsum("...cw,...dw->...cd", tmp, wx, preferred_element_type=jnp.float32)
 
 
 def rgb_to_grayscale(frames: jnp.ndarray) -> jnp.ndarray:
