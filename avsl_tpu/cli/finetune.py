@@ -134,8 +134,9 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     if smoke:
         train_rows = make_synthetic_dataset(8)
         val_rows = make_synthetic_dataset(4)
+        test_rows = None
     else:
-        train_rows, val_rows, _test = load_datasets(cfg)
+        train_rows, val_rows, test_rows = load_datasets(cfg)
         if train_rows is None:
             raise FileNotFoundError(
                 f"train dataset not found at {cfg.train_data_path!r}"
@@ -213,6 +214,10 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         model, train=True,
         freeze_video_bn_stats=bool(getattr(cfg, "freeze_video_batch_norm_stats", False)),
         spec_augment=getattr(cfg, "spec_augment", None),
+        # reference defaults when the keys are absent: 0.5/0.5
+        # (whisper_flamingo_ft_ami.py:344-345)
+        prob_av=float(getattr(cfg, "prob_use_av", 0.5)),
+        prob_a=float(getattr(cfg, "prob_use_a", 0.5)),
     )
     eval_loss = flamingo_loss_fn(model, train=False)
 
@@ -247,6 +252,16 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     )
     print(f"done: step={result['final_step']} best_wer={result['best_wer']:.4f} "
           f"(step {result['best_step']})")
+    if test_rows is not None:
+        # best-checkpoint test flow (reference trainer.test on best ckpt,
+        # whisper_flamingo_ft_ami.py:1027-1034)
+        test_ds = mk_ds(test_rows, False)
+        tm = runner.test_best(
+            lambda: batches(test_ds, int(cfg.eval_batch_size), False)
+        )
+        print(f"test (best ckpt step {result['best_step']}): "
+              f"wer={tm.get('test/wer_av'):.4f} cer={tm.get('test/cer_av'):.4f}")
+        result["test"] = tm
     return result
 
 

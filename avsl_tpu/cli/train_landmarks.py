@@ -1,13 +1,13 @@
 """Train the CNN landmark detector on procedural synthetic faces.
 
 Usage: ``python -m avsl_tpu.cli.train_landmarks [--steps 3000]
-[--n_train 20000] [--out avsl_tpu/data/assets/landmark_cnn.pkl]``
+[--n_train 20000] [--out avsl_tpu/data/assets/landmark_cnn.npz]``
 
 No external data: samples come from data/synthetic_faces.py (canonical
 68-point layout under random similarity transforms, rendered as intensity
 blobs with structured backgrounds and occluders). Loss is L1 on
 normalized coordinates with 3x weight on the mouth points 48..67 (the
-crop consumer). Weights save as a pickle the CNNLandmarkDetector loads by
+crop consumer). Weights save as a flat .npz the CNNLandmarkDetector loads by
 default.
 """
 
@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import argparse
 import os
-import pickle
+
 import time
 from typing import List, Optional
 
@@ -27,7 +27,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
     import jax.numpy as jnp
     import optax
 
-    from avsl_tpu.data.landmarks import DEFAULT_CNN_WEIGHTS, landmark_net
+    from avsl_tpu.data.landmarks import DEFAULT_CNN_WEIGHTS, landmark_net, save_cnn_params
     from avsl_tpu.data.synthetic_faces import generate_dataset
 
     p = argparse.ArgumentParser()
@@ -102,8 +102,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
         "val_mouth_px_error": float(mouth_err),
     }
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
-    with open(args.out, "wb") as f:
-        pickle.dump(jax.device_get(params), f)
+    save_cnn_params(jax.device_get(params), args.out)
     print("saved", args.out, result)
     return result
 

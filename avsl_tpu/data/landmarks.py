@@ -555,15 +555,44 @@ def landmark_net():
 
 
 DEFAULT_CNN_WEIGHTS = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "assets", "landmark_cnn.pkl"
+    os.path.dirname(os.path.abspath(__file__)), "assets", "landmark_cnn.npz"
 )
+
+
+def save_cnn_params(params, path: str) -> None:
+    """Save a flax param pytree as a flat ``.npz`` ("/"-joined keys) —
+    a plain-array format with no code-execution surface (unlike pickle)."""
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(prefix + "/" + k if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk("", params)
+    np.savez_compressed(path, **flat)
+
+
+def load_cnn_params(path: str):
+    """Load a flat ``.npz`` weight file back into a nested param dict."""
+    out: dict = {}
+    with np.load(path) as z:
+        for key in z.files:
+            node = out
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = z[key]
+    return out
 
 
 class CNNLandmarkDetector(LandmarkDetector):
     """Conv landmark regressor batched over the clip (one jit call).
 
     Loads the synthetic-face-pretrained weights shipped under
-    data/assets/landmark_cnn.pkl when present (train with
+    data/assets/landmark_cnn.npz when present (train with
     ``python -m avsl_tpu.cli.train_landmarks``); random init otherwise.
     """
 
@@ -579,10 +608,7 @@ class CNNLandmarkDetector(LandmarkDetector):
                 DEFAULT_CNN_WEIGHTS if os.path.exists(DEFAULT_CNN_WEIGHTS) else None
             )
             if path:
-                import pickle
-
-                with open(path, "rb") as f:
-                    params = pickle.load(f)
+                params = load_cnn_params(path)
             else:
                 params = self._net.init(
                     jax.random.PRNGKey(seed),
@@ -592,10 +618,7 @@ class CNNLandmarkDetector(LandmarkDetector):
         self._apply = jax.jit(lambda p, x: self._net.apply(p, x))
 
     def load_params(self, path: str) -> None:
-        import pickle
-
-        with open(path, "rb") as f:
-            self.params = pickle.load(f)
+        self.params = load_cnn_params(path)
 
     def __call__(self, frames: np.ndarray) -> List[Optional[np.ndarray]]:
         import cv2

@@ -365,6 +365,7 @@ class AVHuBERTEncoderWrapper(nn.Module):
         audio_present: Optional[jnp.ndarray] = None,
         video_present: Optional[jnp.ndarray] = None,
         feature_mask: Optional[jnp.ndarray] = None,  # [B,T] True = replace w/ mask_emb
+        channel_mask: Optional[jnp.ndarray] = None,  # [B,C] True = zero channel
         deterministic: bool = True,
         use_running_average: Optional[bool] = None,
     ) -> jnp.ndarray:
@@ -405,6 +406,11 @@ class AVHuBERTEncoderWrapper(nn.Module):
             x = jnp.where(
                 feature_mask[:, :t, None], self.mask_emb.astype(x.dtype), x
             )
+        if channel_mask is not None:
+            # fairseq-style feature-dim masking: masked channels are zeroed
+            # across all timesteps (av_hubert_model.py:586-828,
+            # mask_channel_indices path)
+            x = jnp.where(channel_mask[:, None, :], jnp.zeros((), x.dtype), x)
 
         x = self.input_dropout(x, deterministic=deterministic)
         if padding_mask is not None:
@@ -442,6 +448,7 @@ class AVHuBERTModel(nn.Module):
         use_running_average: Optional[bool] = None,
     ) -> jnp.ndarray:
         feature_mask = None
+        channel_mask = None
         if apply_time_mask and not deterministic:
             src = audio if audio is not None else video
             t = src.shape[1]
@@ -453,6 +460,19 @@ class AVHuBERTModel(nn.Module):
                 self.cfg.mask_length_audio if audio is not None else self.cfg.mask_length_image,
                 padding_mask,
             )
+            if self.cfg.mask_feature_prob > 0.0:
+                # feature-dimension (channel) span masking — the reference's
+                # mask_feature_prob/mask_feature_length path
+                # (av_hubert_model.py:586-828); spans run over the hidden
+                # channels and zero them for the whole sequence.
+                channel_mask = span_mask(
+                    self.make_rng("mask"),
+                    src.shape[0],
+                    self.cfg.hidden_size,
+                    self.cfg.mask_feature_prob,
+                    self.cfg.mask_feature_length,
+                    None,
+                )
         return self.encoder(
             audio=audio,
             video=video,
@@ -460,6 +480,7 @@ class AVHuBERTModel(nn.Module):
             audio_present=audio_present,
             video_present=video_present,
             feature_mask=feature_mask,
+            channel_mask=channel_mask,
             deterministic=deterministic,
             use_running_average=use_running_average,
         )

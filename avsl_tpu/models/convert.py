@@ -72,12 +72,28 @@ def _to_flax_array(path: str, value: np.ndarray) -> np.ndarray:
     return v
 
 
-def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+def load_torch_state_dict(
+    path: str, allow_unsafe_pickle: bool = False
+) -> Dict[str, np.ndarray]:
     """Read a .pt checkpoint to {key: float32 ndarray} (handles the
-    {'model_state_dict'| 'state_dict' | 'model'} nestings)."""
+    {'model_state_dict'| 'state_dict' | 'model'} nestings).
+
+    Loads with ``weights_only=True`` (no arbitrary-code deserialization).
+    Checkpoints that pickle custom objects (e.g. fairseq configs) need
+    ``allow_unsafe_pickle=True`` — an explicit opt-in, because unpickling
+    executes code from the file."""
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:
+        if not allow_unsafe_pickle:
+            raise ValueError(
+                f"{path} is not loadable with weights_only=True ({e}); "
+                "pass allow_unsafe_pickle=True to permit full unpickling "
+                "if you trust this file"
+            ) from e
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     for key in ("model_state_dict", "state_dict", "model"):
         if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
             obj = obj[key]
@@ -101,15 +117,44 @@ def convert_whisper_state_dict(
     return out
 
 
+# parameters whose silent non-load leaves the model effectively random:
+# token/positional embeddings and output heads. A vocab-size disagreement
+# (e.g. ByteTokenizer's ~271 ids vs a real Whisper's 51865-row
+# token_embedding) lands these in shape_mismatch, which non-strict
+# partial_load would otherwise skip without a word.
+_CRITICAL_MISMATCH = re.compile(
+    r"(token_embedding|embed_tokens|positional_embedding|embed_positions"
+    r"|output_proj|lm_head)"
+)
+
+
 def load_torch_checkpoint_into(
-    params: Any, ckpt_path: str, converter=convert_whisper_state_dict
+    params: Any, ckpt_path: str, converter=convert_whisper_state_dict,
+    allow_unsafe_pickle: bool = False, allow_embedding_mismatch: bool = False,
 ) -> Tuple[Any, Dict[str, list]]:
-    """Full pipeline: read .pt -> rename/transpose -> partial_load triage."""
+    """Full pipeline: read .pt -> rename/transpose -> partial_load triage.
+
+    Raises when an embedding/output-head tensor is skipped for a shape
+    mismatch (usually a tokenizer/vocab-size disagreement) unless
+    ``allow_embedding_mismatch=True`` — the reference resizes embeddings
+    for ``<laugh>`` *after* loading (whisper_flamingo_ft_ami.py:457-467),
+    so a mismatch at load time means the model would train from a random
+    embedding while claiming to be 'converted'."""
     from avsl_tpu.train.checkpoints import partial_load
 
-    state = load_torch_state_dict(ckpt_path)
+    state = load_torch_state_dict(ckpt_path, allow_unsafe_pickle=allow_unsafe_pickle)
     flat = converter(state)
-    return partial_load(params, flat)
+    new_params, report = partial_load(params, flat)
+    critical = [k for k in report["shape_mismatch"] if _CRITICAL_MISMATCH.search(k)]
+    if critical and not allow_embedding_mismatch:
+        raise ValueError(
+            f"checkpoint {ckpt_path}: embedding/output tensors skipped for "
+            f"shape mismatch: {critical}. This usually means the model's "
+            "vocab size does not match the checkpoint (use the real BPE "
+            "vocab, then resize for added tokens after loading). Pass "
+            "allow_embedding_mismatch=True to proceed anyway."
+        )
+    return new_params, report
 
 
 # ---------------------------------------------------------------------------

@@ -16,7 +16,8 @@ from avsl_tpu.models.avhubert import cross_entropy_loss
 
 
 def flamingo_loss_fn(model, train: bool = True, freeze_video_bn_stats: bool = False,
-                     spec_augment: Optional[str] = None):
+                     spec_augment: Optional[str] = None,
+                     prob_av: float = 1.0, prob_a: float = 0.0):
     """CE loss for Whisper(+Flamingo): encoder(mel, video) -> decoder(...).
 
     ``freeze_video_bn_stats`` mirrors the reference's
@@ -24,7 +25,14 @@ def flamingo_loss_fn(model, train: bool = True, freeze_video_bn_stats: bool = Fa
     never updates — whisper_flamingo_ft_ami.py:508-509).
     ``spec_augment``: "ls-basic" | "ls-double" applies on-device
     SpecAugment to the mel batch during training (the reference does it
-    per item on the host — whisper_flamingo_ft_ami.py:216-226)."""
+    per item on the host — whisper_flamingo_ft_ami.py:216-226).
+    ``prob_av``/``prob_a`` implement the external fork's train-time AV-mode
+    mixing (``whisper.load_model(..., prob_av, prob_a)`` contract,
+    whisper_flamingo_ft_ami.py:337-348; YAML keys ``prob_use_av`` /
+    ``prob_use_a``). Per training step one mode is drawn: with probability
+    ``prob_av`` both modalities are used as-is; with ``prob_a`` the video
+    stream is zeroed (audio-only); with the remainder the mel is zeroed
+    (video-only). Zero-multipliers keep shapes static — no retracing."""
 
     def loss_fn(params, batch_stats, batch, rng):
         variables = {"params": params["params"] if "params" in params else params}
@@ -49,11 +57,20 @@ def flamingo_loss_fn(model, train: bool = True, freeze_video_bn_stats: bool = Fa
                 mel.transpose(0, 2, 1), sa_key, frames, n_freq_mask=n, n_time_mask=n
             ).transpose(0, 2, 1)
 
+        video = batch.get("video")
+        if train and video is not None and (prob_av < 1.0 or prob_a > 0.0):
+            rng, mode_key = jax.random.split(rng)
+            u = jax.random.uniform(mode_key, ())
+            keep_video = jnp.where(u < prob_av + prob_a, u < prob_av, 1.0)
+            keep_audio = (u < prob_av + prob_a).astype(mel.dtype)
+            video = video * keep_video.astype(video.dtype)
+            mel = mel * keep_audio
+
         out = model.apply(
             variables,
             mel,
             batch["dec_input_ids"],
-            video=batch.get("video"),
+            video=video,
             video_mask=batch.get("video_mask"),
             deterministic=not train,
             freeze_video_bn_stats=freeze_video_bn_stats,

@@ -221,3 +221,28 @@ class TrainerRunner:
             "best_step": self.best_step,
             "history": history,
         }
+
+    def test_best(
+        self,
+        test_batches: Callable[[], Iterator[Dict[str, np.ndarray]]],
+        prefix: str = "test",
+        max_batches: Optional[int] = None,
+    ) -> Dict[str, float]:
+        """Evaluate the BEST checkpoint (by monitored ``val/wer_av``) on a
+        held-out split — the reference's ``trainer.test(ckpt_path='best')``
+        flow (whisper_flamingo_ft_ami.py:1027-1034). Falls back to the
+        latest checkpoint when no validation ever selected a best step,
+        and to the in-memory state when no checkpoint exists at all."""
+        step = self.best_step if self.best_step >= 0 else latest_step(self.ckpt_dir)
+        state = self.state
+        if step is not None and step >= 0:
+            try:
+                state = restore_checkpoint(self.ckpt_dir, self.state, step)
+            except FileNotFoundError:
+                step = None
+        m = evaluate_wer(
+            lambda b: self.eval_logits_fn(state, b),
+            test_batches(), self.tokenizer, max_batches=max_batches, prefix=prefix,
+        )
+        self.logger.log(step or 0, m)
+        return m

@@ -116,6 +116,104 @@ def test_full_checkpoint_conversion(tmp_path):
     assert np.isfinite(np.asarray(after)).all()
 
 
+def _torch_whisper_encoder_forward(sd, mel_np, cfg):
+    """Independent torch reference forward of the OpenAI Whisper encoder
+    (published architecture: conv x2 + exact GELU, sinusoidal positions,
+    pre-norm blocks with q/k each scaled by d_head**-0.25, biasless key
+    projection, fp32 softmax, final LayerNorm). Computed directly from the
+    torch-format state dict — no code shared with the flax model."""
+    import torch.nn.functional as F
+
+    d, H = cfg.n_audio_state, cfg.n_audio_head
+    dh = d // H
+    with torch.no_grad():
+        x = torch.tensor(mel_np)
+        x = F.gelu(F.conv1d(x, sd["encoder.conv1.weight"], sd["encoder.conv1.bias"], padding=1))
+        x = F.gelu(F.conv1d(x, sd["encoder.conv2.weight"], sd["encoder.conv2.bias"], stride=2, padding=1))
+        x = x.permute(0, 2, 1)  # [B, T, d]
+        half = d // 2
+        inc = np.log(10000.0) / (half - 1)
+        inv = np.exp(-inc * np.arange(half))
+        st = np.arange(x.shape[1])[:, None] * inv[None, :]
+        pos = np.concatenate([np.sin(st), np.cos(st)], axis=1).astype(np.float32)
+        x = x + torch.tensor(pos)
+
+        def ln(v, w, b):
+            return F.layer_norm(v, (d,), sd[w], sd[b])
+
+        B, T = x.shape[0], x.shape[1]
+        for i in range(cfg.n_audio_layer):
+            p = f"encoder.blocks.{i}."
+            xin = ln(x, p + "attn_ln.weight", p + "attn_ln.bias")
+            q = F.linear(xin, sd[p + "attn.query.weight"], sd[p + "attn.query.bias"])
+            k = F.linear(xin, sd[p + "attn.key.weight"])
+            v = F.linear(xin, sd[p + "attn.value.weight"], sd[p + "attn.value.bias"])
+            q = q.view(B, T, H, dh).permute(0, 2, 1, 3) * dh ** -0.25
+            k = k.view(B, T, H, dh).permute(0, 2, 3, 1) * dh ** -0.25
+            v = v.view(B, T, H, dh).permute(0, 2, 1, 3)
+            w = torch.softmax((q @ k).float(), dim=-1)
+            out = (w @ v).permute(0, 2, 1, 3).reshape(B, T, d)
+            x = x + F.linear(out, sd[p + "attn.out.weight"], sd[p + "attn.out.bias"])
+            xin = ln(x, p + "mlp_ln.weight", p + "mlp_ln.bias")
+            h = F.gelu(F.linear(xin, sd[p + "mlp.0.weight"], sd[p + "mlp.0.bias"]))
+            x = x + F.linear(h, sd[p + "mlp.2.weight"], sd[p + "mlp.2.bias"])
+        x = ln(x, "encoder.ln_post.weight", "encoder.ln_post.bias")
+    return x.numpy()
+
+
+def test_whisper_conversion_numerics(tmp_path):
+    """Converted weights must reproduce the torch forward pass — key layout
+    alone can hide transposition/scaling bugs (ADVICE r1). Triage
+    semantics: whisper_flamingo_ft_ami.py:377-446."""
+    cfg = WhisperConfig.tiny_test(dtype="float32")
+    model = Whisper(cfg)
+    mel_np = np.random.default_rng(5).normal(size=(2, cfg.n_mels, 64)).astype(np.float32)
+    mel = jnp.asarray(mel_np)
+    toks = jnp.asarray([[1, 2, 3], [4, 5, 6]])
+    variables = model.init(jax.random.PRNGKey(0), mel, toks)
+
+    rng = np.random.default_rng(11)
+    sd = _torch_state_for(cfg, rng)
+    # make LayerNorm scales realistic (~1) so the comparison exercises the
+    # same numeric regime as a real checkpoint
+    for k in list(sd):
+        if k.endswith(("ln.weight", "ln_post.weight", "attn_ln.weight", "mlp_ln.weight")):
+            sd[k] = sd[k] + 1.0
+    ckpt = str(tmp_path / "w.pt")
+    torch.save({"model_state_dict": sd}, ckpt)
+
+    new_params, report = load_torch_checkpoint_into(variables["params"], ckpt)
+    assert report["shape_mismatch"] == []
+
+    ref = _torch_whisper_encoder_forward(sd, mel_np, cfg)
+    got, _ = model.apply({"params": new_params}, mel, method=model.encode)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4, rtol=2e-3)
+
+
+def test_embedding_shape_mismatch_is_loud(tmp_path):
+    """A vocab-size disagreement must not silently skip the token embedding
+    (ADVICE r1: non-strict partial_load left a random embedding in a
+    'converted' model)."""
+    cfg = WhisperConfig.tiny_test(dtype="float32")
+    model = Whisper(cfg)
+    mel = jnp.zeros((1, cfg.n_mels, 64), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), mel, jnp.asarray([[1]]))
+
+    sd = _torch_state_for(cfg, np.random.default_rng(0))
+    # wrong vocab size, as with a real 51865-row Whisper checkpoint
+    sd["decoder.token_embedding.weight"] = torch.zeros((cfg.n_vocab + 7, cfg.n_text_state))
+    ckpt = str(tmp_path / "bad.pt")
+    torch.save({"model_state_dict": sd}, ckpt)
+
+    with pytest.raises(ValueError, match="token_embedding"):
+        load_torch_checkpoint_into(variables["params"], ckpt)
+    # explicit opt-in still works and reports the skip
+    _, report = load_torch_checkpoint_into(
+        variables["params"], ckpt, allow_embedding_mismatch=True
+    )
+    assert any("token_embedding" in k for k in report["shape_mismatch"])
+
+
 # ---------------------------------------------------------------------------
 # fairseq AV-HuBERT conversion
 # ---------------------------------------------------------------------------

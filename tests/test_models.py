@@ -218,6 +218,37 @@ def test_span_mask_properties():
     assert not m[:, 50:].any()  # never masks padding
 
 
+def test_mask_feature_prob_channel_masking(av_batch):
+    """mask_feature_prob must actually change the forward pass (the
+    reference zeroes random channel spans during pretrain-style masking,
+    av_hubert_model.py:586-828). Two configs differing only in the knob
+    share an init tree (channel masking adds no params), so any output
+    difference is the masking itself."""
+    audio, video, padding = av_batch
+    cfg_on = AVHuBERTConfig.tiny_test(
+        dtype="float32", mask_prob_audio=0.0, mask_feature_prob=0.5,
+        mask_feature_length=4,
+    )
+    cfg_off = AVHuBERTConfig.tiny_test(
+        dtype="float32", mask_prob_audio=0.0, mask_feature_prob=0.0,
+    )
+    m_on, m_off = AVHuBERTModel(cfg_on), AVHuBERTModel(cfg_off)
+    params = m_off.init(
+        jax.random.PRNGKey(0), audio=audio, video=video, padding_mask=padding
+    )
+    rngs = {"dropout": jax.random.PRNGKey(1), "modality": jax.random.PRNGKey(2),
+            "mask": jax.random.PRNGKey(3)}
+    kw = dict(audio=audio, video=video, padding_mask=padding,
+              apply_time_mask=True, deterministic=False,
+              use_running_average=True)
+    out_on = m_on.apply(params, rngs=rngs, **kw)
+    out_off = m_off.apply(params, rngs=rngs, **kw)
+    assert np.abs(np.asarray(out_on) - np.asarray(out_off)).max() > 1e-5
+    # with the knob off the call is reproducible under the same rngs
+    out_off2 = m_off.apply(params, rngs=rngs, **kw)
+    np.testing.assert_allclose(np.asarray(out_off), np.asarray(out_off2))
+
+
 def test_cross_entropy_label_smoothing():
     logits = jnp.asarray(np.random.default_rng(0).normal(size=(2, 4, 10)), jnp.float32)
     labels = jnp.asarray([[1, 2, -100, -100], [3, -100, -100, -100]])

@@ -1,0 +1,102 @@
+"""TrainerRunner behavior tests: early stopping on a plateaued
+``val/wer_av`` and best-checkpoint reload for the final test evaluation.
+
+Reference semantics: EarlyStoppingCallback patience 5 (whisper_ft.py:427)
+and ``trainer.test`` on the best checkpoint
+(whisper_flamingo_ft_ami.py:1027-1034)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from avsl_tpu.train import TrainState
+from avsl_tpu.train.runner import TrainerRunner
+
+
+class FakeTokenizer:
+    eot = 9
+    special_token_set = {9}
+
+    def decode(self, ids):
+        return " ".join(str(i) for i in ids)
+
+
+class Cfg:
+    gradient_accumulation_steps = 1
+    early_stop_patience = 2
+    resume_training = False
+
+
+GOOD_UNTIL = 2  # eval is perfect while state.step <= this, garbage after
+VOCAB = 10
+
+
+def _runner(tmp_path):
+    def loss_fn(params, batch_stats, batch, rng):
+        loss = jnp.mean((params["w"] - batch["x"]) ** 2)
+        return loss, ({}, batch_stats)
+
+    # eval quality is a function of the evaluated STATE's step counter:
+    # restoring an earlier checkpoint therefore visibly restores the
+    # earlier (better) eval behavior.
+    def eval_logits(state, batch):
+        labels = batch["labels"]
+        good = jax.nn.one_hot(labels, VOCAB) * 10.0
+        bad = jax.nn.one_hot((labels + 3) % 8, VOCAB) * 10.0
+        return jnp.where(state.step <= GOOD_UNTIL, good, bad)
+
+    tx = optax.adam(0.1)
+    state = TrainState.create({"w": jnp.zeros(())}, tx)
+    return TrainerRunner(
+        loss_fn, eval_logits, tx, state, FakeTokenizer(), Cfg(),
+        log_dir=str(tmp_path / "logs"), ckpt_dir=str(tmp_path / "ckpt"),
+    )
+
+
+def _train_batches(epoch=0):
+    def it():
+        for _ in range(100):
+            yield {"x": np.ones((4,), np.float32)}
+    return it()
+
+
+def _val_batches():
+    return iter([{"labels": np.asarray([[1, 2, 3, 9]]),
+                  "x": np.ones((1,), np.float32)}])
+
+
+def test_early_stop_and_best_ckpt_reload(tmp_path):
+    runner = _runner(tmp_path)
+    result = runner.fit(
+        train_batches=_train_batches,
+        val_batches=_val_batches,
+        num_steps=20,
+        validate_every=1,
+    )
+    # evals: step 1 wer=0 (best), step 2 wer=0 (no improvement, count 1),
+    # step 3 wer=1 (count 2 == patience) -> stop well before num_steps
+    assert result["final_step"] < 20
+    assert result["best_wer"] == pytest.approx(0.0)
+    assert result["best_step"] == 1
+    # the in-memory (stopped) state is past GOOD_UNTIL -> its eval is bad
+    live = runner.eval_logits_fn(runner.state, next(_val_batches()))
+    assert int(runner.state.step) > GOOD_UNTIL
+
+    # test_best must evaluate the BEST step's weights, not the live ones
+    m = runner.test_best(_val_batches)
+    assert m["test/wer_av"] == pytest.approx(0.0)
+    assert m["test/cer_av"] == pytest.approx(0.0)
+
+
+def test_no_early_stop_when_disabled(tmp_path):
+    runner = _runner(tmp_path)
+    runner.early_stop_patience = 0
+    result = runner.fit(
+        train_batches=_train_batches,
+        val_batches=_val_batches,
+        num_steps=8,
+        validate_every=1,
+    )
+    assert result["final_step"] == 8

@@ -97,6 +97,38 @@ def test_train_step_on_mesh_updates_only_trainable(flamingo_setup, eight_devices
     assert losses[-1] < losses[0]
 
 
+def test_prob_av_mode_mixing(flamingo_setup):
+    """prob_av/prob_a draw one AV-mode per step (external fork contract,
+    whisper_flamingo_ft_ami.py:337-348): prob_av=1 keeps both streams,
+    prob_a=1 zeroes video (audio-only), and prob_av=prob_a=0 zeroes the
+    mel (video-only)."""
+    cfg, model, variables, batch = flamingo_setup
+    rng = jax.random.PRNGKey(7)
+    # nudge the x-attn gates: at init tanh(0)=0 makes video a no-op, which
+    # would hide the audio-only branch
+    nudged = jax.tree_util.tree_map(lambda x: x, variables)  # fresh dicts, same leaves
+    for blk, sub in nudged["params"]["decoder"].items():
+        if blk.startswith("block_") and "x_attn_gate" in sub:
+            sub["x_attn_gate"] = jnp.ones_like(sub["x_attn_gate"])
+
+    def loss_with(batch, **kw):
+        fn = flamingo_loss_fn(model, train=True, **kw)
+        loss, _ = fn(nudged, None, batch, rng)
+        return float(loss)
+
+    base = loss_with(batch)  # default prob_av=1 -> no mixing branch at all
+    assert loss_with(batch, prob_av=1.0, prob_a=0.0) == pytest.approx(base, rel=1e-6)
+
+    video_zeroed = dict(batch, video=jnp.zeros_like(batch["video"]))
+    audio_only = loss_with(batch, prob_av=0.0, prob_a=1.0)
+    assert audio_only == pytest.approx(loss_with(video_zeroed), rel=1e-6)
+    assert audio_only != pytest.approx(base, rel=1e-6)
+
+    mel_zeroed = dict(batch, input_ids=jnp.zeros_like(batch["input_ids"]))
+    video_only = loss_with(batch, prob_av=0.0, prob_a=0.0)
+    assert video_only == pytest.approx(loss_with(mel_zeroed), rel=1e-6)
+
+
 def test_grad_accum_matches_big_batch(flamingo_setup):
     cfg, model, variables, batch = flamingo_setup
     tx, _ = select_optimizer(variables["params"], Cfg(), 100)
