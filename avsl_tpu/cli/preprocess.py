@@ -83,6 +83,70 @@ def cmd_segment(args) -> None:
     print(json.dumps(out["stats"], indent=2))
 
 
+def cmd_segment_exist(args) -> None:
+    """Build the HF dataset from already-sliced media (the reference's
+    ``--mode segment_exist``, dataset_process.py:549-749)."""
+    from avsl_tpu.data.dataset_process import dataset_from_existing_segments
+
+    out = dataset_from_existing_segments(
+        args.source_dir,
+        args.transcripts,
+        args.output,
+        include_lips=args.include_lips,
+        min_duration=args.min_duration,
+        package_hf=not args.no_dataset,
+    )
+    print(json.dumps(out["stats"], indent=2))
+
+
+def cmd_reprocess_lips(args) -> None:
+    """CSV-driven lip reprocessing (the reference's ``--mode process_lip``
+    / ``process_lip_chunk``, dataset_process.py:753-1079)."""
+    from avsl_tpu.data.dataset_process import reprocess_lips_from_csv
+
+    out = reprocess_lips_from_csv(
+        args.csv,
+        args.output,
+        only_missing=args.only_missing,
+        update_csv=not args.no_update_csv,
+    )
+    print(json.dumps({"n_ok": out["n_ok"], "n_failed": out["n_failed"],
+                      "missing_files": out["missing_files"]}))
+
+
+def cmd_marker_dataset(args) -> None:
+    """Word-level laughter/disfluency dataset with media slicing + stats
+    (laugh_dataset_process.py / dsfl_dataset_process.py drivers)."""
+    from avsl_tpu.data.ami_xml import AMI_SPEAKERS
+    from avsl_tpu.data.dataset_process import (
+        load_laughter_markers,
+        process_marker_dataset,
+    )
+
+    df = load_laughter_markers(args.csv)
+    audio_sources, video_sources = {}, {}
+    if args.media_dir:
+        for fname in sorted(os.listdir(args.media_dir)):
+            parts = fname.split(".")
+            if len(parts) < 3:
+                continue
+            meeting, channel = parts[0], parts[1]
+            for speaker, chans in AMI_SPEAKERS.items():
+                path = os.path.join(args.media_dir, fname)
+                if channel == chans["audio"]:
+                    audio_sources[(meeting, speaker)] = path
+                elif channel == chans["video"]:
+                    video_sources[(meeting, speaker)] = path
+    out = process_marker_dataset(
+        df, audio_sources, args.output,
+        video_sources=video_sources or None,
+        min_duration=args.min_duration,
+        balance=not args.no_balance,
+        speakers=sorted(AMI_SPEAKERS) if args.check_speakers else None,
+    )
+    print(json.dumps(out["stats"], indent=2))
+
+
 def cmd_lips(args) -> None:
     from avsl_tpu.data.chunked import process_in_chunks
     from avsl_tpu.data.dataset_process import process_lip_videos
@@ -151,6 +215,31 @@ def main(argv: Optional[List[str]] = None) -> None:
     l.add_argument("--chunk_size", type=int, default=100)
     l.add_argument("--no_resume", action="store_true")
 
+    se = sub.add_parser("segment_exist",
+                        help="build HF dataset from already-sliced media")
+    se.add_argument("--source_dir", required=True)
+    se.add_argument("--transcripts", required=True)
+    se.add_argument("--output", required=True)
+    se.add_argument("--include_lips", action="store_true")
+    se.add_argument("--min_duration", type=float, default=0.1)
+    se.add_argument("--no_dataset", action="store_true")
+
+    rl = sub.add_parser("reprocess_lips",
+                        help="CSV-driven lip (re)extraction + CSV merge")
+    rl.add_argument("--csv", required=True)
+    rl.add_argument("--output", required=True)
+    rl.add_argument("--only_missing", action="store_true")
+    rl.add_argument("--no_update_csv", action="store_true")
+
+    md = sub.add_parser("marker_dataset",
+                        help="laughter/disfluency word dataset + stats JSON")
+    md.add_argument("--csv", required=True)
+    md.add_argument("--output", required=True)
+    md.add_argument("--media_dir", default=None)
+    md.add_argument("--min_duration", type=float, default=0.05)
+    md.add_argument("--no_balance", action="store_true")
+    md.add_argument("--check_speakers", action="store_true")
+
     args = p.parse_args(argv)
     {
         "transcripts": cmd_transcripts,
@@ -158,6 +247,9 @@ def main(argv: Optional[List[str]] = None) -> None:
         "dialogue_acts": cmd_dialogue_acts,
         "segment": cmd_segment,
         "lips": cmd_lips,
+        "segment_exist": cmd_segment_exist,
+        "reprocess_lips": cmd_reprocess_lips,
+        "marker_dataset": cmd_marker_dataset,
     }[args.cmd](args)
 
 

@@ -171,6 +171,202 @@ def segment_sources(
 
 
 # ---------------------------------------------------------------------------
+# Build-from-existing-segments mode
+# ---------------------------------------------------------------------------
+
+# media filename suffixes: this framework's layout and the reference's
+# (``-audio.wav`` / ``-video.mp4`` / ``-lip_video.mp4``,
+# dataset_process.py:613-634) are both recognized when scanning.
+_AUDIO_SUFFIXES = (".wav", "-audio.wav")
+_VIDEO_SUFFIXES = (".mp4", "-video.mp4")
+_LIP_SUFFIXES = ("-lip.mp4", "-lip_video.mp4")
+
+
+def _scan_media_dir(directory: str, suffixes: Sequence[str]) -> Dict[str, str]:
+    """{segment_id: path} for files matching any suffix (longest wins)."""
+    out: Dict[str, str] = {}
+    if not os.path.isdir(directory):
+        return out
+    ordered = sorted(suffixes, key=len, reverse=True)
+    for fname in sorted(os.listdir(directory)):
+        for suf in ordered:
+            if fname.endswith(suf):
+                out[fname[: -len(suf)]] = os.path.join(directory, fname)
+                break
+    return out
+
+
+def dataset_from_existing_segments(
+    source_dir: str,
+    transcript_dir: str,
+    output_dir: str,
+    include_lips: bool = False,
+    min_duration: float = 0.1,
+    package_hf: bool = True,
+    sample_rate: int = 16000,
+) -> Dict[str, Any]:
+    """Rebuild dataset records from ALREADY-SLICED media — no re-segmenting.
+
+    The reference's recovery/iteration workflow
+    (``ami_dataset_from_existing_segments``, dataset_process.py:549-749):
+    scan ``{source_dir}/audio_segments`` and ``{source_dir}/video_segments``
+    (plus ``original_videos``/``lips`` reference sublayouts and this
+    framework's ``lip_videos``), join with transcripts by segment id
+    (``meeting-speaker-start-end``), keep every segment that has at least
+    one media stream, record ``has_*`` flags, write
+    ``dataset_records.json``, and optionally package the HF dataset."""
+    audio_dir = os.path.join(source_dir, "audio_segments")
+    video_dir = os.path.join(source_dir, "video_segments")
+    audio_files = _scan_media_dir(audio_dir, _AUDIO_SUFFIXES)
+    video_files = _scan_media_dir(video_dir, _VIDEO_SUFFIXES)
+    if not video_files:  # reference nests originals one level down
+        video_files = _scan_media_dir(
+            os.path.join(video_dir, "original_videos"), _VIDEO_SUFFIXES
+        )
+    lip_files: Dict[str, str] = {}
+    if include_lips:
+        for cand in (os.path.join(output_dir, "lip_videos"),
+                     os.path.join(source_dir, "lip_videos"),
+                     os.path.join(video_dir, "lips")):
+            lip_files = _scan_media_dir(cand, _LIP_SUFFIXES)
+            if lip_files:
+                break
+
+    segments = collect_segments_from_transcripts(
+        transcript_dir, min_duration=min_duration
+    )
+    transcript_info = {s.segment_id: s for s in segments}
+
+    records: List[Dict[str, Any]] = []
+    all_ids = set(audio_files) | set(video_files) | set(transcript_info)
+    for sid in sorted(all_ids):
+        has_audio = sid in audio_files
+        has_video = sid in video_files
+        if not (has_audio or has_video):
+            continue
+        parts = sid.split("-")
+        if len(parts) < 4:
+            continue
+        seg = transcript_info.get(sid)
+        rec: Dict[str, Any] = {
+            "id": sid,
+            "meeting_id": parts[0],
+            "speaker_id": parts[1],
+            "start": float(parts[-2]),
+            "end": float(parts[-1]),
+            "duration": float(parts[-1]) - float(parts[-2]),
+            "transcript": seg.transcript if seg else "",
+            "has_audio": has_audio,
+            "has_video": has_video,
+            "has_lip_video": sid in lip_files,
+            "has_transcript": seg is not None,
+        }
+        if has_audio:
+            rec["audio"] = audio_files[sid]
+        if has_video:
+            rec["video"] = video_files[sid]
+        if sid in lip_files:
+            rec["lip_video"] = lip_files[sid]
+        records.append(rec)
+
+    os.makedirs(output_dir, exist_ok=True)
+    import json
+
+    with open(os.path.join(output_dir, "dataset_records.json"), "w") as f:
+        json.dump(records, f)
+
+    out: Dict[str, Any] = {
+        "records": records,
+        "stats": {
+            "audio_files": len(audio_files),
+            "video_files": len(video_files),
+            "lip_files": len(lip_files),
+            "transcripts": len(transcript_info),
+            "records": len(records),
+        },
+    }
+    if package_hf and records:
+        from avsl_tpu.data.hf_dataset import av_to_hf_dataset
+
+        out["dataset"] = av_to_hf_dataset(
+            records, os.path.join(output_dir, "hf_dataset"), sample_rate
+        )
+    return out
+
+
+def reprocess_lips_from_csv(
+    csv_path: str,
+    lip_dir: str,
+    only_missing: bool = False,
+    detector=None,
+    update_csv: bool = True,
+    results_json: Optional[str] = None,
+) -> Dict[str, Any]:
+    """CSV-driven lip (re)processing — the reference's ``process_lip`` /
+    ``process_lip_chunk`` modes (dataset_process.py:753-1079).
+
+    Reads a segments-info CSV (``id`` + ``video`` columns; ``has_video`` /
+    ``has_lip_video`` honored when present), re-extracts the 96x96 lip clip
+    for each row with a video (or, with ``only_missing=True``, only rows
+    whose lip clip is absent), writes a per-segment results JSON, and
+    merges ``has_lip_video``/``lip_video`` back into the CSV in place."""
+    import json
+
+    import pandas as pd
+
+    df = pd.read_csv(csv_path)
+    if "video" not in df.columns:
+        raise ValueError(f"{csv_path} has no 'video' column")
+    rows = df
+    if "has_video" in df.columns:
+        rows = rows[rows["has_video"].astype(bool)]
+    rows = rows.dropna(subset=["video"])
+    if only_missing and "has_lip_video" in df.columns:
+        rows = rows[~rows["has_lip_video"].astype(bool)]
+
+    results: Dict[str, Tuple[bool, str]] = {}
+    missing_files = 0
+    todo: List[Tuple[str, str]] = []
+    for row in rows.to_dict("records"):
+        if not os.path.exists(str(row["video"])):
+            missing_files += 1
+            continue
+        todo.append((str(row["id"]), str(row["video"])))
+
+    os.makedirs(lip_dir, exist_ok=True)
+    res = process_lip_videos([v for _, v in todo], lip_dir, detector=detector)
+    for (sid, _), (ok, out_path) in zip(todo, res):
+        results[sid] = (ok, out_path)
+
+    if results_json is None:
+        results_json = os.path.join(lip_dir, "lip_segment_results.json")
+    with open(results_json, "w") as f:
+        json.dump(
+            {sid: {"success": ok, "output_file": p} for sid, (ok, p) in results.items()},
+            f, indent=2,
+        )
+
+    if update_csv:
+        if "has_lip_video" not in df.columns:
+            df["has_lip_video"] = False
+        if "lip_video" not in df.columns:
+            df["lip_video"] = None
+        for sid, (ok, path) in results.items():
+            sel = df["id"] == sid
+            df.loc[sel, "has_lip_video"] = bool(ok)
+            df.loc[sel, "lip_video"] = path if ok else None
+        df.to_csv(csv_path, index=False)
+
+    n_ok = sum(ok for ok, _ in results.values())
+    return {
+        "results": results,
+        "n_ok": n_ok,
+        "n_failed": len(results) - n_ok,
+        "missing_files": missing_files,
+    }
+
+
+# ---------------------------------------------------------------------------
 # Word-level laughter / disfluency datasets
 # ---------------------------------------------------------------------------
 
@@ -209,15 +405,21 @@ def collect_marker_segments(
     df,
     min_duration: float = 0.05,
     laugh_types: Sequence[str] = ("laughter",),
+    speakers: Optional[Sequence[str]] = None,
 ) -> Tuple[List[Dict[str, Any]], Dict[str, int]]:
-    """Marker rows -> per-word segments with skip accounting.
+    """Marker rows -> per-word segments with per-reason skip accounting.
 
     Returns (segments, skip_reasons). Each segment dict carries
     meeting/speaker/word/start/end/event_type ('laughter' vs the
-    disfluency type vs 'fluent')."""
-    skip = {"too_short": 0, "bad_times": 0}
+    disfluency type vs 'fluent'). Skip reasons mirror the reference's dsfl
+    counters (dsfl_dataset_process.py:50-53): ``speaker_mapping`` (when a
+    ``speakers`` allowlist is given), ``too_short``, ``bad_times``."""
+    skip = {"too_short": 0, "bad_times": 0, "speaker_mapping": 0}
     out: List[Dict[str, Any]] = []
     for row in df.itertuples(index=False):
+        if speakers is not None and str(row.speaker_id) not in speakers:
+            skip["speaker_mapping"] += 1
+            continue
         start, end = float(row.start_time), float(row.end_time)
         if not np.isfinite(start) or not np.isfinite(end) or end <= start:
             skip["bad_times"] += 1
@@ -258,6 +460,91 @@ def balance_classes(
         idx = rng.permutation(len(items))[:n_min]
         out.extend(items[i] for i in sorted(idx))
     return out
+
+
+class _MarkerSeg:
+    """Shim giving a marker dict the (segment_id, start, end) surface the
+    media slicers consume — marker ids carry the event type
+    (laugh_dataset_process.py:89-107), so plain Segment ids don't fit."""
+
+    def __init__(self, d: Dict[str, Any]):
+        self.segment_id = d["id"]
+        self.start = d["start"]
+        self.end = d["end"]
+
+
+def process_marker_dataset(
+    df,
+    audio_sources: Dict[Tuple[str, str], str],
+    output_dir: str,
+    video_sources: Optional[Dict[Tuple[str, str], str]] = None,
+    min_duration: float = 0.05,
+    balance: bool = True,
+    sample_rate: int = 16000,
+    fps: int = 25,
+    speakers: Optional[Sequence[str]] = None,
+    stats_path: Optional[str] = None,
+) -> Dict[str, Any]:
+    """Word-level marker segments -> sliced media + per-type stats JSON.
+
+    The driver the reference spreads over laugh_dataset_process.py:508-693
+    and dsfl_dataset_process.py:260-490: collect marker segments with
+    per-reason skip accounting, drop segments whose source media is absent
+    (``source_missing`` counter, dsfl_dataset_process.py:94), optionally
+    class-balance by downsampling, slice audio (and video when sources are
+    given), and write a stats JSON with per-event-type counts and all skip
+    reasons (laugh_dataset_process.py:296-309 observability)."""
+    import json
+
+    segments, skip = collect_marker_segments(
+        df, min_duration=min_duration, speakers=speakers
+    )
+    kept: List[Dict[str, Any]] = []
+    skip["source_missing"] = 0
+    for s in segments:
+        key = (s["meeting_id"], s["speaker_id"])
+        if key not in audio_sources and not (video_sources and key in video_sources):
+            skip["source_missing"] += 1
+            continue
+        kept.append(s)
+    if balance and kept:
+        kept = balance_classes(kept)
+
+    audio_dir = os.path.join(output_dir, "audio_segments")
+    video_dir = os.path.join(output_dir, "video_segments")
+    n_audio_ok = n_video_ok = 0
+    for key, segs in group_segments_by_source(kept).items():
+        shims = [_MarkerSeg(s) for s in segs]
+        if key in audio_sources:
+            res = batch_segment_audio(audio_sources[key], shims, audio_dir, sample_rate)
+            for s, (ok, path) in zip(segs, res):
+                if ok:
+                    s["audio"] = path
+                    n_audio_ok += 1
+        if video_sources and key in video_sources:
+            res = batch_segment_video(video_sources[key], shims, video_dir, fps)
+            for s, (ok, path) in zip(segs, res):
+                if ok:
+                    s["video"] = path
+                    n_video_ok += 1
+
+    per_type: Dict[str, int] = defaultdict(int)
+    for s in kept:
+        per_type[s["event_type"]] += 1
+    stats = {
+        "total_markers": int(len(df)),
+        "segments_kept": len(kept),
+        "audio_ok": n_audio_ok,
+        "video_ok": n_video_ok,
+        "per_event_type": dict(sorted(per_type.items())),
+        "skipped": dict(skip),
+        "balanced": bool(balance),
+    }
+    os.makedirs(output_dir, exist_ok=True)
+    stats_path = stats_path or os.path.join(output_dir, "marker_dataset_stats.json")
+    with open(stats_path, "w") as f:
+        json.dump(stats, f, indent=2)
+    return {"segments": kept, "stats": stats, "stats_path": stats_path}
 
 
 def load_ami_segments_csv(csv_path: str, base_dir: str = ""):

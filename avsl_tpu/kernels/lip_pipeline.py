@@ -83,7 +83,7 @@ def smooth_time(x, window: int = 12):
     return (c[hi] - c[lo]) / (hi - lo).astype(x.dtype).reshape(shape)
 
 
-def synthesize_landmarks(
+def synthesize_traj(
     clip_det,  # [4]  (mouth_x, mouth_y, face_w, ok) in detection coords
     win_det,   # [NW, 4] per-window detections
     t: int,
@@ -92,11 +92,17 @@ def synthesize_landmarks(
     smoothing_window: int = 12,
 ):
     """Device twin of BatchedMotionDetector.__call__ (no-track branch) +
-    landmark interpolation + smoothing for ONE clip.
+    interpolation + smoothing for ONE clip, in trajectory form.
 
-    Returns landmarks [t, 68, 2] in full-resolution coordinates. Detection
-    failure (ok=0) falls back to the canonical mean face — exactly what the
-    round-1 host pipeline did (bench.py landmarks_for_batch fallback).
+    Returns ``(traj [t, 2], face_w scalar)`` in full-resolution
+    coordinates: the smoothed mouth-center trajectory and the face width.
+    Detection failure (ok=0) falls back to the canonical layout. The full
+    68-point field is an affine image of the canonical layout
+    (module docstring identity), so ``(traj, face_w)`` carries all the
+    information — consumers that need explicit landmarks expand via
+    :func:`synthesize_landmarks`, and the separable warp's sampling
+    coordinates follow in closed form via ``coords_from_traj`` (see
+    :func:`make_staged_lip_frontend`) with no least-squares fit at all.
     """
     import jax.numpy as jnp
 
@@ -123,6 +129,28 @@ def synthesize_landmarks(
     face_w = jnp.where(clip_ok, face_w_det * detect_ds, _CANON_W)
 
     traj = smooth_time(traj, smoothing_window)
+    return traj, face_w
+
+
+def synthesize_landmarks(
+    clip_det,
+    win_det,
+    t: int,
+    window: int = 25,
+    detect_ds: int = 1,
+    smoothing_window: int = 12,
+):
+    """Landmarks [t, 68, 2] for ONE clip — :func:`synthesize_traj`
+    expanded through the affine identity ``lms[t] = s*(canon - cm) +
+    traj[t]``."""
+    import jax.numpy as jnp
+
+    canon = jnp.asarray(canonical_mean_face(300), jnp.float32)
+    canon_mouth = jnp.mean(canon[48:68], axis=0)
+    traj, face_w = synthesize_traj(
+        clip_det, win_det, t, window=window, detect_ds=detect_ds,
+        smoothing_window=smoothing_window,
+    )
     s = face_w / _CANON_W
     return s * (canon - canon_mouth)[None] + traj[:, None, :]
 
@@ -202,3 +230,156 @@ def make_lip_frontend(
         )
 
     return frontend
+
+
+def make_staged_lip_frontend(
+    t: int,
+    window: int = 25,
+    detect_ds: int = 2,
+    crop_size: int = 96,
+    out_size: int = 300,
+    smoothing_window: int = 12,
+    detector_kw: dict | None = None,
+):
+    """The lip frontend as SEPARATELY-JITTABLE stages.
+
+    On tunneled TPU runtimes (IFRT proxy), XLA programs whose compilation
+    runs long (≳45 s) persistently throttle every subsequent host<->device
+    transfer in the process (~25x, measured). The fused
+    :func:`make_lip_frontend` program composes stages whose joint
+    compilation blows up (minutes) even though every stage alone compiles
+    in 1-11 s. This constructor returns the stages individually so callers
+    can jit each one (every compile stays small, transfers stay fast);
+    chaining jitted stages keeps all arrays on device.
+
+    Returns a dict of pure functions:
+
+    * ``subsample(clips_u8)`` -> detection stream [B, t, H/ds, W/ds] f32
+    * ``landmarks(small)``    -> [B, t, 68, 2] full-res landmark tracks
+    * ``crop_window(lms, h, w, roi)`` -> (x0, y0) int32 [B] host-slice
+      offsets for a mouth-centered ``roi``² window (clip-median center)
+    * ``shift(lms, x0, y0)``  -> landmarks rebased into ROI coordinates
+    * ``coords(lms)``         -> (ys, xs) separable sampling coordinates
+      (jit this SEPARATELY from ``sample`` — see warp.separable_crop_coords)
+    * ``sample(frames, ys, xs)`` -> [B, t, crop, crop] f32 lip crops
+      (works on full frames or host-sliced ROIs)
+    * ``warp(frames, lms)``   -> both halves in one program (CPU/tests)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from avsl_tpu.data.landmarks import (
+        MotionEnergyDetector,
+        _device_detect_fn,
+        _device_maps_fn,
+    )
+    from avsl_tpu.kernels.warp import (
+        sample_separable,
+        separable_crop_coords,
+        warp_and_crop_clip_separable,
+    )
+
+    base = MotionEnergyDetector(**(detector_kw or {}))
+    compute_maps = _device_maps_fn(window, base.blur, base.max_diff_frames)
+    detect = _device_detect_fn(
+        base.keep_mass, base.center_sigma, base.min_box, base.close_k
+    )
+    mean_face = jnp.asarray(canonical_mean_face(out_size), jnp.float32)
+
+    def subsample(clips_u8):
+        return clips_u8[:, :, ::detect_ds, ::detect_ds].astype(jnp.float32)
+
+    def landmarks(small):
+        cm, ca, wm, wa = compute_maps(small)
+        clip_det = jax.vmap(detect)(cm, ca)
+        win_det = jax.vmap(jax.vmap(detect))(wm, wa)
+        return jax.vmap(
+            lambda c, w: synthesize_landmarks(
+                c, w, t, window=window, detect_ds=detect_ds,
+                smoothing_window=smoothing_window,
+            )
+        )(clip_det, win_det)
+
+    def traj(small):
+        cm, ca, wm, wa = compute_maps(small)
+        clip_det = jax.vmap(detect)(cm, ca)
+        win_det = jax.vmap(jax.vmap(detect))(wm, wa)
+        return jax.vmap(
+            lambda c, w: synthesize_traj(
+                c, w, t, window=window, detect_ds=detect_ds,
+                smoothing_window=smoothing_window,
+            )
+        )(clip_det, win_det)                    # ([B, t, 2], [B])
+
+    # canonical-space constants for the closed-form coordinate path
+    mf_np = canonical_mean_face(out_size)
+    cm_x, cm_y = [float(v) for v in mf_np[48:68].mean(axis=0)]
+    half = crop_size // 2
+    # crop-window center in warped space is the canonical mouth center
+    # (constant — the warped mouth mean is cm by construction), with the
+    # same clip + int32 truncation the landmark path applies
+    cx = int(np.clip(np.float32(cm_x), half, out_size - half))
+    cy = int(np.clip(np.float32(cm_y), half, out_size - half))
+
+    def coords_from_traj(traj_bt2, face_w, x0=None, y0=None):
+        """Closed-form separable sampling coords from (traj, face_w).
+
+        Synthesized landmarks are EXACTLY ``s*(canon - cm) + traj`` (see
+        :func:`synthesize_traj`), for which the least-squares similarity
+        fit in warp.separable_crop_coords collapses to
+        ``xs[j] = s*(j + cx - half - cm_x) + traj_x`` (same for ys) —
+        bit-equal to the landmark path, but pure broadcast arithmetic:
+        compiles in <1 s where the general coefficient program takes
+        30-50 s on this backend, and needs NO device->host landmark pull
+        (d2h of computed arrays persistently throttles tunneled sessions).
+        ``x0``/``y0``: optional per-clip ROI offsets ([B] arrays) when the
+        frames to sample are host-sliced windows of the full frame."""
+        s = (face_w / _CANON_W)[:, None, None]              # [B, 1, 1]
+        j = jnp.arange(crop_size, dtype=jnp.float32)
+        xs = s * (j + (cx - half) - cm_x) + traj_bt2[..., 0:1]
+        ys = s * (j + (cy - half) - cm_y) + traj_bt2[..., 1:2]
+        if x0 is not None:
+            xs = xs - x0.astype(jnp.float32)[:, None, None]
+            ys = ys - y0.astype(jnp.float32)[:, None, None]
+        return ys, xs
+
+    def traj_window(traj_bt2, h: int, w: int, roi: int):
+        """Mouth-ROI window offsets from the trajectory (clip median)."""
+        c = jnp.median(traj_bt2, axis=1)                    # [B, 2]
+        x0 = jnp.clip(c[:, 0] - roi / 2, 0, w - roi).astype(jnp.int32)
+        y0 = jnp.clip(c[:, 1] - roi / 2, 0, h - roi).astype(jnp.int32)
+        return x0, y0
+
+    def crop_window(lms, h: int, w: int, roi: int):
+        mouth = jnp.mean(lms[:, :, 48:68], axis=2)          # [B, t, 2]
+        c = jnp.median(mouth, axis=1)                       # [B, 2]
+        x0 = jnp.clip(c[:, 0] - roi / 2, 0, w - roi).astype(jnp.int32)
+        y0 = jnp.clip(c[:, 1] - roi / 2, 0, h - roi).astype(jnp.int32)
+        return x0, y0
+
+    def shift(lms, x0, y0):
+        off = jnp.stack([x0.astype(jnp.float32), y0.astype(jnp.float32)], -1)
+        return lms - off[:, None, None, :]
+
+    def coords(lms):
+        return separable_crop_coords(
+            lms, mean_face, out_size=out_size, crop_size=crop_size
+        )
+
+    def warp(frames, lms):
+        return warp_and_crop_clip_separable(
+            frames, lms, mean_face, out_size=out_size, crop_size=crop_size
+        )
+
+    return {
+        "subsample": subsample,
+        "landmarks": landmarks,
+        "traj": traj,
+        "coords_from_traj": coords_from_traj,
+        "traj_window": traj_window,
+        "crop_window": crop_window,
+        "shift": shift,
+        "coords": coords,
+        "sample": sample_separable,
+        "warp": warp,
+    }

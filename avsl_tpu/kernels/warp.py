@@ -204,7 +204,166 @@ def warp_and_crop_clip(
     e = (...,) + (None, None)
     sx = ia[e] * xs - ib[e] * ys + itx[e]
     sy = ib[e] * xs + ia[e] * ys + ity[e]
+    # same compile-time firewall as the separable kernel (see below): keep
+    # the coefficient arithmetic out of the gather loop nests
+    sx, sy = jax.lax.optimization_barrier((sx, sy))
     return _bilinear_sample(frames.astype(jnp.float32), sx, sy)
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "crop_size", "stable_idx"))
+def separable_crop_coords(
+    landmarks: jnp.ndarray,  # [..., 68, 2] (x, y)
+    mean_face: jnp.ndarray,  # [68, 2]
+    out_size: int = 300,
+    crop_size: int = 96,
+    stable_idx: Tuple[int, ...] = (33, 36, 39, 42, 45),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-frame separable source coordinates (ys, xs), each
+    [..., crop_size]: ``crops[..., i, j] = frame[ys[..., i], xs[..., j]]``
+    (bilinear). The coefficient half of the separable warp, exposed as its
+    own function so it can be jitted SEPARATELY from the sampling half:
+    compiled together, XLA:TPU's fusion of the tiny per-frame coefficient
+    arithmetic into the banded-matmul loop nests blows compile time up
+    from seconds to minutes (measured at [8, 250] clips), and on tunneled
+    runtimes long compiles persistently throttle host<->device transfers.
+    """
+    half = crop_size // 2
+    (ia, ib, itx, ity), cx, cy = _crop_window_coeffs(
+        landmarks, mean_face, out_size, crop_size, stable_idx
+    )
+    # separable assumption: ib ~= 0 (no rotation)
+    grid = jnp.arange(crop_size, dtype=jnp.float32)
+    xs = (grid + (cx - half).astype(jnp.float32)[..., None]) * ia[..., None] + itx[..., None]
+    ys = (grid + (cy - half).astype(jnp.float32)[..., None]) * ia[..., None] + ity[..., None]
+    return ys, xs
+
+
+def separable_crop_coords_np(
+    landmarks: np.ndarray,  # [..., 68, 2]
+    mean_face: np.ndarray,  # [68, 2]
+    out_size: int = 300,
+    crop_size: int = 96,
+    stable_idx: Tuple[int, ...] = (33, 36, 39, 42, 45),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host (numpy) twin of :func:`separable_crop_coords` — bit-equivalent
+    up to float summation order.
+
+    Exists because on tunneled TPU runtimes the coefficient program's XLA
+    compile is pathologically slow (tens of seconds to minutes,
+    nondeterministic) and any compile over ~30 s persistently throttles the
+    session's host<->device transfers. The coefficient math is microscopic
+    (a few kFLOP per frame), so pipelines that already touch the host (ROI
+    slicing) compute it there and upload the [..., crop] coordinate arrays
+    (~kBs) instead of compiling the coefficient program at all."""
+    lm = np.asarray(landmarks, np.float32)
+    mf = np.asarray(mean_face, np.float32)
+    stable = np.asarray(stable_idx)
+    half = crop_size // 2
+
+    sel = lm[..., stable, :]
+    dst = mf[stable]
+    mu_s = sel.mean(axis=-2)
+    mu_d = dst.mean(axis=0)
+    sc = sel - mu_s[..., None, :]
+    dc = dst - mu_d
+    num_a = (sc * dc).sum(axis=(-2, -1))
+    num_b = (sc[..., 0] * dc[..., 1] - sc[..., 1] * dc[..., 0]).sum(axis=-1)
+    den = np.maximum((sc * sc).sum(axis=(-2, -1)), 1e-8)
+    a = num_a / den
+    b = num_b / den
+    tx = mu_d[0] - (a * mu_s[..., 0] - b * mu_s[..., 1])
+    ty = mu_d[1] - (b * mu_s[..., 0] + a * mu_s[..., 1])
+
+    mouth = lm[..., 48:68, :]
+    mx = a[..., None] * mouth[..., 0] - b[..., None] * mouth[..., 1] + tx[..., None]
+    my = b[..., None] * mouth[..., 0] + a[..., None] * mouth[..., 1] + ty[..., None]
+    cx = np.clip(mx.mean(axis=-1), half, out_size - half).astype(np.int32)
+    cy = np.clip(my.mean(axis=-1), half, out_size - half).astype(np.int32)
+
+    det = np.maximum(a * a + b * b, 1e-12)
+    ia = a / det
+    ib = -b / det
+    itx = -(ia * tx - ib * ty)
+    ity = -(ib * tx + ia * ty)
+
+    grid = np.arange(crop_size, dtype=np.float32)
+    xs = (grid + (cx - half).astype(np.float32)[..., None]) * ia[..., None] + itx[..., None]
+    ys = (grid + (cy - half).astype(np.float32)[..., None]) * ia[..., None] + ity[..., None]
+    return ys, xs
+
+
+def _interp_matrix(coords: jnp.ndarray, n: int) -> jnp.ndarray:
+    # [..., crop, n] banded bilinear weights: W[..., i, k] = max(0, 1-|c-k|);
+    # coordinates outside the source contribute zero (gather-kernel fill)
+    k = jnp.arange(n, dtype=jnp.float32)
+    d = jnp.abs(coords[..., None] - k)
+    wgt = jnp.maximum(0.0, 1.0 - d)
+    valid = (coords >= 0) & (coords <= n - 1)
+    return wgt * valid[..., None]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def sample_separable(
+    frames: jnp.ndarray,  # [..., H, W] grayscale float/uint8
+    ys: jnp.ndarray,  # [..., crop] per-frame source row coords
+    xs: jnp.ndarray,  # [..., crop] per-frame source col coords
+    chunk: int = 32,
+) -> jnp.ndarray:
+    """Separable bilinear resampling as two MXU matmuls per frame:
+    ``out = Wy @ frame @ Wx^T`` with banded interpolation matrices built
+    on the fly. Replaces per-pixel gathers (slow on TPU) with dense
+    matmuls — the TPU-native formulation of the warp.
+
+    Frames are processed in ``chunk``-frame groups via ``lax.map`` so the
+    banded matrices never materialize for the whole batch at once. This
+    bounds peak HBM for the transient weights to a few MB regardless of
+    batch size — without it, a [8, 250] clip batch allocates ~GB of
+    transients, and on tunneled TPU runtimes that burst PERMANENTLY
+    degrades the session's host<->device transfer bandwidth ~25x
+    (staging-buffer pool damage; measured and bisected to exactly this
+    program). Chunking also keeps the executable small. Results are
+    identical; ``chunk`` only trades a little dispatch overhead for peak
+    memory."""
+    batch_shape = frames.shape[:-2]
+    h, w = frames.shape[-2:]
+    c = ys.shape[-1]
+    n = 1
+    for s in batch_shape:
+        n *= int(s)
+
+    def sample_group(fb, yb, xb):
+        wy = _interp_matrix(yb, h)  # [m, crop, H]
+        wx = _interp_matrix(xb, w)  # [m, crop, W]
+        tmp = jnp.einsum(
+            "mch,mhw->mcw", wy, fb.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.einsum(
+            "mcw,mdw->mcd", tmp, wx, preferred_element_type=jnp.float32
+        )
+
+    f = frames.reshape(n, h, w)
+    ysf = ys.reshape(n, c)
+    xsf = xs.reshape(n, c)
+    if n <= chunk:
+        out = sample_group(f, ysf, xsf)
+    else:
+        pad = (-n) % chunk
+        if pad:
+            f = jnp.concatenate([f, jnp.zeros((pad, h, w), f.dtype)])
+            ysf = jnp.concatenate([ysf, jnp.full((pad, c), -1.0, jnp.float32)])
+            xsf = jnp.concatenate([xsf, jnp.full((pad, c), -1.0, jnp.float32)])
+        groups = (n + pad) // chunk
+        out = jax.lax.map(
+            lambda args: sample_group(*args),
+            (
+                f.reshape(groups, chunk, h, w),
+                ysf.reshape(groups, chunk, c),
+                xsf.reshape(groups, chunk, c),
+            ),
+        )
+        out = out.reshape(-1, c, c)[:n]
+    return out.reshape(*batch_shape, c, c)
 
 
 @functools.partial(jax.jit, static_argnames=("out_size", "crop_size", "stable_idx"))
@@ -218,40 +377,20 @@ def warp_and_crop_clip_separable(
 ) -> jnp.ndarray:
     """Rotation-free lip-ROI warp as two MXU matmuls per frame.
 
-    When the similarity transform has no rotation component (exactly the
-    case for landmarks generated from an upright canonical layout, e.g.
-    the motion detector in avsl_tpu.data.landmarks), the bilinear sampling
-    grid is separable: out = Wy @ frame @ Wx^T with banded interpolation
-    matrices built on the fly. This replaces per-pixel gathers (slow on
-    TPU) with dense matmuls — the TPU-native formulation of the warp.
-    Matches :func:`warp_and_crop_clip` exactly for rotation-free
-    transforms; use the general kernel when landmarks carry head roll.
-    Batched over arbitrary leading dims ([T, H, W] or [B, T, H, W]).
+    Convenience composition of :func:`separable_crop_coords` +
+    :func:`sample_separable` in one program (fine on CPU and for tests).
+    For TPU pipelines jit the two halves separately — see
+    ``separable_crop_coords`` for why. Matches :func:`warp_and_crop_clip`
+    exactly for rotation-free transforms; use the general kernel when
+    landmarks carry head roll. Batched over arbitrary leading dims
+    ([T, H, W] or [B, T, H, W]).
     """
-    half = crop_size // 2
-    h, w = frames.shape[-2:]
-    (ia, ib, itx, ity), cx, cy = _crop_window_coeffs(
+    ys, xs = separable_crop_coords(
         landmarks, mean_face, out_size, crop_size, stable_idx
     )
-    # separable assumption: ib ~= 0 (no rotation)
-    grid = jnp.arange(crop_size, dtype=jnp.float32)
-    xs = (grid + (cx - half).astype(jnp.float32)[..., None]) * ia[..., None] + itx[..., None]
-    ys = (grid + (cy - half).astype(jnp.float32)[..., None]) * ia[..., None] + ity[..., None]
-
-    def interp_matrix(coords, n):
-        # [..., crop, n] banded bilinear weights: W[..., i, k] = max(0, 1-|c-k|)
-        k = jnp.arange(n, dtype=jnp.float32)
-        d = jnp.abs(coords[..., None] - k)
-        wgt = jnp.maximum(0.0, 1.0 - d)
-        # zero outside the source (matches the gather kernel's zero fill)
-        valid = (coords >= 0) & (coords <= n - 1)
-        return wgt * valid[..., None]
-
-    wx = interp_matrix(xs, w)  # [..., crop, W]
-    wy = interp_matrix(ys, h)  # [..., crop, H]
-    f = frames.astype(jnp.float32)
-    tmp = jnp.einsum("...ch,...hw->...cw", wy, f, preferred_element_type=jnp.float32)
-    return jnp.einsum("...cw,...dw->...cd", tmp, wx, preferred_element_type=jnp.float32)
+    # compile-time firewall between the halves (semantically a no-op)
+    ys, xs = jax.lax.optimization_barrier((ys, xs))
+    return sample_separable(frames, ys, xs)
 
 
 def rgb_to_grayscale(frames: jnp.ndarray) -> jnp.ndarray:

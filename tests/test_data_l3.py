@@ -301,6 +301,104 @@ def test_split_dataset(tmp_path, records):
     assert os.path.isdir(str(tmp_path / "splits" / "test"))
 
 
+def test_dataset_from_existing_segments(tmp_path, source_wav):
+    """The reference's --mode segment_exist recovery workflow
+    (dataset_process.py:549-749): records rebuilt from already-sliced
+    media + transcripts, with has_* flags; no re-segmentation."""
+    from avsl_tpu.data.dataset_process import dataset_from_existing_segments
+
+    src = tmp_path / "src"
+    (src / "audio_segments").mkdir(parents=True)
+    (src / "video_segments").mkdir()
+    tdir = tmp_path / "transcripts"
+    tdir.mkdir()
+    (tdir / "EN9999a-A.txt").write_text("[0.50-1.50] hello there\n")
+
+    # this framework's suffixes for one segment, reference suffixes for another
+    (src / "audio_segments" / "EN9999a-A-0.50-1.50.wav").write_bytes(b"x")
+    (src / "audio_segments" / "EN9999a-A-2.00-3.00-audio.wav").write_bytes(b"x")
+    (src / "video_segments" / "EN9999a-A-0.50-1.50-video.mp4").write_bytes(b"x")
+
+    out = dataset_from_existing_segments(
+        str(src), str(tdir), str(tmp_path / "ds"), package_hf=False
+    )
+    by_id = {r["id"]: r for r in out["records"]}
+    assert set(by_id) == {"EN9999a-A-0.50-1.50", "EN9999a-A-2.00-3.00"}
+    r = by_id["EN9999a-A-0.50-1.50"]
+    assert r["has_audio"] and r["has_video"] and r["has_transcript"]
+    assert r["transcript"] == "hello there"
+    r2 = by_id["EN9999a-A-2.00-3.00"]
+    assert r2["has_audio"] and not r2["has_video"] and not r2["has_transcript"]
+    assert os.path.exists(str(tmp_path / "ds" / "dataset_records.json"))
+
+
+def test_reprocess_lips_from_csv(tmp_path):
+    """CSV-driven lip reprocess (reference --mode process_lip,
+    dataset_process.py:753-1079): results JSON + in-place CSV merge of
+    has_lip_video/lip_video; missing files counted, not fatal."""
+    from avsl_tpu.data.dataset_process import reprocess_lips_from_csv
+    from avsl_tpu.data.video_io import write_video_frames
+
+    vid = str(tmp_path / "seg1.mp4")
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (8, 120, 160)).astype(np.uint8)
+    write_video_frames(vid, frames, fps=25)
+
+    csv_path = str(tmp_path / "info.csv")
+    pd.DataFrame({
+        "id": ["seg1", "seg2"],
+        "video": [vid, str(tmp_path / "missing.mp4")],
+        "has_video": [True, True],
+    }).to_csv(csv_path, index=False)
+
+    out = reprocess_lips_from_csv(csv_path, str(tmp_path / "lips"))
+    assert out["missing_files"] == 1
+    assert out["n_ok"] + out["n_failed"] == 1
+
+    df = pd.read_csv(csv_path)
+    row = df[df["id"] == "seg1"].iloc[0]
+    assert bool(row["has_lip_video"]) == (out["n_ok"] == 1)
+    results = json.load(open(str(tmp_path / "lips" / "lip_segment_results.json")))
+    assert "seg1" in results
+
+
+def test_process_marker_dataset_stats(tmp_path, source_wav):
+    """dsfl-style per-reason skip accounting + per-type stats JSON
+    (dsfl_dataset_process.py:50-53; laugh_dataset_process.py:296-309)."""
+    from avsl_tpu.data.dataset_process import process_marker_dataset
+
+    df = pd.DataFrame({
+        "meeting_id": ["EN9999a"] * 5 + ["ZZ0000x"],
+        "speaker_id": ["A"] * 4 + ["Q", "A"],
+        "word": ["<laugh>", "um", "uh", "w", "w", "w"],
+        "start_time": [1.0, 2.0, 3.0, 4.0, 1.0, 1.0],
+        "end_time": [1.5, 2.4, 3.01, 4.5, 1.5, 1.5],
+        "disfluency_type": ["laughter", "hesitation", "hesitation",
+                            "fluent", "fluent", "fluent"],
+    })
+    out = process_marker_dataset(
+        df,
+        audio_sources={("EN9999a", "A"): source_wav},
+        output_dir=str(tmp_path / "marker_out"),
+        min_duration=0.05,
+        balance=False,
+        speakers=["A", "B", "C", "D", "E"],
+    )
+    stats = out["stats"]
+    assert stats["skipped"]["speaker_mapping"] == 1  # speaker Q
+    assert stats["skipped"]["too_short"] == 1        # 10ms 'uh'
+    assert stats["skipped"]["source_missing"] == 1   # meeting ZZ0000x
+    assert stats["per_event_type"] == {"fluent": 1, "hesitation": 1, "laughter": 1}
+    assert stats["audio_ok"] == 3
+    assert os.path.exists(out["stats_path"])
+    saved = json.load(open(out["stats_path"]))
+    assert saved["per_event_type"] == stats["per_event_type"]
+    # sliced audio actually exists with the event-typed id
+    seg = out["segments"][0]
+    assert os.path.exists(seg["audio"])
+    assert "laughter" in seg["audio"]
+
+
 def test_marker_segment_id_sanitizes_event_labels():
     """Filename-hostile event labels (dsfl types like 'uh-huh?') are
     sanitized before entering segment ids (dsfl_dataset_process.py:116)."""

@@ -156,3 +156,69 @@ def test_fused_frontend_matches_host_pipeline(roi):
     # identical math modulo f32 association; ROI slicing only changes
     # out-of-frame zero-fill, which the centered synthetic face avoids
     np.testing.assert_allclose(got, want, atol=0.75)
+
+
+def test_staged_frontend_matches_fused():
+    """The separately-jittable stages (traj -> closed-form coords ->
+    chunked sampling) must reproduce the fused frontend exactly: the
+    closed-form coordinate path replaces the least-squares similarity fit
+    with its analytic solution (landmarks are exactly affine in canon),
+    and chunked sampling is the same math in lax.map groups."""
+    from avsl_tpu.kernels.lip_pipeline import make_staged_lip_frontend
+
+    clips = _synthetic_clips()
+    fused = jax.jit(make_lip_frontend(T, window=WINDOW, detect_ds=DS, roi=None))
+    want = np.asarray(fused(jnp.asarray(clips)))
+
+    stages = make_staged_lip_frontend(T, window=WINDOW, detect_ds=DS)
+    clips_dev = jnp.asarray(clips)
+    small = stages["subsample"](clips_dev)
+    tr, fw = stages["traj"](small)
+    ys, xs = stages["coords_from_traj"](tr, fw)
+    got = np.asarray(stages["sample"](clips_dev, ys, xs))
+    np.testing.assert_allclose(got, want, atol=0.25)
+
+    # ROI path: host-sliced window + offset coords gives the same crops
+    # (synthetic face stays inside the window, so no fill differences)
+    roi = 128
+    x0, y0 = stages["traj_window"](tr, H, W, roi)
+    x0h, y0h = np.asarray(x0), np.asarray(y0)
+    rois = np.stack([
+        clips[b, :, y0h[b]: y0h[b] + roi, x0h[b]: x0h[b] + roi]
+        for b in range(clips.shape[0])
+    ])
+    ys_r, xs_r = stages["coords_from_traj"](tr, fw, x0, y0)
+    got_roi = np.asarray(stages["sample"](jnp.asarray(rois), ys_r, xs_r))
+    np.testing.assert_allclose(got_roi, want, atol=0.25)
+
+
+def test_sample_separable_chunking_invariance():
+    """sample_separable(chunk=k) is exact for every chunking, including
+    the padded tail path."""
+    from avsl_tpu.kernels.warp import sample_separable
+
+    rng = np.random.default_rng(3)
+    frames = jnp.asarray(rng.integers(0, 255, (41, 50, 60)).astype(np.uint8))
+    ys = jnp.asarray(rng.uniform(-5, 55, (41, 16)).astype(np.float32))
+    xs = jnp.asarray(rng.uniform(-5, 65, (41, 16)).astype(np.float32))
+    ref = np.asarray(sample_separable(frames, ys, xs, chunk=64))  # unchunked
+    for chunk in (1, 7, 32, 41):
+        got = np.asarray(sample_separable(frames, ys, xs, chunk=chunk))
+        np.testing.assert_allclose(got, ref, atol=1e-4, err_msg=str(chunk))
+
+
+def test_separable_crop_coords_np_matches_jax():
+    """The host (numpy) twin of separable_crop_coords is bit-equivalent."""
+    from avsl_tpu.kernels.warp import (
+        separable_crop_coords,
+        separable_crop_coords_np,
+    )
+
+    rng = np.random.default_rng(4)
+    mean_face = canonical_mean_face(300).astype(np.float32)
+    lms = (mean_face[None, None] * rng.uniform(0.8, 1.2, (2, 5, 1, 1))
+           + rng.normal(0, 3.0, (2, 5, 68, 2))).astype(np.float32)
+    ys_j, xs_j = separable_crop_coords(jnp.asarray(lms), jnp.asarray(mean_face))
+    ys_n, xs_n = separable_crop_coords_np(lms, mean_face)
+    np.testing.assert_allclose(np.asarray(ys_j), ys_n, atol=1e-3, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(xs_j), xs_n, atol=1e-3, rtol=1e-5)
