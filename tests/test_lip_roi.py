@@ -208,3 +208,63 @@ def test_separable_warp_matches_gather_warp():
     sep = np.asarray(warp_and_crop_clip_separable(jnp.asarray(frames), lms_t, mean_face))
     assert sep.shape == gather.shape == (3, 96, 96)
     np.testing.assert_allclose(sep, gather, atol=1e-2)
+
+
+AMI_GOLDEN_LIP = "/root/reference/examples/ami/EN2001a-A-21.39-25.86-lip_video.mp4"
+
+
+def _ncc_best_shift(a, b, max_shift=10):
+    """Max zero-mean NCC of two equal-size crops over +-max_shift pixel
+    translations (geometric agreement robust to small centering offsets)."""
+    best = -1.0
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    h, w = a.shape
+    for dy in range(-max_shift, max_shift + 1, 2):
+        for dx in range(-max_shift, max_shift + 1, 2):
+            aa = a[max(0, dy): min(h, h + dy), max(0, dx): min(w, w + dx)]
+            bb = b[max(0, -dy): min(h, h - dy), max(0, -dx): min(w, w - dx)]
+            if aa.size < 1000:
+                continue
+            aa = aa - aa.mean()
+            bb = bb - bb.mean()
+            denom = np.sqrt((aa * aa).sum() * (bb * bb).sum())
+            if denom > 0:
+                best = max(best, float((aa * bb).sum() / denom))
+    return best
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(AMI_EXAMPLE) and os.path.exists(AMI_GOLDEN_LIP)),
+    reason="AMI golden pair not mounted",
+)
+def test_lip_crops_agree_with_reference_golden_clip():
+    """Geometric agreement with the reference's OWN dlib-produced lip clip
+    (the shipped golden pair exists for exactly this comparison; reference
+    pipeline under test: video_process.py:305-490).
+
+    Thresholds encode the measured round-2 state: mid-clip agreement is
+    strong (mean best-shift NCC ~0.66, peaks 0.73), whole-clip mean ~0.50.
+    The known gap is the clip's first second, where the speaker moves
+    ~70 px and the clip-median deviation clamp keeps the model-free
+    detector's window nearly static (dlib tracks per frame). Random or
+    off-face crops score ~0.0 on this metric, so these floors assert the
+    crops genuinely land on the dlib mouth region without overclaiming
+    per-frame parity."""
+    frames = read_video_frames(AMI_EXAMPLE, grayscale=True)
+    gold = read_video_frames(AMI_GOLDEN_LIP, grayscale=True)
+    # the texture-energy box detector scores best on this clip (mean NCC
+    # 0.50 vs 0.28 motion / 0.49 cnn — see docs/ENGINEERING_NOTES.md)
+    det = EnergyBoxDetector()
+    clip = extract_lip_clip(frames, det(frames))
+    assert clip is not None and clip.shape[1:] == (96, 96)
+
+    n = min(len(clip), len(gold))
+    sims = np.array([_ncc_best_shift(clip[t], gold[t]) for t in range(0, n, 5)])
+    mid = np.array(
+        [_ncc_best_shift(clip[t], gold[t]) for t in range(25, min(n, 85), 5)]
+    )
+    assert sims.mean() >= 0.40, f"whole-clip mean NCC {sims.mean():.3f}"
+    assert mid.mean() >= 0.55, f"mid-clip mean NCC {mid.mean():.3f}"
+    # and the mid-clip peak must show real per-frame structure agreement
+    assert mid.max() >= 0.65, f"mid-clip max NCC {mid.max():.3f}"
