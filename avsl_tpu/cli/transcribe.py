@@ -35,13 +35,20 @@ def collect_items(input_path: str) -> List[Dict[str, Any]]:
             continue
         stem = fname[: -len(".wav")]
         lip = os.path.join(input_path, f"{stem}-lip.mp4")
-        items.append(
-            {
-                "id": stem,
-                "audio": os.path.join(input_path, fname),
-                "lip_video": lip if os.path.exists(lip) else None,
-            }
-        )
+        item = {
+            "id": stem,
+            "audio": os.path.join(input_path, fname),
+            "lip_video": lip if os.path.exists(lip) else None,
+        }
+        if item["lip_video"] is None:
+            # raw closeup fallback: lip-cropped on device by the
+            # transcriber's staged frontend
+            for raw in (f"{stem}-video.mp4", f"{stem}.mp4"):
+                p = os.path.join(input_path, raw)
+                if os.path.exists(p):
+                    item["video"] = p
+                    break
+        items.append(item)
     return items
 
 

@@ -51,6 +51,7 @@ class StreamingTranscriber:
         beam_size: int = 1,
         lang: str = "en",
         prefetch: int = 2,
+        raw_video_hw: Tuple[int, int] = (288, 352),
     ):
         import jax
         import jax.numpy as jnp
@@ -100,28 +101,78 @@ class StreamingTranscriber:
 
         self._run = run
 
+        # raw-closeup support: items carrying 'video' (an unprocessed
+        # closeup mp4) instead of 'lip_video' go through the on-device
+        # staged lip frontend (detection -> trajectory -> closed-form warp
+        # coords -> chunked separable sampling). Stages are jitted
+        # SEPARATELY — on tunneled TPU runtimes fused frontend programs
+        # compile pathologically and degrade the session (see
+        # kernels/lip_pipeline.make_staged_lip_frontend).
+        self.raw_video_hw = raw_video_hw
+        from avsl_tpu.kernels.lip_pipeline import make_staged_lip_frontend
+
+        stages = make_staged_lip_frontend(video_frames)
+        self._j_sub = jax.jit(stages["subsample"])
+        self._j_traj = jax.jit(stages["traj"])
+        self._j_coords = jax.jit(stages["coords_from_traj"])
+        self._j_sample = jax.jit(stages["sample"])
+
+        def lip_from_raw(clips_u8):
+            tr, fw = self._j_traj(self._j_sub(clips_u8))
+            lip96 = self._j_sample(clips_u8, *self._j_coords(tr, fw))
+            off = (96 - self.crop) // 2
+            lip = lip96[:, :, off: off + self.crop, off: off + self.crop, None]
+            return (lip / 255.0 - 0.421) / 0.165  # load_video_feats norm
+
+        self._lip_from_raw = lip_from_raw
+
     # -- host side -----------------------------------------------------
 
-    def _load_item(self, item: Dict[str, Any]) -> Tuple[np.ndarray, np.ndarray, bool]:
+    def _load_item(self, item: Dict[str, Any]):
+        """-> (audio, lip_feats | None, raw_clip | None, has_video).
+
+        ``lip_video``: an already-extracted 96x96 lip clip (reference
+        runtime contract). ``video``: a RAW closeup — decoded to grayscale
+        at ``raw_video_hw`` and lip-cropped ON DEVICE per batch."""
         from avsl_tpu.data.audio_segments import load_wav
-        from avsl_tpu.data.video_io import load_video_feats
+        from avsl_tpu.data.video_io import load_video_feats, read_video_frames
         from avsl_tpu.kernels.logmel import pad_or_trim
 
         audio = load_wav(item["audio"]) if isinstance(item["audio"], str) else item["audio"]
         audio = np.asarray(pad_or_trim(np.asarray(audio, np.float32), self.audio_max_length))
 
-        video = np.zeros((self.video_frames, self.crop, self.crop, 1), np.float32)
-        has_video = False
-        path = item.get("lip_video") or item.get("video")
-        if path and isinstance(path, str) and os.path.exists(path):
+        lip = item.get("lip_video")
+        if lip and isinstance(lip, str) and os.path.exists(lip):
             try:
-                feats = load_video_feats(path, image_crop_size=self.crop,
+                feats = load_video_feats(lip, image_crop_size=self.crop,
                                          max_frames=self.video_frames)
+                video = np.zeros(
+                    (self.video_frames, self.crop, self.crop, 1), np.float32
+                )
                 video[: len(feats)] = feats
-                has_video = True
+                return audio, video, None, True
             except Exception:
-                has_video = False
-        return audio, video, has_video
+                return audio, None, None, False
+
+        raw = item.get("video")
+        if raw and isinstance(raw, str) and os.path.exists(raw):
+            try:
+                frames = read_video_frames(
+                    raw, grayscale=True, max_frames=self.video_frames
+                )
+                h, w = self.raw_video_hw
+                if frames.shape[1:] != (h, w):
+                    import cv2
+
+                    frames = np.stack(
+                        [cv2.resize(f, (w, h)) for f in frames]
+                    )
+                clip = np.zeros((self.video_frames, h, w), np.uint8)
+                clip[: len(frames)] = frames.astype(np.uint8)
+                return audio, None, clip, True
+            except Exception:
+                return audio, None, None, False
+        return audio, None, None, False
 
     def _prepare_batch(self, items: Sequence[Dict[str, Any]]):
         n = len(items)
@@ -129,13 +180,22 @@ class StreamingTranscriber:
         video = np.zeros(
             (self.batch_size, self.video_frames, self.crop, self.crop, 1), np.float32
         )
+        h, w = self.raw_video_hw
+        raw = None
+        raw_mask = np.zeros((self.batch_size,), bool)
         flags: List[bool] = []
         for i, item in enumerate(items):
-            a, v, hv = self._load_item(item)
+            a, v, rc, hv = self._load_item(item)
             audio[i] = a
-            video[i] = v
+            if v is not None:
+                video[i] = v
+            if rc is not None:
+                if raw is None:
+                    raw = np.zeros((self.batch_size, self.video_frames, h, w), np.uint8)
+                raw[i] = rc
+                raw_mask[i] = True
             flags.append(hv)
-        return audio, video, flags, n
+        return audio, video, raw, raw_mask, flags, n
 
     # -- public API ----------------------------------------------------
 
@@ -162,7 +222,13 @@ class StreamingTranscriber:
             got = queue.get()
             if got is None:
                 break
-            chunk, (audio, video, flags, n) = got
+            chunk, (audio, video, raw, raw_mask, flags, n) = got
+            if raw is not None:
+                import jax.numpy as jnp
+
+                lip = self._lip_from_raw(jnp.asarray(raw))
+                m = jnp.asarray(raw_mask)[:, None, None, None, None]
+                video = jnp.where(m, lip, jnp.asarray(video))
             seqs = np.asarray(self._run(audio, video, self._prompt))
             for i in range(n):
                 toks = [int(x) for x in seqs[i]]

@@ -1,0 +1,118 @@
+"""StreamingTranscriber serving-path tests: lip-clip, RAW-closeup, and
+audio-only items mixing in one static-shape batch.
+
+The raw path exercises the staged on-device lip frontend end-to-end
+inside the transcriber (detection -> trajectory -> closed-form coords ->
+chunked sampling), the same chain bench.py measures."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from avsl_tpu.data.audio_segments import write_wav
+from avsl_tpu.data.lip_roi import canonical_mean_face
+from avsl_tpu.data.tokenizer import get_tokenizer
+from avsl_tpu.data.video_io import write_video_frames
+from avsl_tpu.infer import StreamingTranscriber
+from avsl_tpu.models.factory import build_whisper_flamingo
+
+T_FRAMES = 50
+SRC_H, SRC_W = 144, 176
+
+
+@pytest.fixture(scope="module")
+def media(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve")
+    rng = np.random.default_rng(0)
+    sr = 16000
+    wav = str(root / "seg.wav")
+    write_wav(wav, (0.2 * np.sin(2 * np.pi * 300 * np.arange(sr) / sr)).astype(np.float32))
+
+    # raw synthetic closeup (moving blob face)
+    base = rng.integers(40, 200, (SRC_H, SRC_W)).astype(np.float32)
+    yy, xx = np.mgrid[0:SRC_H, 0:SRC_W]
+    frames = np.empty((T_FRAMES, SRC_H, SRC_W), np.uint8)
+    for t in range(T_FRAMES):
+        face = 80 * np.exp(
+            -(((xx - 88 - 4 * np.sin(t / 6)) / 26.0) ** 2 + ((yy - 70) / 36.0) ** 2)
+        )
+        frames[t] = np.clip(base + face, 0, 255).astype(np.uint8)
+    raw = str(root / "seg-video.mp4")
+    write_video_frames(raw, frames, fps=25)
+
+    lip = str(root / "seg-lip.mp4")
+    write_video_frames(lip, rng.integers(0, 255, (T_FRAMES, 96, 96)).astype(np.uint8), fps=25)
+    return {"wav": wav, "raw": raw, "lip": lip}
+
+
+def test_transcriber_mixes_lip_raw_and_audio_only(media):
+    tokenizer = get_tokenizer(None, "en")
+    model, cfg = build_whisper_flamingo(
+        "test", vocab_size=tokenizer.vocab_size, dtype="float32"
+    )
+    rng = jax.random.PRNGKey(0)
+    import jax.numpy as jnp
+
+    variables = model.init(
+        rng,
+        jnp.zeros((1, cfg.n_mels, 100), jnp.float32),
+        jnp.asarray([[1]]),
+        video=jnp.zeros((1, T_FRAMES, 88, 88, 1), jnp.float32),
+    )
+    tr = StreamingTranscriber(
+        model, variables, tokenizer,
+        audio_max_length=16000, video_frames=T_FRAMES,
+        batch_size=4, max_new_tokens=4,
+        raw_video_hw=(SRC_H, SRC_W),
+    )
+    items = [
+        {"id": "lipclip", "audio": media["wav"], "lip_video": media["lip"]},
+        {"id": "rawvideo", "audio": media["wav"], "video": media["raw"]},
+        {"id": "audioonly", "audio": media["wav"]},
+    ]
+    results = tr.transcribe(items)
+    assert [r.id for r in results] == ["lipclip", "rawvideo", "audioonly"]
+    assert results[0].has_video and results[1].has_video
+    assert not results[2].has_video
+    for r in results:
+        assert isinstance(r.text, str)
+        assert len(r.tokens) > 0
+
+
+def test_transcriber_raw_video_affects_output(media):
+    """With a nonzero x-attn gate the raw-video path must change the
+    decoded tokens vs audio-only — proving the on-device lip frontend
+    feeds real features through the gated cross-attention."""
+    tokenizer = get_tokenizer(None, "en")
+    model, cfg = build_whisper_flamingo(
+        "test", vocab_size=tokenizer.vocab_size, dtype="float32"
+    )
+    import jax.numpy as jnp
+
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.n_mels, 100), jnp.float32),
+        jnp.asarray([[1]]),
+        video=jnp.zeros((1, T_FRAMES, 88, 88, 1), jnp.float32),
+    )
+    variables = jax.tree_util.tree_map(lambda x: x, variables)
+    for blk in variables["params"]["decoder"].values():
+        if isinstance(blk, dict) and "x_attn_gate" in blk:
+            blk["x_attn_gate"] = jnp.ones_like(blk["x_attn_gate"])
+
+    tr = StreamingTranscriber(
+        model, variables, tokenizer,
+        audio_max_length=16000, video_frames=T_FRAMES,
+        batch_size=2, max_new_tokens=6,
+        raw_video_hw=(SRC_H, SRC_W),
+    )
+    results = tr.transcribe([
+        {"id": "av", "audio": media["wav"], "video": media["raw"]},
+        {"id": "a", "audio": media["wav"]},
+    ])
+    av, a = results
+    assert av.has_video and not a.has_video
+    # same audio; only the video stream differs -> gated x-attn must see it
+    assert av.tokens != a.tokens
