@@ -168,8 +168,13 @@ def make_lip_frontend(
     """Build the fused clips->crops function (jit-compatible, vmapped over B).
 
     clips_u8 [B, t, H, W] uint8 -> lip crops [B, t, crop, crop] float32
-    (0..255 scale). Everything runs on device; compose inside a larger jit
-    (e.g. with the encoder/decoder) for a single per-batch program.
+    (0..255 scale). Everything runs on device in ONE program.
+
+    .. warning:: on tunneled TPU runtimes prefer
+       :func:`make_staged_lip_frontend` — this fused program's XLA:TPU
+       compile is pathological (minutes) and degrades the session's
+       transfers; the staged chain computes the identical result with
+       1-15 s compiles. The fused form is fine on CPU and for tests.
 
     ``roi``: side of the mouth region dynamically sliced (on device) around
     the clip-median mouth center before warping — bounds the warp working
