@@ -214,10 +214,11 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         model, train=True,
         freeze_video_bn_stats=bool(getattr(cfg, "freeze_video_batch_norm_stats", False)),
         spec_augment=getattr(cfg, "spec_augment", None),
-        # reference defaults when the keys are absent: 0.5/0.5
-        # (whisper_flamingo_ft_ami.py:344-345)
-        prob_av=float(getattr(cfg, "prob_use_av", 0.5)),
-        prob_a=float(getattr(cfg, "prob_use_a", 0.5)),
+        # YAML keys prob_use_av / prob_use_a (reference contract
+        # whisper_flamingo_ft_ami.py:344-345; canonical config trains
+        # always-AV with prob_use_av=1.0)
+        prob_av=float(cfg.prob_use_av),
+        prob_a=float(cfg.prob_use_a),
     )
     eval_loss = flamingo_loss_fn(model, train=False)
 

@@ -46,9 +46,10 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     cfg = FlamingoTrainConfig.from_yaml(args.config) if args.config else FlamingoTrainConfig()
     cfg.add_gated_x_attn = 0  # audio-only
     cfg.use_av_hubert_encoder = False
-    if not getattr(cfg, "early_stop_patience", 0):
-        # the reference audio-only flow always trains with
-        # EarlyStoppingCallback(early_stopping_patience=5) (whisper_ft.py:427)
+    if getattr(cfg, "early_stop_patience", None) is None:
+        # reference default when the YAML doesn't set it:
+        # EarlyStoppingCallback(early_stopping_patience=5) (whisper_ft.py:427);
+        # an explicit 0 in the YAML disables early stopping
         cfg.early_stop_patience = 5
     if args.smoke:
         args.do_train = args.do_eval = True

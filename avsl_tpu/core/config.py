@@ -601,6 +601,12 @@ class FlamingoTrainConfig:
     video_projection_train_only: bool = False
     video_projection_separate_lr: str = ""
     prob_use_av: float = 1.0
+    # audio-only mode probability for train-time AV-mode mixing
+    # (whisper_flamingo_ft_ami.py:344-345 reference defaults when absent)
+    prob_use_a: float = 0.5
+    # early stopping patience in validation rounds; 0 disables, None means
+    # "unset" (entry points pick their reference default: whisper_ft -> 5)
+    early_stop_patience: Optional[int] = None
     use_av_hubert_encoder: bool = True
     add_gated_x_attn: int = 1
     av_fusion: str = "separate"

@@ -238,6 +238,7 @@ def dataset_from_existing_segments(
     transcript_info = {s.segment_id: s for s in segments}
 
     records: List[Dict[str, Any]] = []
+    bad_ids: List[str] = []
     all_ids = set(audio_files) | set(video_files) | set(transcript_info)
     for sid in sorted(all_ids):
         has_audio = sid in audio_files
@@ -245,7 +246,14 @@ def dataset_from_existing_segments(
         if not (has_audio or has_video):
             continue
         parts = sid.split("-")
+        try:
+            float(parts[-2]), float(parts[-1])
+        except (ValueError, IndexError):
+            # stray non-segment file in the media dirs: skip, don't abort
+            bad_ids.append(sid)
+            continue
         if len(parts) < 4:
+            bad_ids.append(sid)
             continue
         seg = transcript_info.get(sid)
         rec: Dict[str, Any] = {
@@ -283,6 +291,7 @@ def dataset_from_existing_segments(
             "lip_files": len(lip_files),
             "transcripts": len(transcript_info),
             "records": len(records),
+            "skipped_bad_ids": len(bad_ids),
         },
     }
     if package_hf and records:
@@ -317,12 +326,21 @@ def reprocess_lips_from_csv(
     df = pd.read_csv(csv_path)
     if "video" not in df.columns:
         raise ValueError(f"{csv_path} has no 'video' column")
+
+    def truthy(col):
+        # CSV round-trips turn bool columns with blanks into object dtype
+        # where astype(bool) maps both NaN and the string "False" to True
+        return col.map(
+            lambda v: (not pd.isna(v))
+            and str(v).strip().lower() in ("true", "1", "1.0", "yes")
+        )
+
     rows = df
     if "has_video" in df.columns:
-        rows = rows[rows["has_video"].astype(bool)]
+        rows = rows[truthy(rows["has_video"])]
     rows = rows.dropna(subset=["video"])
     if only_missing and "has_lip_video" in df.columns:
-        rows = rows[~rows["has_lip_video"].astype(bool)]
+        rows = rows[~truthy(rows["has_lip_video"])]
 
     results: Dict[str, Tuple[bool, str]] = {}
     missing_files = 0

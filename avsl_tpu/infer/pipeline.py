@@ -117,12 +117,17 @@ class StreamingTranscriber:
         self._j_coords = jax.jit(stages["coords_from_traj"])
         self._j_sample = jax.jit(stages["sample"])
 
-        def lip_from_raw(clips_u8):
+        def lip_from_raw(clips_u8, n_frames):
             tr, fw = self._j_traj(self._j_sub(clips_u8))
             lip96 = self._j_sample(clips_u8, *self._j_coords(tr, fw))
             off = (96 - self.crop) // 2
             lip = lip96[:, :, off: off + self.crop, off: off + self.crop, None]
-            return (lip / 255.0 - 0.421) / 0.165  # load_video_feats norm
+            lip = (lip / 255.0 - 0.421) / 0.165  # load_video_feats norm
+            # zero-pad tail frames EXACTLY like the lip_video path (its
+            # zeros buffer stays 0.0 past len(feats)); without this the
+            # uint8-zero pad frames would normalize to -2.55
+            t_idx = jnp.arange(lip.shape[1])[None, :, None, None, None]
+            return jnp.where(t_idx < n_frames[:, None, None, None, None], lip, 0.0)
 
         self._lip_from_raw = lip_from_raw
 
@@ -150,9 +155,9 @@ class StreamingTranscriber:
                     (self.video_frames, self.crop, self.crop, 1), np.float32
                 )
                 video[: len(feats)] = feats
-                return audio, video, None, True
+                return audio, video, None, 0, True
             except Exception:
-                return audio, None, None, False
+                pass  # corrupt lip clip: fall through to the raw closeup
 
         raw = item.get("video")
         if raw and isinstance(raw, str) and os.path.exists(raw):
@@ -169,10 +174,10 @@ class StreamingTranscriber:
                     )
                 clip = np.zeros((self.video_frames, h, w), np.uint8)
                 clip[: len(frames)] = frames.astype(np.uint8)
-                return audio, None, clip, True
+                return audio, None, clip, len(frames), True
             except Exception:
-                return audio, None, None, False
-        return audio, None, None, False
+                pass
+        return audio, None, None, 0, False
 
     def _prepare_batch(self, items: Sequence[Dict[str, Any]]):
         n = len(items)
@@ -183,9 +188,10 @@ class StreamingTranscriber:
         h, w = self.raw_video_hw
         raw = None
         raw_mask = np.zeros((self.batch_size,), bool)
+        raw_frames = np.zeros((self.batch_size,), np.int32)
         flags: List[bool] = []
         for i, item in enumerate(items):
-            a, v, rc, hv = self._load_item(item)
+            a, v, rc, nf, hv = self._load_item(item)
             audio[i] = a
             if v is not None:
                 video[i] = v
@@ -194,8 +200,9 @@ class StreamingTranscriber:
                     raw = np.zeros((self.batch_size, self.video_frames, h, w), np.uint8)
                 raw[i] = rc
                 raw_mask[i] = True
+                raw_frames[i] = nf
             flags.append(hv)
-        return audio, video, raw, raw_mask, flags, n
+        return audio, video, raw, raw_mask, raw_frames, flags, n
 
     # -- public API ----------------------------------------------------
 
@@ -222,11 +229,13 @@ class StreamingTranscriber:
             got = queue.get()
             if got is None:
                 break
-            chunk, (audio, video, raw, raw_mask, flags, n) = got
+            chunk, (audio, video, raw, raw_mask, raw_frames, flags, n) = got
             if raw is not None:
                 import jax.numpy as jnp
 
-                lip = self._lip_from_raw(jnp.asarray(raw))
+                lip = self._lip_from_raw(
+                    jnp.asarray(raw), jnp.asarray(raw_frames)
+                )
                 m = jnp.asarray(raw_mask)[:, None, None, None, None]
                 video = jnp.where(m, lip, jnp.asarray(video))
             seqs = np.asarray(self._run(audio, video, self._prompt))

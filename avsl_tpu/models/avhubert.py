@@ -464,7 +464,11 @@ class AVHuBERTModel(nn.Module):
                 # feature-dimension (channel) span masking — the reference's
                 # mask_feature_prob/mask_feature_length path
                 # (av_hubert_model.py:586-828); spans run over the hidden
-                # channels and zero them for the whole sequence.
+                # channels and zero them for the whole sequence. Gated by
+                # ``apply_time_mask`` deliberately: fairseq gates BOTH
+                # time and channel masking on the same ``apply_mask``
+                # flag, of which apply_time_mask is this framework's
+                # analogue.
                 channel_mask = span_mask(
                     self.make_rng("mask"),
                     src.shape[0],

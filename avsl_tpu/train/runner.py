@@ -127,11 +127,12 @@ class TrainerRunner:
         self.state = init_state
         self.logger = MetricLogger(log_dir)
         self.ckpt_dir = os.path.abspath(ckpt_dir)
+        self._best_dir = os.path.join(self.ckpt_dir, "best")
         self.best_wer = float("inf")
         self.best_step = -1
         # early stopping on the monitored metric (reference whisper_ft.py
         # uses EarlyStoppingCallback with patience 5); 0 disables
-        self.early_stop_patience = int(getattr(cfg, "early_stop_patience", 0))
+        self.early_stop_patience = int(getattr(cfg, "early_stop_patience", 0) or 0)
         self._evals_since_best = 0
 
     def maybe_resume(self) -> int:
@@ -206,6 +207,11 @@ class TrainerRunner:
                 if wer < self.best_wer:
                     self.best_wer = wer
                     self.best_step = step
+                    # pin the best step in its own directory: the rolling
+                    # ckpt_dir keeps only max_to_keep steps, so by the
+                    # time early stopping fires the best step would have
+                    # been garbage-collected from it
+                    save_checkpoint(self._best_dir, self.state, step)
                     self._evals_since_best = 0
                 else:
                     self._evals_since_best += 1
@@ -236,9 +242,18 @@ class TrainerRunner:
         step = self.best_step if self.best_step >= 0 else latest_step(self.ckpt_dir)
         state = self.state
         if step is not None and step >= 0:
-            try:
-                state = restore_checkpoint(self.ckpt_dir, self.state, step)
-            except FileNotFoundError:
+            # the best step lives in its own pinned directory (the rolling
+            # dir garbage-collects old steps); fall back to the rolling
+            # dir for the plain latest-step case
+            for directory in (self._best_dir, self.ckpt_dir):
+                try:
+                    state = restore_checkpoint(directory, self.state, step)
+                    break
+                except Exception:
+                    continue
+            else:
+                print(f"warning: checkpoint for step {step} not restorable; "
+                      "evaluating the in-memory (final) state instead")
                 step = None
         m = evaluate_wer(
             lambda b: self.eval_logits_fn(state, b),

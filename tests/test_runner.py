@@ -90,6 +90,32 @@ def test_early_stop_and_best_ckpt_reload(tmp_path):
     assert m["test/cer_av"] == pytest.approx(0.0)
 
 
+def test_best_ckpt_survives_rolling_gc(tmp_path):
+    """The rolling checkpoint dir keeps only max_to_keep=3 steps; with
+    patience larger than that, the best step is garbage-collected from it
+    before early stopping fires. test_best must still restore the best
+    weights (pinned in ckpt_dir/best), not silently fall back to the
+    stopped state."""
+    runner = _runner(tmp_path)
+    runner.early_stop_patience = 5
+    result = runner.fit(
+        train_batches=_train_batches,
+        val_batches=_val_batches,
+        num_steps=20,
+        validate_every=1,
+    )
+    # evals at steps 1..7: best at 1, then 1 same + 5 worse -> stop at 7;
+    # rolling dir retains only the last 3 steps, so step 1 is GC'd there
+    assert result["best_step"] == 1
+    assert result["final_step"] >= 6
+    from avsl_tpu.train.checkpoints import latest_step
+
+    assert latest_step(str(tmp_path / "ckpt")) > 3
+
+    m = runner.test_best(_val_batches)
+    assert m["test/wer_av"] == pytest.approx(0.0)  # best (step-1) behavior
+
+
 def test_no_early_stop_when_disabled(tmp_path):
     runner = _runner(tmp_path)
     runner.early_stop_patience = 0
