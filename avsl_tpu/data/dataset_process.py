@@ -44,12 +44,16 @@ def process_lip_videos(
     max_frames: int = 300,
 ) -> List[Tuple[bool, str]]:
     """Extract 96x96 lip clips for each segment video
-    (dataset_process.py:216-331 -> video_process.py:711)."""
-    from avsl_tpu.data.landmarks import MotionEnergyDetector
+    (dataset_process.py:216-331 -> video_process.py:711).
+
+    Default detector: mid-clip-anchored bidirectional NCC tracking — the
+    best-measured agreement with the reference's dlib crops (golden test
+    in tests/test_lip_roi.py: mean NCC 0.61 vs 0.50 energy / 0.28 motion)."""
+    from avsl_tpu.data.landmarks import AnchorTrackDetector
     from avsl_tpu.data.lip_roi import extract_lip_clip
     from avsl_tpu.data.video_io import read_video_frames, write_video_frames
 
-    detector = detector or MotionEnergyDetector()
+    detector = detector or AnchorTrackDetector()
     os.makedirs(output_dir, exist_ok=True)
     results: List[Tuple[bool, str]] = []
     for path in video_paths:

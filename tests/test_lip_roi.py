@@ -18,6 +18,7 @@ from avsl_tpu.data.lip_roi import (
     smooth_landmarks,
 )
 from avsl_tpu.data.landmarks import (
+    AnchorTrackDetector,
     EnergyBoxDetector,
     MotionEnergyDetector,
     PrecomputedLandmarks,
@@ -253,18 +254,52 @@ def test_lip_crops_agree_with_reference_golden_clip():
     per-frame parity."""
     frames = read_video_frames(AMI_EXAMPLE, grayscale=True)
     gold = read_video_frames(AMI_GOLDEN_LIP, grayscale=True)
-    # the texture-energy box detector scores best on this clip (mean NCC
-    # 0.50 vs 0.28 motion / 0.49 cnn — see docs/ENGINEERING_NOTES.md)
-    det = EnergyBoxDetector()
+    # mid-clip-anchored bidirectional NCC tracking follows the early
+    # speaker motion the clip-level detectors miss (measured: whole-clip
+    # mean NCC 0.61 vs 0.50 energy-box, early frames 0.54 vs 0.07)
+    det = AnchorTrackDetector()
     clip = extract_lip_clip(frames, det(frames))
     assert clip is not None and clip.shape[1:] == (96, 96)
 
     n = min(len(clip), len(gold))
     sims = np.array([_ncc_best_shift(clip[t], gold[t]) for t in range(0, n, 5)])
+    early = np.array([_ncc_best_shift(clip[t], gold[t]) for t in range(0, 25, 5)])
     mid = np.array(
         [_ncc_best_shift(clip[t], gold[t]) for t in range(25, min(n, 85), 5)]
     )
-    assert sims.mean() >= 0.40, f"whole-clip mean NCC {sims.mean():.3f}"
-    assert mid.mean() >= 0.55, f"mid-clip mean NCC {mid.mean():.3f}"
+    assert sims.mean() >= 0.55, f"whole-clip mean NCC {sims.mean():.3f}"
+    assert early.mean() >= 0.40, f"early-clip mean NCC {early.mean():.3f}"
+    assert mid.mean() >= 0.62, f"mid-clip mean NCC {mid.mean():.3f}"
     # and the mid-clip peak must show real per-frame structure agreement
-    assert mid.max() >= 0.65, f"mid-clip max NCC {mid.max():.3f}"
+    assert mid.max() >= 0.68, f"mid-clip max NCC {mid.max():.3f}"
+
+
+def test_anchor_track_follows_moving_face():
+    """AnchorTrackDetector must follow a face that translates across the
+    frame — the failure mode of the clip-level detectors on real AMI
+    footage (speaker moving in the first second)."""
+    rng = np.random.default_rng(0)
+    T, H, W = 60, 160, 200
+    base = rng.integers(30, 90, (H, W)).astype(np.float32)
+    yy, xx = np.mgrid[0:H, 0:W]
+    frames = np.empty((T, H, W), np.uint8)
+    true_cx = np.linspace(60, 140, T)
+    for t in range(T):
+        # textured "mouth" patch that translates horizontally
+        mouth = 120 * np.exp(
+            -(((xx - true_cx[t]) / 10.0) ** 2 + ((yy - 90) / 6.0) ** 2)
+        ) * (1 + 0.3 * np.sin(xx))
+        frames[t] = np.clip(base + mouth, 0, 255).astype(np.uint8)
+
+    # base estimate: static canonical layout centered mid-frame, so the
+    # tracker's anchor template lands on the mid-trajectory mouth
+    mean_face = canonical_mean_face(300) * 0.5
+    offset = np.array([true_cx[T // 2], 90.0]) - mean_face[48:68].mean(axis=0)
+    static = [mean_face + offset] * T
+    det = AnchorTrackDetector(base=PrecomputedLandmarks(static), template=24, search=16)
+    lms = det(frames)
+    centers = np.array([l[48:68].mean(axis=0) for l in lms])
+    err = np.abs(centers[:, 0] - true_cx)
+    assert err[:10].max() < 8.0, f"early tracking error {err[:10].max():.1f}px"
+    assert err.max() < 8.0, f"tracking error {err.max():.1f}px"
+    assert np.abs(centers[:, 1] - 90).max() < 8.0
