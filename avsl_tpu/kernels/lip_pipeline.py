@@ -316,6 +316,48 @@ def make_staged_lip_frontend(
             )
         )(clip_det, win_det)                    # ([B, t, 2], [B])
 
+    def track_refine(small, base_traj, face_w):
+        """Refine a detection trajectory by mid-clip-anchored
+        bidirectional NCC tracking — device twin of
+        data.landmarks.AnchorTrackDetector (the golden-validated
+        preprocessing default). The detection trajectory seeds the
+        anchor; the fixed template is then tracked to both clip ends,
+        following fast early-clip speaker motion the window estimates
+        smooth away.
+
+        Jit this SEPARATELY from ``traj`` (chain the two): composed into
+        one program, XLA:TPU compile explodes the same way the fused
+        frontend does. Same output contract as ``traj``.
+
+        .. note:: on the tunneled dev backend even the standalone scan-of-
+           NCC program compiles in minutes (dynamic-slice windows inside
+           lax.scan hit the same pathological-compile class) — measured
+           2026-08-17; use this stage on directly-attached TPUs, and the
+           host twin (data.landmarks.AnchorTrackDetector) for
+           preprocessing elsewhere."""
+        from avsl_tpu.kernels.track import ncc_track_batch_anchored
+
+        anchor = t // 2
+        anchor_pos = base_traj[:, anchor, :] / detect_ds   # small coords
+        track = ncc_track_batch_anchored(
+            small, anchor_pos, anchor,
+            template_size=max(16, 48 // detect_ds),
+            search=max(8, 24 // detect_ds),
+        )                                                  # [B, t, 2]
+        tracked = jax.vmap(lambda tr_: smooth_time(tr_, smoothing_window))(
+            track * detect_ds
+        )
+        # fall back to the detection trajectory when detection failed
+        # (canonical-layout fallback carries face_w == _CANON_W exactly)
+        ok = (jnp.abs(face_w - _CANON_W) > 1e-6)[:, None, None]
+        return jnp.where(ok, tracked, base_traj), face_w
+
+    def traj_tracked(small):
+        """``track_refine(small, *traj(small))`` in one call — fine on
+        CPU/tests; on TPU jit the two halves separately."""
+        base_traj, face_w = traj(small)
+        return track_refine(small, base_traj, face_w)
+
     # canonical-space constants for the closed-form coordinate path
     mf_np = canonical_mean_face(out_size)
     cm_x, cm_y = [float(v) for v in mf_np[48:68].mean(axis=0)]
@@ -380,6 +422,8 @@ def make_staged_lip_frontend(
         "subsample": subsample,
         "landmarks": landmarks,
         "traj": traj,
+        "track_refine": track_refine,
+        "traj_tracked": traj_tracked,
         "coords_from_traj": coords_from_traj,
         "traj_window": traj_window,
         "crop_window": crop_window,

@@ -108,3 +108,72 @@ def ncc_track_batch(
     return jax.vmap(
         lambda f, p: ncc_track_clip(f, p, template_size=template_size, search=search)
     )(clips, init_pos)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("anchor", "template_size", "search")
+)
+def ncc_track_clip_anchored(
+    frames: jnp.ndarray,  # [T, H, W]
+    anchor_pos: jnp.ndarray,  # (x, y) center at the anchor frame
+    anchor: int,
+    template_size: int = 48,
+    search: int = 24,
+) -> jnp.ndarray:
+    """Bidirectional fixed-template tracking from a mid-clip anchor.
+
+    Clip-level position estimates are most reliable at the temporal
+    middle (motion/texture statistics have full context there), while
+    speakers often move fastest near clip boundaries. The template is cut
+    at frame ``anchor`` and tracked BACKWARD to frame 0 and FORWARD to
+    the end — the device twin of data.landmarks.AnchorTrackDetector
+    (golden-validated against the reference's dlib crops).
+    Returns [T, 2] (x, y) centers.
+    """
+    t_len, h, w = frames.shape
+    ts = template_size
+    half = ts // 2
+    frames = frames.astype(jnp.float32)
+
+    def clamp(p):
+        x = jnp.clip(p[0], half + search, w - half - search - 1)
+        y = jnp.clip(p[1], half + search, h - half - search - 1)
+        return jnp.stack([x, y])
+
+    p0 = clamp(anchor_pos.astype(jnp.float32))
+    x0 = (p0[0] - half).astype(jnp.int32)
+    y0 = (p0[1] - half).astype(jnp.int32)
+    template = jax.lax.dynamic_slice(frames[anchor], (y0, x0), (ts, ts))
+
+    win = ts + 2 * search
+
+    def step(pos, frame):
+        pos = clamp(pos)
+        wx = (pos[0] - half - search).astype(jnp.int32)
+        wy = (pos[1] - half - search).astype(jnp.int32)
+        window = jax.lax.dynamic_slice(frame, (wy, wx), (win, win))
+        scores = ncc_scores(window, template)
+        flat = jnp.argmax(scores)
+        dy = (flat // scores.shape[1]).astype(jnp.float32) - search
+        dx = (flat % scores.shape[1]).astype(jnp.float32) - search
+        new = clamp(jnp.stack([pos[0] + dx, pos[1] + dy]))
+        return new, new
+
+    _, fwd = jax.lax.scan(step, p0, frames[anchor:])
+    _, bwd = jax.lax.scan(step, p0, frames[:anchor], reverse=True)
+    return jnp.concatenate([bwd, fwd], axis=0)
+
+
+def ncc_track_batch_anchored(
+    clips: jnp.ndarray,  # [B, T, H, W]
+    anchor_pos: jnp.ndarray,  # [B, 2]
+    anchor: int,
+    template_size: int = 48,
+    search: int = 24,
+) -> jnp.ndarray:
+    """vmapped anchored tracker: [B, T, 2] positions."""
+    return jax.vmap(
+        lambda f, p: ncc_track_clip_anchored(
+            f, p, anchor, template_size=template_size, search=search
+        )
+    )(clips, anchor_pos)

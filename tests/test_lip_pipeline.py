@@ -222,3 +222,36 @@ def test_separable_crop_coords_np_matches_jax():
     ys_n, xs_n = separable_crop_coords_np(lms, mean_face)
     np.testing.assert_allclose(np.asarray(ys_j), ys_n, atol=1e-3, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(xs_j), xs_n, atol=1e-3, rtol=1e-5)
+
+
+def test_traj_tracked_stage():
+    """The anchored-NCC device stage must keep the traj contract, stay
+    near the detection trajectory on stable footage, and follow a
+    translating scene that the window estimates lag on."""
+    from avsl_tpu.kernels.lip_pipeline import make_staged_lip_frontend
+
+    stages = make_staged_lip_frontend(T, window=WINDOW, detect_ds=DS)
+    clips = _synthetic_clips()
+    small = stages["subsample"](jnp.asarray(clips))
+    tr_base, fw_base = stages["traj"](small)
+    tr_trk, fw_trk = stages["traj_tracked"](small)
+    assert tr_trk.shape == tr_base.shape and fw_trk.shape == fw_base.shape
+    np.testing.assert_array_equal(np.asarray(fw_trk), np.asarray(fw_base))
+    assert np.isfinite(np.asarray(tr_trk)).all()
+    # near-static face: tracking must not run away from the detection
+    drift = np.abs(np.asarray(tr_trk) - np.asarray(tr_base)).max()
+    assert drift < 25.0, f"tracked trajectory drifted {drift:.1f}px"
+
+    # translating scene: the whole frame content shifts right over time;
+    # the fixed anchored template must follow it frame-accurately
+    rng = np.random.default_rng(7)
+    tex = rng.integers(0, 255, (H, W + T)).astype(np.uint8)
+    moving = np.stack(
+        [np.stack([tex[:, s: s + W] for s in range(T)])] * 2
+    )  # [2, T, H, W], scene shifts 1 px/frame
+    small_m = stages["subsample"](jnp.asarray(moving))
+    tr_m, _ = stages["traj_tracked"](small_m)
+    x = np.asarray(tr_m)[0, :, 0]
+    # ignore smoothing-clamped edges; interior must move ~ -1 px/frame
+    slope = np.polyfit(np.arange(10, T - 10), x[10: T - 10], 1)[0]
+    assert -1.4 < slope < -0.6, f"tracked slope {slope:.2f} (want ~-1)"
