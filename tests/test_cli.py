@@ -158,3 +158,72 @@ def test_finetune_bucketed_multisteps(tmp_path, monkeypatch):
     # 2 optimizer steps x accum 2 = 4 micro steps
     assert result["final_step"] == 4
     assert np.isfinite(result["history"][-1][1]) if result["history"] else True
+
+
+def test_preprocess_new_modes_cli(tmp_path, capsys):
+    """CLI surface of the round-2 recovery/marker modes (reference
+    --mode segment_exist / process_lip / dsfl drivers)."""
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+    import scipy.io.wavfile as wavfile
+
+    from avsl_tpu.cli.preprocess import main as pp_main
+    from avsl_tpu.data.video_io import write_video_frames
+
+    # --- segment_exist on a tmp already-sliced corpus -------------------
+    src = tmp_path / "src"
+    (src / "audio_segments").mkdir(parents=True)
+    (src / "video_segments").mkdir()
+    tdir = tmp_path / "transcripts"
+    tdir.mkdir()
+    (tdir / "EN9999a-A.txt").write_text("[0.50-1.50] hello there\n")
+    (src / "audio_segments" / "EN9999a-A-0.50-1.50.wav").write_bytes(b"x")
+    (src / "audio_segments" / "stray-notes.wav").write_bytes(b"x")  # skipped
+    pp_main([
+        "segment_exist", "--source_dir", str(src), "--transcripts", str(tdir),
+        "--output", str(tmp_path / "ds"), "--no_dataset",
+    ])
+    stats = _json.loads(capsys.readouterr().out)
+    assert stats["records"] == 1 and stats["skipped_bad_ids"] == 1
+    assert (tmp_path / "ds" / "dataset_records.json").exists()
+
+    # --- reprocess_lips over a CSV --------------------------------------
+    vid = str(tmp_path / "seg1.mp4")
+    write_video_frames(
+        vid, np.random.default_rng(0).integers(0, 255, (6, 120, 160)).astype(np.uint8),
+        fps=25,
+    )
+    csv_path = str(tmp_path / "info.csv")
+    pd.DataFrame({"id": ["seg1"], "video": [vid]}).to_csv(csv_path, index=False)
+    pp_main(["reprocess_lips", "--csv", csv_path, "--output", str(tmp_path / "lips")])
+    rep = _json.loads(capsys.readouterr().out)
+    assert rep["n_ok"] + rep["n_failed"] == 1
+    assert "has_lip_video" in pd.read_csv(csv_path).columns
+
+    # --- marker_dataset with media slicing + stats JSON ------------------
+    media = tmp_path / "media"
+    media.mkdir()
+    sr = 16000
+    wavfile.write(
+        str(media / "EN9999a.Headset-0.wav"), sr,
+        (np.sin(np.arange(3 * sr) * 0.05) * 20000).astype(np.int16),
+    )
+    mcsv = str(tmp_path / "markers.csv")
+    pd.DataFrame({
+        "meeting_id": ["EN9999a", "EN9999a"],
+        "speaker_id": ["A", "A"],
+        "word": ["<laugh>", "um"],
+        "start_time": [0.5, 1.0],
+        "end_time": [1.0, 1.4],
+        "disfluency_type": ["laughter", "hesitation"],
+    }).to_csv(mcsv, index=False)
+    pp_main([
+        "marker_dataset", "--csv", mcsv, "--media_dir", str(media),
+        "--output", str(tmp_path / "marker_out"), "--check_speakers", "--no_balance",
+    ])
+    mstats = _json.loads(capsys.readouterr().out)
+    assert mstats["audio_ok"] == 2
+    assert mstats["per_event_type"] == {"hesitation": 1, "laughter": 1}
+    assert (tmp_path / "marker_out" / "marker_dataset_stats.json").exists()
