@@ -198,6 +198,24 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         "last_loss": losses[-1],
         "eval_loss": final_eval,
     }
+    if args.head == "ctc":
+        # best-path decode of the eval batch (collapse repeats, drop
+        # blanks = pad id) + mean path log-prob as confidence
+        from avsl_tpu.decode import ctc_best_path_scores
+
+        var = {"params": state.params}
+        if state.batch_stats is not None:
+            var["batch_stats"] = state.batch_stats
+        logits = model.apply(
+            var, audio=probe["audio"], video=probe["video"],
+            padding_mask=probe["padding_mask"], deterministic=True,
+        )
+        seqs, scores = ctc_best_path_scores(
+            np.asarray(logits), blank_id=cfg.pad_token_id,
+            logit_pad=1.0 - probe["padding_mask"].astype(np.float32),
+        )
+        result["ctc_decoded_lens"] = [len(s) for s in seqs]
+        result["ctc_mean_logprob"] = float(np.mean(scores))
     print(json.dumps(result))
     return result
 

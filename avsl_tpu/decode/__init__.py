@@ -9,3 +9,8 @@ from avsl_tpu.decode.greedy import (  # noqa: F401
     greedy_decode,
 )
 from avsl_tpu.decode.beam import beam_search  # noqa: F401
+from avsl_tpu.decode.ctc import (  # noqa: F401
+    ctc_best_path,
+    ctc_best_path_scores,
+    ctc_decode_to_text,
+)

@@ -135,3 +135,43 @@ def test_beam_search_jits_once(tiny_whisper):
 
     seqs, scores = run(feats, jnp.asarray([[7, 8], [5, 6]], jnp.int32))
     assert seqs.shape == (2, 6)
+
+
+def test_ctc_best_path_decode():
+    """Best-path CTC: argmax -> collapse repeats -> drop blanks; padded
+    frames excluded; scores finite."""
+    import numpy as np
+
+    from avsl_tpu.decode import ctc_best_path, ctc_best_path_scores
+
+    V, BLANK = 6, 0
+    # frame-level classes: [a a blank a b b blank blank c PAD]
+    classes = [1, 1, 0, 1, 2, 2, 0, 0, 3, 4]
+    logits = np.full((1, len(classes), V), -5.0, np.float32)
+    for t, c in enumerate(classes):
+        logits[0, t, c] = 5.0
+    pad = np.zeros((1, len(classes)), np.float32)
+    pad[0, -1] = 1.0  # the trailing "4" frame is padding
+    seqs = ctc_best_path(logits, blank_id=BLANK, logit_pad=pad)
+    assert seqs == [[1, 1, 2, 3]]  # repeat collapsed, blank-separated kept
+
+    seqs2, scores = ctc_best_path_scores(logits, blank_id=BLANK, logit_pad=pad)
+    assert seqs2 == seqs
+    assert np.isfinite(scores).all() and scores[0] < 0
+
+
+def test_ctc_decode_to_text():
+    import numpy as np
+
+    from avsl_tpu.data.tokenizer import ByteTokenizer
+    from avsl_tpu.decode import ctc_decode_to_text
+
+    tok = ByteTokenizer()
+    ids = tok.encode("hi")
+    V = tok.vocab_size
+    frames = [ids[0], ids[0], 0, ids[1]]
+    logits = np.full((1, len(frames), V), -5.0, np.float32)
+    for t, c in enumerate(frames):
+        logits[0, t, c] = 5.0
+    texts = ctc_decode_to_text(logits, tok, blank_id=0)
+    assert texts == ["hi"]
