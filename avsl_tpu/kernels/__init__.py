@@ -19,9 +19,21 @@ from avsl_tpu.kernels.fbank import (  # noqa: F401
 )
 from avsl_tpu.kernels.resample import resample_poly  # noqa: F401
 from avsl_tpu.kernels.specaugment import spec_augment  # noqa: F401
-from avsl_tpu.kernels.track import ncc_track_clip, ncc_track_batch  # noqa: F401
+from avsl_tpu.kernels.track import (  # noqa: F401
+    ncc_track_clip,
+    ncc_track_batch,
+    ncc_track_clip_anchored,
+    ncc_track_batch_anchored,
+)
 from avsl_tpu.kernels.warp import (  # noqa: F401
     umeyama,
     warp_and_crop_clip,
     warp_and_crop_clip_separable,
+    separable_crop_coords,
+    separable_crop_coords_np,
+    sample_separable,
+)
+from avsl_tpu.kernels.lip_pipeline import (  # noqa: F401
+    make_lip_frontend,
+    make_staged_lip_frontend,
 )
