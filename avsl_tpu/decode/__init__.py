@@ -13,4 +13,6 @@ from avsl_tpu.decode.ctc import (  # noqa: F401
     ctc_best_path,
     ctc_best_path_scores,
     ctc_decode_to_text,
+    ctc_prefix_beam_search,
+    ctc_prefix_beam_search_batch,
 )

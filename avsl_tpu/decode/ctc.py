@@ -63,6 +63,84 @@ def _logsumexp(x, axis=-1, keepdims=False):
     return out if keepdims else np.squeeze(out, axis)
 
 
+def ctc_prefix_beam_search(
+    logits: np.ndarray,  # [T, V] single sequence
+    beam_size: int = 8,
+    blank_id: int = 0,
+    logit_pad: Optional[np.ndarray] = None,  # [T] 1.0 = padded frame
+) -> Tuple[List[int], float]:
+    """Prefix beam search over CTC output distributions (Hannun et al.,
+    2014): sums path probabilities over all alignments of each prefix
+    (tracked separately for blank- and non-blank-ending paths), which
+    best-path decoding approximates with the single argmax alignment.
+    Returns (tokens, log-probability of the best prefix)."""
+    logits = np.asarray(logits, np.float32)
+    logp = logits - _logsumexp(logits, axis=-1, keepdims=True)
+    t_len, vocab = logp.shape
+
+    NEG = -1e30
+
+    def logadd(a, b):
+        if a <= NEG:
+            return b
+        if b <= NEG:
+            return a
+        m = max(a, b)
+        return m + np.log(np.exp(a - m) + np.exp(b - m))
+
+    # prefix -> (log P(prefix, ends in blank), log P(prefix, ends non-blank))
+    beams = {(): (0.0, NEG)}
+    for t in range(t_len):
+        if logit_pad is not None and logit_pad[t] >= 0.5:
+            continue
+        frame = logp[t]
+        # only the top candidates per frame matter for realistic beams
+        cand = np.argpartition(frame, -min(beam_size * 2, vocab))[-min(beam_size * 2, vocab):]
+        nxt: dict = {}
+
+        def acc(prefix, pb, pnb):
+            opb, opnb = nxt.get(prefix, (NEG, NEG))
+            nxt[prefix] = (logadd(opb, pb), logadd(opnb, pnb))
+
+        for prefix, (pb, pnb) in beams.items():
+            total = logadd(pb, pnb)
+            for v in cand:
+                v = int(v)
+                lv = float(frame[v])
+                if v == blank_id:
+                    acc(prefix, total + lv, NEG)
+                elif prefix and v == prefix[-1]:
+                    # repeat: extends the blank-ending paths; non-blank-
+                    # ending paths merge into the SAME prefix
+                    acc(prefix + (v,), NEG, pb + lv)
+                    acc(prefix, NEG, pnb + lv)
+                else:
+                    acc(prefix + (v,), NEG, total + lv)
+        beams = dict(
+            sorted(nxt.items(), key=lambda kv: -logadd(*kv[1]))[:beam_size]
+        )
+    best, (pb, pnb) = max(beams.items(), key=lambda kv: logadd(*kv[1]))
+    return list(best), logadd(pb, pnb)
+
+
+def ctc_prefix_beam_search_batch(
+    logits: np.ndarray,  # [B, T, V]
+    beam_size: int = 8,
+    blank_id: int = 0,
+    logit_pad: Optional[np.ndarray] = None,  # [B, T]
+) -> Tuple[List[List[int]], List[float]]:
+    """Batched host-side prefix beam search."""
+    seqs, scores = [], []
+    for b in range(np.asarray(logits).shape[0]):
+        s, sc = ctc_prefix_beam_search(
+            logits[b], beam_size, blank_id,
+            None if logit_pad is None else logit_pad[b],
+        )
+        seqs.append(s)
+        scores.append(sc)
+    return seqs, scores
+
+
 def ctc_decode_to_text(
     logits: np.ndarray,
     tokenizer,

@@ -175,3 +175,56 @@ def test_ctc_decode_to_text():
         logits[0, t, c] = 5.0
     texts = ctc_decode_to_text(logits, tok, blank_id=0)
     assert texts == ["hi"]
+
+
+def test_ctc_prefix_beam_matches_bruteforce():
+    """Prefix beam search (large beam) must find the exact most-probable
+    label sequence: verified against brute-force enumeration of every
+    alignment on a small random problem."""
+    import itertools
+
+    import numpy as np
+
+    from avsl_tpu.decode.ctc import ctc_prefix_beam_search
+
+    rng = np.random.default_rng(3)
+    T, V, BLANK = 5, 3, 0
+    logits = rng.normal(0, 1.5, (T, V)).astype(np.float32)
+    logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+
+    def collapse(path):
+        out, prev = [], -1
+        for s in path:
+            if s != prev and s != BLANK:
+                out.append(s)
+            prev = s
+        return tuple(out)
+
+    totals: dict = {}
+    for path in itertools.product(range(V), repeat=T):
+        p = sum(logp[t, s] for t, s in enumerate(path))
+        lab = collapse(path)
+        totals[lab] = np.logaddexp(totals.get(lab, -np.inf), p)
+    want_lab, want_lp = max(totals.items(), key=lambda kv: kv[1])
+
+    got, got_lp = ctc_prefix_beam_search(logits, beam_size=64, blank_id=BLANK)
+    assert tuple(got) == want_lab
+    np.testing.assert_allclose(got_lp, want_lp, rtol=1e-4)
+
+
+def test_ctc_prefix_beam_batch_and_padding():
+    import numpy as np
+
+    from avsl_tpu.decode.ctc import ctc_best_path, ctc_prefix_beam_search_batch
+
+    rng = np.random.default_rng(0)
+    logits = rng.normal(0, 3.0, (2, 8, 5)).astype(np.float32)
+    pad = np.zeros((2, 8), np.float32)
+    pad[1, 5:] = 1.0
+    seqs, scores = ctc_prefix_beam_search_batch(logits, beam_size=16, logit_pad=pad)
+    assert len(seqs) == 2 and all(np.isfinite(scores))
+    # with peaked logits, prefix beam agrees with best-path
+    peaked = logits * 10
+    bp = ctc_best_path(peaked, logit_pad=pad)
+    pb, _ = ctc_prefix_beam_search_batch(peaked, beam_size=16, logit_pad=pad)
+    assert pb == bp
