@@ -213,6 +213,9 @@ def main() -> None:
     bw = put_bandwidth_mbps()
     log(f"link after roi-path compiles: {bw:.0f} MB/s")
     mode = "full" if bw >= CLEAN_LINK_MBPS else "roi"
+    forced = os.environ.get("AVSL_BENCH_MODE", "")
+    if forced in ("full", "roi"):
+        mode = forced
     if mode == "full":
         # compile the full-frame path (bigger sampling program); if that
         # compile trips the throttle anyway, fall back to the
