@@ -68,9 +68,14 @@ def evaluate_wer(
     tokenizer,
     max_batches: Optional[int] = None,
     prefix: str = "val",
+    predictions_fn: Optional[Callable[[Any], Any]] = None,
 ) -> Dict[str, float]:
     """Teacher-forced argmax eval with EOT masking + corpus WER/CER
-    (reference validation semantics, whisper_flamingo_ft_ami.py:558-634)."""
+    (reference validation semantics, whisper_flamingo_ft_ami.py:558-634).
+
+    ``predictions_fn(logits) -> token rows`` overrides the seq2seq
+    teacher-forced argmax (e.g. ``decode.ctc_best_path`` for the CTC
+    head, whose rows may be ragged lists)."""
     hyps, refs = [], []
     losses = []
     special = tokenizer.special_token_set
@@ -78,7 +83,12 @@ def evaluate_wer(
         if max_batches is not None and bi >= max_batches:
             break
         logits = predict_logits(batch)
-        tokens = np.asarray(teacher_forced_predictions(logits, tokenizer.eot))
+        if predictions_fn is not None:
+            tokens = predictions_fn(logits)
+        else:
+            tokens = np.asarray(
+                teacher_forced_predictions(logits, tokenizer.eot)
+            )
         labels = np.asarray(batch["labels"])
         for o_row, l_row in zip(tokens, labels):
             o_ids = [int(t) for t in o_row if int(t) >= 0 and int(t) not in special]
@@ -107,6 +117,7 @@ class TrainerRunner:
         log_dir: str = "output/train",
         ckpt_dir: str = "checkpoints/run",
         grad_accum_steps: Optional[int] = None,
+        predictions_fn=None,
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -124,6 +135,9 @@ class TrainerRunner:
             loss_fn, tx, mesh=mesh, grad_accum_steps=self.accum, donate=False
         )
         self.eval_logits_fn = eval_logits_fn
+        # logits -> token rows; None = seq2seq teacher-forced argmax.
+        # Pass decode.ctc_best_path (wrapped) for the CTC head.
+        self.predictions_fn = predictions_fn
         self.state = init_state
         self.logger = MetricLogger(log_dir)
         self.ckpt_dir = os.path.abspath(ckpt_dir)
@@ -172,6 +186,7 @@ class TrainerRunner:
             m = evaluate_wer(
                 lambda b: self.eval_logits_fn(self.state, b),
                 val_batches(), self.tokenizer, max_batches=sanity_val_steps,
+                predictions_fn=self.predictions_fn,
             )
             self.logger.log(0, m)
 
@@ -199,6 +214,7 @@ class TrainerRunner:
                 m = evaluate_wer(
                     lambda b: self.eval_logits_fn(self.state, b),
                     val_batches(), self.tokenizer,
+                    predictions_fn=self.predictions_fn,
                 )
                 m[f"val/loss"] = float(metrics["loss"])
                 self.logger.log(step, m)
@@ -258,6 +274,7 @@ class TrainerRunner:
         m = evaluate_wer(
             lambda b: self.eval_logits_fn(state, b),
             test_batches(), self.tokenizer, max_batches=max_batches, prefix=prefix,
+            predictions_fn=self.predictions_fn,
         )
         self.logger.log(step or 0, m)
         return m

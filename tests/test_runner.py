@@ -126,3 +126,37 @@ def test_no_early_stop_when_disabled(tmp_path):
         validate_every=1,
     )
     assert result["final_step"] == 8
+
+
+def test_runner_with_ctc_predictions_fn(tmp_path):
+    """evaluate_wer/TrainerRunner accept a pluggable predictions_fn (CTC
+    best-path): ragged decoded rows flow through WER computation."""
+    from avsl_tpu.decode import ctc_best_path
+    from avsl_tpu.train.runner import evaluate_wer
+
+    V, BLANK = 10, 0
+
+    def predict_logits(batch):
+        # frame-level peaked logits spelling each label with repeats/blanks
+        b = batch["labels"].shape[0]
+        frames = []
+        for i in range(b):
+            row = []
+            for t in [int(x) for x in batch["labels"][i] if x >= 0]:
+                row += [t, t, BLANK]
+            frames.append(row)
+        T = max(len(r) for r in frames)
+        logits = np.full((b, T, V), -5.0, np.float32)
+        for i, row in enumerate(frames):
+            for t, c in enumerate(row):
+                logits[i, t, c] = 5.0
+        return logits
+
+    labels = np.asarray([[1, 2, 3, 9], [4, 5, 9, -100]])
+    m = evaluate_wer(
+        predict_logits,
+        iter([{"labels": labels}]),
+        FakeTokenizer(),
+        predictions_fn=lambda lg: ctc_best_path(lg, blank_id=BLANK),
+    )
+    assert m["val/wer_av"] == pytest.approx(0.0)
