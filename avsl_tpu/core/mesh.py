@@ -71,3 +71,63 @@ def local_batch_size(global_batch_size: int, mesh: Mesh) -> int:
             f"global batch {global_batch_size} not divisible by data-axis size {n_data}"
         )
     return global_batch_size // n_data
+
+
+# ---------------------------------------------------------------------------
+# Activation sharding (sequence parallelism)
+# ---------------------------------------------------------------------------
+#
+# Megatron-style sequence parallelism: between transformer blocks the
+# activations [B, T, D] are sharded over BOTH the data axis (batch) and the
+# model axis (time), so the layernorm/MLP/residual work and the activation
+# memory split T-ways across the model group; XLA's SPMD partitioner
+# inserts the all-gathers that attention (which needs the full sequence)
+# requires. Models opt in by calling :func:`constrain_activation` at block
+# boundaries — a no-op unless tracing happens inside
+# :func:`activation_sharding_scope`, so single-device runs and tests are
+# untouched.
+
+_ACTIVATION_MESH: Optional[Mesh] = None
+
+
+class activation_sharding_scope:
+    """Context manager enabling activation sharding constraints while a
+    jit/pjit traces model code (constraints are recorded at trace time)."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+
+    def __enter__(self):
+        global _ACTIVATION_MESH
+        self._prev = _ACTIVATION_MESH
+        _ACTIVATION_MESH = self.mesh
+        return self.mesh
+
+    def __exit__(self, *exc):
+        global _ACTIVATION_MESH
+        _ACTIVATION_MESH = self._prev
+        return False
+
+
+def constrain_activation(x, *spec):
+    """``with_sharding_constraint(x, P(*spec))`` under the active scope.
+
+    Axes that do not divide the corresponding mesh axis are dropped from
+    the spec (falls back to replication on that dim), keeping tiny test
+    shapes valid on any mesh."""
+    mesh = _ACTIVATION_MESH
+    if mesh is None:
+        return x
+    fixed = []
+    for dim, name in enumerate(spec):
+        if name is None:
+            fixed.append(None)
+            continue
+        size = mesh.shape.get(name, 1)
+        if size <= 1 or x.shape[dim] % size != 0:
+            fixed.append(None)
+        else:
+            fixed.append(name)
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*fixed))
+    )

@@ -70,6 +70,13 @@ class WhisperEncoder(nn.Module):
             # flax core_fn prepends the module scope, so `deterministic`
             # (8th call arg) sits at static index 8
             block = nn.remat(TransformerBlock, static_argnums=(8,))
+        # sequence parallelism: between blocks the activations shard
+        # [batch -> data axis, time -> model axis]; a no-op outside
+        # core.mesh.activation_sharding_scope. Attention's full-sequence
+        # all-gather is inserted by XLA's SPMD partitioner.
+        from avsl_tpu.core.mesh import DATA_AXIS, MODEL_AXIS, constrain_activation
+
+        x = constrain_activation(x, DATA_AXIS, MODEL_AXIS, None)
         for i in range(cfg.n_audio_layer):
             x, _ = block(
                 d_model=cfg.n_audio_state,
@@ -80,6 +87,7 @@ class WhisperEncoder(nn.Module):
                 param_dtype=pdtype,
                 name=f"block_{i}",
             )(x, None, None, None, None, None, None, deterministic)
+            x = constrain_activation(x, DATA_AXIS, MODEL_AXIS, None)
         return LayerNormF32(param_dtype=pdtype, name="ln_post")(x)
 
 

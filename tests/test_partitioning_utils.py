@@ -109,3 +109,46 @@ def test_memory_utils():
     assert est["total_gb_est"] > est["params_gb"]
     # no limit info on CPU backend -> returns requested
     assert memory_aware_batch_size(16, per_item_gb=0.001) >= 1
+
+
+def test_sequence_parallel_encoder_matches_replicated(eight_devices):
+    """Sequence-parallel activation sharding (batch on data, time on
+    model between encoder blocks) must be numerically identical to the
+    replicated run — XLA inserts the attention all-gathers; SP only
+    changes layout."""
+    import optax
+
+    from avsl_tpu.core.config import WhisperConfig
+    from avsl_tpu.core.mesh import activation_sharding_scope
+    from avsl_tpu.models import Whisper
+    from avsl_tpu.train.loop import TrainState, make_train_step
+    from avsl_tpu.train.objectives import flamingo_loss_fn
+
+    cfg = WhisperConfig.tiny_test(dtype="float32")
+    model = Whisper(cfg)
+    rng = np.random.default_rng(1)
+    mel = jnp.asarray(rng.normal(size=(8, 80, 64)), jnp.float32)  # T_enc=32 = 4*model(2)*...
+    dec = jnp.asarray(rng.integers(0, 200, (8, 6)))
+    variables = model.init(jax.random.PRNGKey(0), mel, dec)
+
+    want, _ = jax.jit(
+        lambda v, m: model.apply(v, m, method=model.encode)
+    )(variables, mel)
+
+    mesh = make_mesh(8, model_parallel=2)
+    with activation_sharding_scope(mesh):
+        enc_sp = jax.jit(lambda v, m: model.apply(v, m, method=model.encode))
+        got, _ = enc_sp(variables, mel)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    # and through a full train step: loss unchanged
+    labels = jnp.concatenate([dec[:, 1:], jnp.full((8, 1), 3)], axis=1)
+    batch = {"input_ids": mel, "dec_input_ids": dec, "labels": labels}
+    tx = optax.adam(1e-3)
+    loss_fn = flamingo_loss_fn(model, train=False)
+    step_plain = make_train_step(loss_fn, tx, mesh=mesh, donate=False)
+    _, m_plain = step_plain(TrainState.create(variables["params"], tx), batch)
+    with activation_sharding_scope(mesh):
+        step_sp = make_train_step(loss_fn, tx, mesh=mesh, donate=False)
+        _, m_sp = step_sp(TrainState.create(variables["params"], tx), batch)
+    assert float(m_sp["loss"]) == pytest.approx(float(m_plain["loss"]), rel=1e-5)
