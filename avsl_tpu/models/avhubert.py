@@ -250,6 +250,11 @@ class AVHuBERTTransformerEncoder(nn.Module):
         if padding_mask is not None:
             kv_lengths = jnp.sum(padding_mask.astype(jnp.int32), axis=-1)
 
+        # sequence parallelism between blocks (no-op outside
+        # core.mesh.activation_sharding_scope — see models/whisper.py)
+        from avsl_tpu.core.mesh import DATA_AXIS, MODEL_AXIS, constrain_activation
+
+        x = constrain_activation(x, DATA_AXIS, MODEL_AXIS, None)
         for i in range(cfg.num_hidden_layers):
             out, _ = TransformerBlock(
                 d_model=cfg.hidden_size,
@@ -271,6 +276,7 @@ class AVHuBERTTransformerEncoder(nn.Module):
                 x = jnp.where(keep, out, x)
             else:
                 x = out
+            x = constrain_activation(x, DATA_AXIS, MODEL_AXIS, None)
 
         if cfg.layer_norm_first:
             x = LayerNormF32(param_dtype=jnp.dtype(cfg.param_dtype), name="ln_post")(x)
