@@ -162,9 +162,22 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
 
         loss_fn = lambda p, s, b, r: _ctc(p, s, b, r, True)  # noqa: E731
 
+        eval_logits_cache: Dict[str, Any] = {}
+
         def eval_loss(params, batch_stats, batch):
-            loss, _ = _ctc(params, batch_stats, batch, jax.random.PRNGKey(0), False)
-            return loss
+            # one forward serves both the loss and the CTC decode below
+            var = {"params": params["params"] if "params" in params else params}
+            if batch_stats is not None:
+                var["batch_stats"] = batch_stats
+            logits = model.apply(
+                var, audio=batch["audio"], video=batch["video"],
+                padding_mask=batch["padding_mask"], deterministic=True,
+            )
+            eval_logits_cache["logits"] = logits
+            labels = jnp.where(batch["labels"] == -100, cfg.pad_token_id, batch["labels"])
+            label_pad = (batch["labels"] == -100).astype(jnp.float32)
+            logit_pad = 1.0 - batch["padding_mask"].astype(jnp.float32)
+            return ctc_loss(logits, logit_pad, labels, label_pad, cfg.pad_token_id)
 
     params, batch_stats = variables["params"], variables.get("batch_stats")
     tx = optax.chain(
@@ -200,18 +213,13 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     }
     if args.head == "ctc":
         # best-path decode of the eval batch (collapse repeats, drop
-        # blanks = pad id) + mean path log-prob as confidence
+        # blanks = pad id) + mean path log-prob as confidence; reuses the
+        # logits the eval-loss forward already produced (_eval_logits is
+        # stashed by eval_loss — one forward serves both)
         from avsl_tpu.decode import ctc_best_path_scores
 
-        var = {"params": state.params}
-        if state.batch_stats is not None:
-            var["batch_stats"] = state.batch_stats
-        logits = model.apply(
-            var, audio=probe["audio"], video=probe["video"],
-            padding_mask=probe["padding_mask"], deterministic=True,
-        )
         seqs, scores = ctc_best_path_scores(
-            np.asarray(logits), blank_id=cfg.pad_token_id,
+            np.asarray(eval_logits_cache["logits"]), blank_id=cfg.pad_token_id,
             logit_pad=1.0 - probe["padding_mask"].astype(np.float32),
         )
         result["ctc_decoded_lens"] = [len(s) for s in seqs]

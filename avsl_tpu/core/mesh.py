@@ -92,7 +92,16 @@ _ACTIVATION_MESH: Optional[Mesh] = None
 
 class activation_sharding_scope:
     """Context manager enabling activation sharding constraints while a
-    jit/pjit traces model code (constraints are recorded at trace time)."""
+    jit/pjit traces model code.
+
+    .. warning:: constraints are recorded at TRACE time and the scope is
+       NOT part of the jit cache key: a step function first called
+       OUTSIDE the scope caches a constraint-free trace that is silently
+       reused inside it (and vice versa). Make the FIRST call of each jit
+       under the scope you intend — e.g. build and warm the train step
+       inside ``with activation_sharding_scope(mesh):`` as
+       ``__graft_entry__.dryrun_multichip`` does. The scope is a module
+       global and not thread-safe."""
 
     def __init__(self, mesh: Mesh):
         self.mesh = mesh

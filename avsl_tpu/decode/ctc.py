@@ -94,8 +94,13 @@ def ctc_prefix_beam_search(
         if logit_pad is not None and logit_pad[t] >= 0.5:
             continue
         frame = logp[t]
-        # only the top candidates per frame matter for realistic beams
-        cand = np.argpartition(frame, -min(beam_size * 2, vocab))[-min(beam_size * 2, vocab):]
+        # only the top candidates per frame matter for realistic beams —
+        # but blank must ALWAYS be considered: dropping it starves
+        # blank-separated prefixes of all their probability mass
+        k = min(beam_size * 2, vocab)
+        cand = np.argpartition(frame, -k)[-k:]
+        if blank_id not in cand:
+            cand = np.append(cand, blank_id)
         nxt: dict = {}
 
         def acc(prefix, pb, pnb):

@@ -118,7 +118,7 @@ class StreamingTranscriber:
         self._j_sample = jax.jit(stages["sample"])
 
         def lip_from_raw(clips_u8, n_frames):
-            tr, fw = self._j_traj(self._j_sub(clips_u8))
+            tr, fw, _ok = self._j_traj(self._j_sub(clips_u8))
             lip96 = self._j_sample(clips_u8, *self._j_coords(tr, fw))
             off = (96 - self.crop) // 2
             lip = lip96[:, :, off: off + self.crop, off: off + self.crop, None]

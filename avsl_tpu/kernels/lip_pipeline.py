@@ -27,10 +27,18 @@ from typing import Tuple
 
 import numpy as np
 
-from avsl_tpu.data.lip_roi import canonical_mean_face
-
 # canonical face box inside the 300x300 layout (landmarks.canonical_landmarks_from_box)
 _CANON_X0, _CANON_Y0, _CANON_W, _CANON_H = 72.0, 100.0, 156.0, 170.0
+
+
+def canonical_mean_face(size: int = 300):
+    """Late import of data.lip_roi.canonical_mean_face: a module-level
+    import here would close an import cycle (data.lip_roi imports
+    kernels.warp, whose package __init__ imports this module) and crash
+    any process that imports the data package first."""
+    from avsl_tpu.data.lip_roi import canonical_mean_face as _cmf
+
+    return _cmf(size)
 
 
 def masked_time_interp(values, valid, centers, t: int):
@@ -94,9 +102,10 @@ def synthesize_traj(
     """Device twin of BatchedMotionDetector.__call__ (no-track branch) +
     interpolation + smoothing for ONE clip, in trajectory form.
 
-    Returns ``(traj [t, 2], face_w scalar)`` in full-resolution
-    coordinates: the smoothed mouth-center trajectory and the face width.
-    Detection failure (ok=0) falls back to the canonical layout. The full
+    Returns ``(traj [t, 2], face_w scalar, ok scalar bool)`` in
+    full-resolution coordinates: the smoothed mouth-center trajectory,
+    the face width, and whether clip-level detection succeeded.
+    Detection failure (ok=False) falls back to the canonical layout. The full
     68-point field is an affine image of the canonical layout
     (module docstring identity), so ``(traj, face_w)`` carries all the
     information — consumers that need explicit landmarks expand via
@@ -129,7 +138,7 @@ def synthesize_traj(
     face_w = jnp.where(clip_ok, face_w_det * detect_ds, _CANON_W)
 
     traj = smooth_time(traj, smoothing_window)
-    return traj, face_w
+    return traj, face_w, clip_ok
 
 
 def synthesize_landmarks(
@@ -147,7 +156,7 @@ def synthesize_landmarks(
 
     canon = jnp.asarray(canonical_mean_face(300), jnp.float32)
     canon_mouth = jnp.mean(canon[48:68], axis=0)
-    traj, face_w = synthesize_traj(
+    traj, face_w, _ok = synthesize_traj(
         clip_det, win_det, t, window=window, detect_ds=detect_ds,
         smoothing_window=smoothing_window,
     )
@@ -314,9 +323,9 @@ def make_staged_lip_frontend(
                 c, w, t, window=window, detect_ds=detect_ds,
                 smoothing_window=smoothing_window,
             )
-        )(clip_det, win_det)                    # ([B, t, 2], [B])
+        )(clip_det, win_det)                    # ([B, t, 2], [B], [B] ok)
 
-    def track_refine(small, base_traj, face_w):
+    def track_refine(small, base_traj, face_w, det_ok):
         """Refine a detection trajectory by mid-clip-anchored
         bidirectional NCC tracking — device twin of
         data.landmarks.AnchorTrackDetector (the golden-validated
@@ -348,15 +357,14 @@ def make_staged_lip_frontend(
             track * detect_ds
         )
         # fall back to the detection trajectory when detection failed
-        # (canonical-layout fallback carries face_w == _CANON_W exactly)
-        ok = (jnp.abs(face_w - _CANON_W) > 1e-6)[:, None, None]
-        return jnp.where(ok, tracked, base_traj), face_w
+        ok = det_ok.astype(bool)[:, None, None]
+        return jnp.where(ok, tracked, base_traj), face_w, det_ok
 
     def traj_tracked(small):
         """``track_refine(small, *traj(small))`` in one call — fine on
         CPU/tests; on TPU jit the two halves separately."""
-        base_traj, face_w = traj(small)
-        return track_refine(small, base_traj, face_w)
+        base_traj, face_w, det_ok = traj(small)
+        return track_refine(small, base_traj, face_w, det_ok)
 
     # canonical-space constants for the closed-form coordinate path
     mf_np = canonical_mean_face(out_size)

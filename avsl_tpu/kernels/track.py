@@ -64,38 +64,10 @@ def ncc_track_clip(
     The template is cut from frame 0 at ``init_pos`` and kept fixed
     (drift-free); each subsequent frame is searched within ``±search`` px
     of the previous position. Returns [T, 2] (x, y) centers.
-    """
-    t_len, h, w = frames.shape
-    ts = template_size
-    half = ts // 2
-    frames = frames.astype(jnp.float32)
-
-    def clamp(p):
-        x = jnp.clip(p[0], half + search, w - half - search - 1)
-        y = jnp.clip(p[1], half + search, h - half - search - 1)
-        return jnp.stack([x, y])
-
-    p0 = clamp(init_pos.astype(jnp.float32))
-    x0 = (p0[0] - half).astype(jnp.int32)
-    y0 = (p0[1] - half).astype(jnp.int32)
-    template = jax.lax.dynamic_slice(frames[0], (y0, x0), (ts, ts))
-
-    win = ts + 2 * search
-
-    def step(pos, frame):
-        pos = clamp(pos)
-        wx = (pos[0] - half - search).astype(jnp.int32)
-        wy = (pos[1] - half - search).astype(jnp.int32)
-        window = jax.lax.dynamic_slice(frame, (wy, wx), (win, win))
-        scores = ncc_scores(window, template)  # [2s+1, 2s+1]
-        flat = jnp.argmax(scores)
-        dy = (flat // scores.shape[1]).astype(jnp.float32) - search
-        dx = (flat % scores.shape[1]).astype(jnp.float32) - search
-        new = clamp(jnp.stack([pos[0] + dx, pos[1] + dy]))
-        return new, new
-
-    _, track = jax.lax.scan(step, p0, frames)
-    return track
+    Equivalent to :func:`ncc_track_clip_anchored` with ``anchor=0``."""
+    return ncc_track_clip_anchored(
+        frames, init_pos, 0, template_size=template_size, search=search
+    )
 
 
 def ncc_track_batch(

@@ -222,7 +222,7 @@ def main() -> None:
         # already-compiled ROI path
         t0 = time.perf_counter()
         full0 = jnp.stack([jax.device_put(c) for c in clip_list])
-        tr0, fw0 = j_traj(j_sub(full0))
+        tr0, fw0, _ = j_traj(j_sub(full0))
         lip96 = j_sample(full0, *j_coords(tr0, fw0))
         out = decode_tokens(encode(variables, audio, lip96))
         out.block_until_ready()
@@ -237,13 +237,13 @@ def main() -> None:
         # zero host round-trips: detection stream sliced on device, warp
         # coords in closed form from the trajectory
         clips_dev = j_stack(*uploaded)
-        tr, fw = j_traj(j_sub(clips_dev))
+        tr, fw, _ = j_traj(j_sub(clips_dev))
         lip96 = j_sample_don(clips_dev, *j_coords(tr, fw))
         return decode_tokens(encode(variables, audio, lip96))
 
     def run_roi(uploaded_small):
         small_dev = jnp.stack(uploaded_small)
-        tr, fw = j_traj(small_dev)
+        tr, fw, _ = j_traj(small_dev)
         x0, y0 = j_window(tr)
         x0h, y0h = np.asarray(x0), np.asarray(y0)  # [B]-int d2h sync
         rois = np.empty((BATCH, VIDEO_FRAMES, ROI, ROI), np.uint8)

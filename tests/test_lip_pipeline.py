@@ -173,7 +173,7 @@ def test_staged_frontend_matches_fused():
     stages = make_staged_lip_frontend(T, window=WINDOW, detect_ds=DS)
     clips_dev = jnp.asarray(clips)
     small = stages["subsample"](clips_dev)
-    tr, fw = stages["traj"](small)
+    tr, fw, _ = stages["traj"](small)
     ys, xs = stages["coords_from_traj"](tr, fw)
     got = np.asarray(stages["sample"](clips_dev, ys, xs))
     np.testing.assert_allclose(got, want, atol=0.25)
@@ -233,8 +233,8 @@ def test_traj_tracked_stage():
     stages = make_staged_lip_frontend(T, window=WINDOW, detect_ds=DS)
     clips = _synthetic_clips()
     small = stages["subsample"](jnp.asarray(clips))
-    tr_base, fw_base = stages["traj"](small)
-    tr_trk, fw_trk = stages["traj_tracked"](small)
+    tr_base, fw_base, _ = stages["traj"](small)
+    tr_trk, fw_trk, _ = stages["traj_tracked"](small)
     assert tr_trk.shape == tr_base.shape and fw_trk.shape == fw_base.shape
     np.testing.assert_array_equal(np.asarray(fw_trk), np.asarray(fw_base))
     assert np.isfinite(np.asarray(tr_trk)).all()
@@ -250,7 +250,7 @@ def test_traj_tracked_stage():
         [np.stack([tex[:, s: s + W] for s in range(T)])] * 2
     )  # [2, T, H, W], scene shifts 1 px/frame
     small_m = stages["subsample"](jnp.asarray(moving))
-    tr_m, _ = stages["traj_tracked"](small_m)
+    tr_m, _, _ = stages["traj_tracked"](small_m)
     x = np.asarray(tr_m)[0, :, 0]
     # ignore smoothing-clamped edges; interior must move ~ -1 px/frame
     slope = np.polyfit(np.arange(10, T - 10), x[10: T - 10], 1)[0]
