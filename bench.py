@@ -202,7 +202,7 @@ def main() -> None:
         return out
 
     small_dev = jnp.stack([jax.device_put(s) for s in small_np])
-    traj, face_w = timed("traj", j_traj, small_dev)
+    traj, face_w, _det_ok = timed("traj", j_traj, small_dev)
     x0, y0 = timed("window", j_window, traj)
     ys, xs = timed("coords", j_coords, traj, face_w, x0, y0)
     rois0 = jnp.zeros((BATCH, VIDEO_FRAMES, ROI, ROI), jnp.uint8)
