@@ -228,3 +228,49 @@ def test_ctc_prefix_beam_batch_and_padding():
     bp = ctc_best_path(peaked, logit_pad=pad)
     pb, _ = ctc_prefix_beam_search_batch(peaked, beam_size=16, logit_pad=pad)
     assert pb == bp
+
+
+def test_ctc_prefix_beam_keeps_blank_under_pruning():
+    """Regression: with a small beam, blank ranked below the per-frame
+    top-2*beam cutoff must STILL contribute its path mass — the pre-fix
+    candidate pruning dropped it, starving blank-padded alignments."""
+    import itertools
+
+    import numpy as np
+
+    from avsl_tpu.decode.ctc import ctc_prefix_beam_search
+
+    T, V, BLANK, A = 3, 12, 0, 1
+    logits = np.full((T, V), -5.0, np.float32)
+    logits[:, A] = 3.0            # 'a' dominant every frame
+    logits[:, 2] = 1.2            # three distractors outrank blank at
+    logits[:, 3] = 1.1            # frames 1-2, so blank sits below the
+    logits[:, 4] = 1.05           # top-4 cutoff of beam_size=2 (k=4)
+    logits[:, BLANK] = 1.0
+    # at frame 0 blank ranks 2nd so the empty prefix survives the beam —
+    # isolating the frame-1/2 blank-candidate guard from ordinary
+    # beam-sibling pruning loss
+    logits[0, BLANK] = 1.5
+    logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+
+    def collapse(path):
+        out, prev = [], -1
+        for s in path:
+            if s != prev and s != BLANK:
+                out.append(s)
+            prev = s
+        return tuple(out)
+
+    exact_mass = -np.inf
+    for path in itertools.product(range(V), repeat=T):
+        if collapse(path) == (A,):
+            exact_mass = np.logaddexp(
+                exact_mass, sum(logp[t, s] for t, s in enumerate(path))
+            )
+
+    seq, lp = ctc_prefix_beam_search(logits, beam_size=2, blank_id=BLANK)
+    assert seq == [A]
+    # blank-padded alignments (a,blank,blank / a,a,blank / ...) carry
+    # ~10% of [a]'s mass here; without blank in the candidate set the
+    # returned score misses them by >0.09 nats
+    assert abs(lp - exact_mass) < 0.03, (lp, exact_mass)

@@ -116,3 +116,34 @@ def test_transcriber_raw_video_affects_output(media):
     assert av.has_video and not a.has_video
     # same audio; only the video stream differs -> gated x-attn must see it
     assert av.tokens != a.tokens
+
+
+def test_corrupt_lip_clip_falls_back_to_raw(media, tmp_path):
+    """A lip_video that exists but fails to decode must fall back to the
+    item's raw closeup (not silently drop to audio-only)."""
+    tokenizer = get_tokenizer(None, "en")
+    model, cfg = build_whisper_flamingo(
+        "test", vocab_size=tokenizer.vocab_size, dtype="float32"
+    )
+    import jax.numpy as jnp
+
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.n_mels, 100), jnp.float32),
+        jnp.asarray([[1]]),
+        video=jnp.zeros((1, T_FRAMES, 88, 88, 1), jnp.float32),
+    )
+    corrupt = str(tmp_path / "bad-lip.mp4")
+    with open(corrupt, "wb") as f:
+        f.write(b"notavideo" * 300)
+    tr = StreamingTranscriber(
+        model, variables, tokenizer,
+        audio_max_length=16000, video_frames=T_FRAMES,
+        batch_size=1, max_new_tokens=3,
+        raw_video_hw=(SRC_H, SRC_W),
+    )
+    audio, lip, raw, nf, hv = tr._load_item(
+        {"audio": media["wav"], "lip_video": corrupt, "video": media["raw"]}
+    )
+    assert lip is None and raw is not None and hv
+    assert nf > 0 and raw.shape == (T_FRAMES, SRC_H, SRC_W)
