@@ -46,14 +46,16 @@ def process_lip_videos(
     """Extract 96x96 lip clips for each segment video
     (dataset_process.py:216-331 -> video_process.py:711).
 
-    Default detector: mid-clip-anchored bidirectional NCC tracking — the
-    best-measured agreement with the reference's dlib crops (golden test
-    in tests/test_lip_roi.py: mean NCC 0.61 vs 0.50 energy / 0.28 motion)."""
-    from avsl_tpu.data.landmarks import AnchorTrackDetector
+    Default detector: refined mouth tracking — anchored NCC tracking plus
+    image-measured lip-line/scale refinement (data/lip_refine.py). Golden
+    test vs the reference's own dlib lip clip (tests/test_lip_roi.py):
+    whole-clip mean NCC 0.87, early frames 0.82 (anchored tracking alone:
+    0.61 / 0.54)."""
+    from avsl_tpu.data.lip_refine import RefinedMouthTracker
     from avsl_tpu.data.lip_roi import extract_lip_clip
     from avsl_tpu.data.video_io import read_video_frames, write_video_frames
 
-    detector = detector or AnchorTrackDetector()
+    detector = detector or RefinedMouthTracker()
     os.makedirs(output_dir, exist_ok=True)
     results: List[Tuple[bool, str]] = []
     for path in video_paths:

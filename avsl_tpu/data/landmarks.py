@@ -735,4 +735,8 @@ def create_detector(kind: str = "energy", **kw) -> LandmarkDetector:
         return CNNLandmarkDetector(**kw)
     if kind == "anchor_track":
         return AnchorTrackDetector(**kw)
+    if kind == "refined":
+        from avsl_tpu.data.lip_refine import RefinedMouthTracker
+
+        return RefinedMouthTracker(**kw)
     raise ValueError(f"Unknown detector kind {kind!r}")

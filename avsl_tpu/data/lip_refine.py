@@ -1,0 +1,509 @@
+"""Refined mouth tracking: per-frame lip localization + absolute scale.
+
+Closes the round-2 landmark-articulation gap (VERDICT item 1): the
+reference's dlib 68-point shape predictor localizes the mouth per frame
+with the face scale normalized by a similarity fit to a canonical face
+(/root/reference/utils/lips_cropping.py:35-39,91-108, used per-frame at
+/root/reference/preprocess/video_process.py:374-386). The round-2
+model-free detectors tracked the mouth *trajectory* but (a) estimated the
+face scale from the gradient-energy box — measured 2.7x too large against
+the reference's own golden lip clip — and (b) carried a systematic
+vertical bias between the lip line and the chin.
+
+This module replaces both with image-measured quantities:
+
+* **Skin-run scale** (:class:`SkinScaleEstimator`): the face width at the
+  cheek band is read off as the gap-tolerant run of skin-toned pixels
+  through the mouth center, against a clip-median skin reference (skin
+  tone is constant within a clip; lighting pose changes are not). The
+  canonical face is 120 units wide at mouth height, giving an absolute
+  canonical-to-raw scale per frame. Measured on the AMI golden pair:
+  within ~10-15% of dlib's similarity-fit scale vs 2.7x before.
+* **Sandwich lip-line scan** (:func:`sandwich_y_candidates`,
+  :func:`sandwich_best_x`): the inter-lip line is the darkness maximum
+  whose *vertical context* matches a mouth — bright philtrum ~0.2 face
+  widths above, bright chin ~0.2 below ("bright-dark-bright sandwich").
+  This disambiguates the lip line from the under-lip/chin crease and the
+  nose shadow, the two attractors that defeat a pure darkness search.
+  The same response, scanned over x, recalibrates the horizontal center
+  (the NCC tracker preserves relative motion but inherits its anchor's
+  absolute offset).
+* **Chained trust-span repair** (:class:`RefinedMouthTracker`): frames
+  where the sandwich agrees with the tracked trajectory are *trusted*;
+  untrusted spans (fast early-clip motion, profile poses) are re-tracked
+  frame-to-frame from the nearest trusted frame with per-step template
+  re-grab — adjacent-frame appearance change is small even when the
+  whole span's is not.
+* **Per-frame articulation** (:func:`lip_opening`): the vertical
+  thickness of the dark inter-lip band modulates the inner-mouth
+  landmark offsets, so mouth points 48..67 respond to actual lip
+  opening/closing frame by frame — the signal lipreading consumes.
+
+Golden validation (tests/test_lip_roi.py): best-shift NCC vs the
+reference's own dlib-produced lip clip — whole-clip 0.87, early frames
+0.82, mid 0.86 (round-2 state: 0.61 / 0.54 / 0.69; an oracle given
+dlib's exact per-frame geometry scores 0.89).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from avsl_tpu.data.lip_roi import canonical_mean_face
+from avsl_tpu.data.landmarks import (
+    AnchorTrackDetector,
+    EnergyBoxDetector,
+    LandmarkDetector,
+    MotionEnergyDetector,
+    PrecomputedLandmarks,
+)
+
+# Canonical-face geometry constants (see lip_roi.canonical_mean_face):
+# jaw-ellipse width at mouth height and full face width, in 300-space.
+CANON_FACE_WIDTH_AT_MOUTH = 120.0
+CANON_INNER_LIP_HALF_GAP = 6.0  # inner-lip y half-offsets at 300-scale
+
+
+def _gaussian_blur(frame: np.ndarray, k: int) -> np.ndarray:
+    import cv2
+
+    return cv2.GaussianBlur(frame.astype(np.float32), (k, k), 0)
+
+
+@dataclass
+class RefinerConfig:
+    """Thresholds are scale-relative where meaningful; absolute ones are
+    in raw pixels and chosen loose enough to survive 2x resolution
+    changes (AMI closeups are 288x352)."""
+
+    # sandwich scan
+    sandwich_halfwidth_frac: float = 0.12  # x-averaging half window / face width
+    sandwich_offset_frac: float = 0.20  # philtrum/chin probe offset / face width
+    min_darkness: float = 1.0  # local-max prominence floor (gray levels)
+    conf_offset: float = 5.0  # min confidence to vote the global y offset
+    conf_snap: float = 6.0  # min confidence for a per-frame snap
+    conf_trust: float = 8.0  # min confidence to mark a frame trusted
+    snap_gate_frac: float = 0.08  # per-frame snap gate / face width
+    # skin scale
+    skin_tol: float = 30.0  # |pixel - ref| skin classification (gray levels)
+    width_smooth: int = 12  # temporal median half-window for face widths
+    # chained repair
+    chain_template_frac: float = 0.33
+    chain_search: int = 12
+    chain_min_corr: float = 0.2
+    # x recalibration
+    x_span: int = 10
+    x_blend: float = 0.7
+    # final smoothing windows (frames)
+    smooth_x: int = 5
+    smooth_y: int = 7
+    # articulation
+    articulate: bool = True
+    opening_gain_max: float = 2.5  # max inner-gap multiplier vs canonical
+
+
+def skin_reference(
+    blurred: Sequence[np.ndarray], centers: np.ndarray, w_guess: float = 60.0
+) -> float:
+    """Clip-median skin gray level, sampled at certain-skin offsets
+    (above the upper lip and on both upper cheeks) along the trajectory."""
+    h, w = blurred[0].shape
+    vals: List[float] = []
+    offs = [(0, -0.22), (-0.15, -0.35), (0.15, -0.35), (0, -0.38),
+            (-0.1, -0.2), (0.1, -0.2)]
+    for t in range(len(blurred)):
+        cx, cy = centers[t]
+        for dx, dy in offs:
+            x = int(cx + dx * w_guess)
+            y = int(cy + dy * w_guess)
+            if 2 <= x < w - 2 and 2 <= y < h - 2:
+                vals.append(float(np.median(blurred[t][y - 2:y + 3, x - 2:x + 3])))
+    return float(np.median(vals)) if vals else 128.0
+
+
+def face_width_at(
+    frame: np.ndarray, cx: float, cy: float, ref: float,
+    w_guess: float = 60.0, tol: float = 30.0,
+) -> Optional[float]:
+    """Median gap-tolerant skin-run width over the cheek band (rows from
+    mouth level up to ~0.4 face widths above). Gap tolerance absorbs the
+    mic boom and lip crossing the run."""
+    h, w = frame.shape
+    cx_i = int(cx)
+    if not (0 <= cx_i < w):
+        return None
+    widths: List[int] = []
+    max_gap = max(4, int(0.12 * w_guess))
+    for frac in np.linspace(-0.40, 0.05, 12):
+        y = int(cy + frac * w_guess)
+        if y < 0 or y >= h:
+            continue
+        skin = np.abs(frame[y] - ref) < tol
+
+        def run(direction: int) -> int:
+            x, gap, last = cx_i, 0, cx_i
+            while 0 <= x < w:
+                if skin[x]:
+                    last, gap = x, 0
+                else:
+                    gap += 1
+                    if gap > max_gap:
+                        break
+                x += direction
+            return last
+
+        widths.append(run(1) - run(-1) + 1)
+    return float(np.median(widths)) if widths else None
+
+
+def sandwich_y_candidates(
+    frame: np.ndarray, cx: float, cy: float, face_w: float,
+    band_frac: float = 0.5, cfg: RefinerConfig = RefinerConfig(),
+) -> List[Tuple[int, float]]:
+    """Lip-line y candidates near (cx, cy), scored by the sandwich test.
+
+    Candidates are local maxima of darkness (x-averaged over a narrow
+    window) relative to an 11-row moving baseline; the score is the
+    *smaller* of the brightness margins at +-sandwich_offset_frac*face_w
+    — both philtrum above and chin below must be brighter than the line.
+    Returns up to 4 candidates sorted by score (desc)."""
+    h, w = frame.shape
+    xs0 = int(max(0, cx - cfg.sandwich_halfwidth_frac * face_w))
+    xs1 = int(min(w, cx + cfg.sandwich_halfwidth_frac * face_w + 1))
+    if xs1 - xs0 < 2:
+        return []
+    prof = frame[:, xs0:xs1].mean(axis=1)
+    base = np.convolve(prof, np.ones(11) / 11, mode="same")
+    d = base - prof
+    y_lo = int(max(6, cy - band_frac * face_w))
+    y_hi = int(min(h - 6, cy + band_frac * face_w))
+    off = max(3, int(cfg.sandwich_offset_frac * face_w))
+    cands: List[Tuple[int, float]] = []
+    for y in range(y_lo + 1, y_hi - 1):
+        if d[y] >= d[y - 1] and d[y] >= d[y + 1] and d[y] > cfg.min_darkness:
+            up = prof[max(0, y - off):max(1, y - off + 3)].mean()
+            dn = prof[y + off - 2:y + off + 1].mean() if y + off < h else 0.0
+            cands.append((y, float(min(up - prof[y], dn - prof[y]))))
+    cands.sort(key=lambda c: -c[1])
+    return cands[:4]
+
+
+def sandwich_best_x(
+    frame: np.ndarray, cx: float, cy: float, face_w: float,
+    span: int = 10, cfg: RefinerConfig = RefinerConfig(),
+) -> Tuple[Optional[int], float]:
+    """x in [cx-span, cx+span] maximizing the sandwich response at the
+    (already-refined) lip-line y. The response peaks when the averaging
+    window is centered on the mouth: the philtrum directly above the lip
+    center is the brightest above-context, and off-mouth columns dilute
+    the dark line."""
+    h, w = frame.shape
+    off = max(3, int(cfg.sandwich_offset_frac * face_w))
+    y = int(cy)
+    if y - off < 0 or y + off >= h:
+        return None, -1e9
+    best_x, best_s = None, -1e9
+    for dx in range(-span, span + 1):
+        x = int(cx + dx)
+        xs0 = int(max(0, x - cfg.sandwich_halfwidth_frac * face_w))
+        xs1 = int(min(w, x + cfg.sandwich_halfwidth_frac * face_w + 1))
+        if xs1 - xs0 < 2:
+            continue
+        prof = frame[:, xs0:xs1].mean(axis=1)
+        up = prof[max(0, y - off):max(1, y - off + 3)].mean()
+        dn = prof[y + off - 2:y + off + 1].mean()
+        s = float(min(up - prof[y], dn - prof[y]))
+        if s > best_s:
+            best_x, best_s = x, s
+    return best_x, best_s
+
+
+def lip_opening(
+    frame: np.ndarray, cx: float, cy: float, face_w: float,
+    cfg: RefinerConfig = RefinerConfig(),
+) -> Tuple[float, float]:
+    """Vertical thickness of the dark inter-lip band at (cx, cy).
+
+    Returns (thickness_px, confidence). Thickness counts contiguous rows
+    around the lip line whose darkness exceeds half the line's darkness —
+    a closed mouth gives the line width (~2-3 px at AMI scale), an open
+    mouth the dark mouth-interior extent."""
+    h, w = frame.shape
+    xs0 = int(max(0, cx - cfg.sandwich_halfwidth_frac * face_w))
+    xs1 = int(min(w, cx + cfg.sandwich_halfwidth_frac * face_w + 1))
+    if xs1 - xs0 < 2:
+        return 0.0, 0.0
+    prof = frame[:, xs0:xs1].mean(axis=1)
+    y = int(np.clip(cy, 1, h - 2))
+    # re-peak locally (the smoothed trajectory may sit a row off the line)
+    lo = max(1, y - 3)
+    y = lo + int(np.argmin(prof[lo:y + 4]))
+    # skin level from the philtrum/chin probes (a moving-average baseline
+    # saturates when the mouth is open and the dark band is thick)
+    off = max(3, int(cfg.sandwich_offset_frac * face_w))
+    if y - off < 0 or y + off >= h:
+        return 0.0, 0.0
+    up = prof[max(0, y - off):max(1, y - off + 3)].mean()
+    dn = prof[y + off - 2:y + off + 1].mean()
+    depth = min(up, dn) - prof[y]
+    if depth <= cfg.min_darkness:
+        return 0.0, 0.0
+    level = prof[y] + 0.5 * depth
+    top = y
+    while top > max(0, y - off + 1) and prof[top - 1] < level:
+        top -= 1
+    bot = y
+    while bot < min(h - 1, y + off - 1) and prof[bot + 1] < level:
+        bot += 1
+    return float(bot - top + 1), float(depth)
+
+
+class RefinedMouthTracker(LandmarkDetector):
+    """Production landmark detector: tracked + image-measured geometry.
+
+    Pipeline per clip (all host-side; the downstream warp/crop runs as
+    one XLA program in kernels/warp.py):
+
+    1. coarse anchor: base detector box + articulation-map centroid near
+       its mouth estimate (jaw/chin motion makes the centroid y-biased —
+       only used to seed tracking),
+    2. fixed-template bidirectional NCC track (AnchorTrackDetector),
+    3. absolute scale from cheek-band skin runs (clip-median skin ref),
+    4. lip-line y: sandwich candidates -> clip-median offset correction
+       -> gated per-frame snap; frames that agree are *trusted*,
+    5. untrusted spans re-tracked frame-to-frame from the nearest
+       trusted frame (template re-grabbed every step),
+    6. per-frame x recalibration by the sandwich response scanned over x,
+    7. temporal smoothing (x window 5, y window 7 — the reference smooths
+       landmarks over 12 frames downstream as well),
+    8. canonical 68-point layout at the measured scale anchored at the
+       refined center, inner-mouth points articulated by the measured
+       lip opening.
+
+    Falls back to the plain anchored-track layout when the sandwich scan
+    never reaches confidence (no visible lip contrast)."""
+
+    def __init__(self, base: Optional[LandmarkDetector] = None,
+                 config: Optional[RefinerConfig] = None,
+                 template: int = 40, search: int = 24):
+        self.base = base or EnergyBoxDetector()
+        self.cfg = config or RefinerConfig()
+        self.template = template
+        self.search = search
+        self._motion = MotionEnergyDetector()
+
+    # -- stage 1+2: coarse anchor + NCC track ------------------------------
+    def _coarse_track(self, frames: np.ndarray) -> Optional[np.ndarray]:
+        t_total = len(frames)
+        base_lms = self.base(frames)
+        valid = [i for i, l in enumerate(base_lms) if l is not None]
+        if not valid:
+            return None
+        anchor = min(valid, key=lambda i: abs(i - t_total // 2))
+        mouth = base_lms[anchor][48:68].mean(axis=0)
+        # articulation centroid near the base mouth estimate sharpens the
+        # anchor x (the base box is center-prior driven and can be far off
+        # horizontally); restricted to 45 px so collar/boom motion cannot
+        # capture it
+        lo = max(0, anchor - 14)
+        chunk = frames[lo:min(lo + 28, t_total)]
+        if len(chunk) >= 8:
+            art = self._motion.articulation_map(chunk)
+            h, w = art.shape
+            yy, xx = np.mgrid[0:h, 0:w]
+            near = ((xx - mouth[0]) ** 2 + (yy - mouth[1]) ** 2) < 45 ** 2
+            a = np.where(near, art, 0)
+            pos = a[a > 0]
+            if pos.size:
+                blob = a * (a >= np.percentile(pos, 85))
+                tot = blob.sum()
+                if tot > 0:
+                    mouth = np.array(
+                        [(blob * xx).sum() / tot, (blob * yy).sum() / tot],
+                        np.float32,
+                    )
+        canon = canonical_mean_face(300)
+        seed = canon * 0.5 + (mouth - (canon * 0.5)[48:68].mean(axis=0))
+        per_frame: List[Optional[np.ndarray]] = [None] * t_total
+        per_frame[anchor] = seed.astype(np.float32)
+        tracker = AnchorTrackDetector(
+            base=PrecomputedLandmarks(per_frame),
+            template=self.template, search=self.search,
+        )
+        return np.array([l[48:68].mean(axis=0) for l in tracker(frames)])
+
+    # -- stage 5: chained frame-to-frame repair ----------------------------
+    def _chain(self, blurred, src_t: int, dst_range, cen: np.ndarray,
+               face_w: float) -> None:
+        import cv2
+
+        cfg = self.cfg
+        h, w = blurred[0].shape
+        half = max(6, int(cfg.chain_template_frac * face_w))
+        search = cfg.chain_search
+        px, py = cen[src_t]
+        prev = src_t
+        for t in dst_range:
+            tx = int(np.clip(px, half, w - half))
+            ty = int(np.clip(py, half, h - half))
+            tmpl = blurred[prev][ty - half:ty + half, tx - half:tx + half]
+            x0 = int(np.clip(px - half - search, 0, w - 1))
+            y0 = int(np.clip(py - half - search, 0, h - 1))
+            x1 = int(np.clip(px + half + search, 1, w))
+            y1 = int(np.clip(py + half + search, 1, h))
+            win = blurred[t][y0:y1, x0:x1]
+            if win.shape[0] > 2 * half and win.shape[1] > 2 * half:
+                res = cv2.matchTemplate(win, tmpl, cv2.TM_CCOEFF_NORMED)
+                _, mx, _, loc = cv2.minMaxLoc(res)
+                if mx > cfg.chain_min_corr:
+                    px = x0 + loc[0] + half
+                    py = y0 + loc[1] + half
+            cands = sandwich_y_candidates(
+                blurred[t], px, py, face_w, band_frac=0.15, cfg=cfg
+            )
+            if cands and cands[0][1] > cfg.conf_offset and abs(cands[0][0] - py) <= 5:
+                py = 0.5 * py + 0.5 * cands[0][0]
+            cen[t] = (px, py)
+            prev = t
+
+    # -- full pipeline -----------------------------------------------------
+    def refine(self, frames: np.ndarray):
+        """-> (centers [T,2], widths [T], openings [T] | None) or None."""
+        cfg = self.cfg
+        t_total, h, w = frames.shape[:3]
+        track = self._coarse_track(frames)
+        if track is None:
+            return None
+        blur3 = [_gaussian_blur(f, 3) for f in frames]
+        blur5 = [_gaussian_blur(f, 5) for f in frames]
+
+        # scale
+        ref = skin_reference(blur5, track)
+        widths = []
+        for t in range(t_total):
+            w1 = face_width_at(blur5[t], *track[t], ref, 60.0, cfg.skin_tol)
+            w2 = face_width_at(
+                blur5[t], *track[t], ref,
+                float(np.clip(w1 if w1 else 60.0, 35, 110)), cfg.skin_tol,
+            )
+            widths.append(w2 if w2 else np.nan)
+        widths = np.asarray(widths, np.float64)
+        if np.isnan(widths).all():
+            return None
+        sm_w = np.array([
+            np.nanmedian(widths[max(0, t - cfg.width_smooth):t + cfg.width_smooth + 1])
+            for t in range(t_total)
+        ])
+        face_w = float(np.nanmedian(sm_w))
+
+        # lip-line y
+        cand_by_t = [
+            sandwich_y_candidates(blur3[t], track[t, 0], track[t, 1], face_w, cfg=cfg)
+            for t in range(t_total)
+        ]
+        offsets = [
+            c[0][0] - track[t, 1]
+            for t, c in enumerate(cand_by_t)
+            if c and c[0][1] > cfg.conf_offset
+        ]
+        if not offsets:  # no lip contrast anywhere: plain tracked layout
+            return track, sm_w, None
+        y_corr = track[:, 1] + float(np.median(offsets))
+        y_ref = y_corr.copy()
+        conf = np.zeros(t_total)
+        gate = max(4.0, cfg.snap_gate_frac * face_w)
+        for t in range(t_total):
+            for (cy, s) in cand_by_t[t]:
+                if s > cfg.conf_snap and abs(cy - y_corr[t]) <= gate:
+                    y_ref[t] = 0.5 * y_corr[t] + 0.5 * cy
+                    conf[t] = s
+                    break
+        cen = np.stack([track[:, 0], y_ref], axis=1)
+
+        # repair untrusted spans
+        trusted = conf > cfg.conf_trust
+        if trusted.any() and not trusted.all():
+            t = 0
+            while t < t_total:
+                if not trusted[t]:
+                    u0 = t
+                    while t < t_total and not trusted[t]:
+                        t += 1
+                    u1 = t - 1
+                    left = u0 - 1 if u0 > 0 else None
+                    right = u1 + 1 if u1 < t_total - 1 else None
+                    if left is not None and right is not None:
+                        mid = (u0 + u1) // 2
+                        self._chain(blur3, left, range(u0, mid + 1), cen, face_w)
+                        self._chain(blur3, right, range(u1, mid, -1), cen, face_w)
+                    elif left is not None:
+                        self._chain(blur3, left, range(u0, u1 + 1), cen, face_w)
+                    elif right is not None:
+                        self._chain(blur3, right, range(u1, u0 - 1, -1), cen, face_w)
+                else:
+                    t += 1
+
+        # x recalibration
+        for t in range(t_total):
+            bx, bs = sandwich_best_x(
+                blur3[t], cen[t, 0], cen[t, 1], face_w, span=cfg.x_span, cfg=cfg
+            )
+            if bx is not None and bs > cfg.conf_snap:
+                cen[t, 0] = (1 - cfg.x_blend) * cen[t, 0] + cfg.x_blend * bx
+
+        # smoothing
+        def smooth(v: np.ndarray, win: int) -> np.ndarray:
+            if t_total < win:
+                return v
+            half = win // 2
+            return np.convolve(np.pad(v, half, mode="edge"),
+                               np.ones(win) / win, mode="valid")
+
+        cen[:, 0] = smooth(cen[:, 0], cfg.smooth_x)
+        cen[:, 1] = smooth(cen[:, 1], cfg.smooth_y)
+
+        openings = None
+        if cfg.articulate:
+            openings = np.zeros(t_total)
+            for t in range(t_total):
+                thick, oc = lip_opening(blur3[t], cen[t, 0], cen[t, 1], face_w, cfg)
+                openings[t] = thick if oc > cfg.min_darkness else np.nan
+        return cen, sm_w, openings
+
+    def __call__(self, frames: np.ndarray) -> List[Optional[np.ndarray]]:
+        frames = np.asarray(frames)
+        out = self.refine(frames)
+        if out is None:
+            # no anchor/scale at all: defer to the plain anchored tracker
+            return AnchorTrackDetector(
+                base=self.base, template=self.template, search=self.search
+            )(frames)
+        cen, sm_w, openings = out
+        canon = canonical_mean_face(300).astype(np.float64)
+        canon_mouth = canon[48:68].mean(axis=0)
+        base_layout = canon - canon_mouth
+        t_total = len(frames)
+
+        gains = np.ones(t_total)
+        if openings is not None and np.isfinite(openings).sum() >= 3:
+            neutral = float(np.nanmedian(openings))
+            if neutral > 0:
+                g = openings / neutral
+                g = np.where(np.isfinite(g), g, 1.0)
+                gains = np.clip(g, 1.0 / self.cfg.opening_gain_max,
+                                self.cfg.opening_gain_max)
+
+        inner = np.arange(60, 68)
+        result: List[Optional[np.ndarray]] = []
+        for t in range(t_total):
+            s = sm_w[t] / CANON_FACE_WIDTH_AT_MOUTH
+            if not np.isfinite(s) or s <= 0:
+                s = float(np.nanmedian(sm_w)) / CANON_FACE_WIDTH_AT_MOUTH
+            lm = base_layout.copy()
+            # articulate the inner-lip gap about the mouth center line
+            lm[inner, 1] *= gains[t]
+            result.append((s * lm + cen[t]).astype(np.float32))
+        return result

@@ -244,20 +244,17 @@ def test_lip_crops_agree_with_reference_golden_clip():
     (the shipped golden pair exists for exactly this comparison; reference
     pipeline under test: video_process.py:305-490).
 
-    Thresholds encode the measured round-2 state: mid-clip agreement is
-    strong (mean best-shift NCC ~0.66, peaks 0.73), whole-clip mean ~0.50.
-    The known gap is the clip's first second, where the speaker moves
-    ~70 px and the clip-median deviation clamp keeps the model-free
-    detector's window nearly static (dlib tracks per frame). Random or
-    off-face crops score ~0.0 on this metric, so these floors assert the
-    crops genuinely land on the dlib mouth region without overclaiming
-    per-frame parity."""
+    Round-3 state (RefinedMouthTracker, data/lip_refine.py): measured
+    whole-clip mean best-shift NCC 0.868, early frames 0.815, mid 0.854 —
+    vs an oracle fed dlib's exact per-frame center+scale scoring 0.886 /
+    0.920 / 0.845 on the same rotation-free warp. The floors below are the
+    VERDICT round-2 targets (whole >= 0.72, early >= 0.62) plus margin
+    sanity on mid-clip; random or off-face crops score ~0.0."""
     frames = read_video_frames(AMI_EXAMPLE, grayscale=True)
     gold = read_video_frames(AMI_GOLDEN_LIP, grayscale=True)
-    # mid-clip-anchored bidirectional NCC tracking follows the early
-    # speaker motion the clip-level detectors miss (measured: whole-clip
-    # mean NCC 0.61 vs 0.50 energy-box, early frames 0.54 vs 0.07)
-    det = AnchorTrackDetector()
+    from avsl_tpu.data.lip_refine import RefinedMouthTracker
+
+    det = RefinedMouthTracker()
     clip = extract_lip_clip(frames, det(frames))
     assert clip is not None and clip.shape[1:] == (96, 96)
 
@@ -267,11 +264,27 @@ def test_lip_crops_agree_with_reference_golden_clip():
     mid = np.array(
         [_ncc_best_shift(clip[t], gold[t]) for t in range(25, min(n, 85), 5)]
     )
-    assert sims.mean() >= 0.55, f"whole-clip mean NCC {sims.mean():.3f}"
-    assert early.mean() >= 0.40, f"early-clip mean NCC {early.mean():.3f}"
-    assert mid.mean() >= 0.62, f"mid-clip mean NCC {mid.mean():.3f}"
+    assert sims.mean() >= 0.72, f"whole-clip mean NCC {sims.mean():.3f}"
+    assert early.mean() >= 0.62, f"early-clip mean NCC {early.mean():.3f}"
+    assert mid.mean() >= 0.72, f"mid-clip mean NCC {mid.mean():.3f}"
     # and the mid-clip peak must show real per-frame structure agreement
-    assert mid.max() >= 0.68, f"mid-clip max NCC {mid.max():.3f}"
+    assert mid.max() >= 0.80, f"mid-clip max NCC {mid.max():.3f}"
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(AMI_EXAMPLE) and os.path.exists(AMI_GOLDEN_LIP)),
+    reason="AMI golden pair not mounted",
+)
+def test_anchored_tracker_still_lands_on_mouth():
+    """Regression floor for the pre-refinement tracker (the fallback path
+    when the sandwich scan finds no lip contrast): round-2 thresholds."""
+    frames = read_video_frames(AMI_EXAMPLE, grayscale=True)
+    gold = read_video_frames(AMI_GOLDEN_LIP, grayscale=True)
+    det = AnchorTrackDetector()
+    clip = extract_lip_clip(frames, det(frames))
+    n = min(len(clip), len(gold))
+    sims = np.array([_ncc_best_shift(clip[t], gold[t]) for t in range(0, n, 5)])
+    assert sims.mean() >= 0.55, f"fallback whole-clip mean NCC {sims.mean():.3f}"
 
 
 def test_anchor_track_follows_moving_face():
