@@ -53,18 +53,46 @@ def span_mask(
     """Random span mask [B, T] (True = masked).
 
     Static-shape analogue of the reference's numpy ``compute_mask_indices``
-    (utils/model_utils.py:4-114): ``num_spans = mask_prob*T/mask_length``
-    span starts drawn uniformly (with replacement), each masking
-    ``mask_length`` steps; spans never cover padded positions.
+    (utils/model_utils.py:4-114, default ``no_overlap=False`` path):
+    ``num_spans = round(mask_prob*T/mask_length)`` span starts drawn
+    uniformly WITHOUT replacement from ``[0, T - mask_length)`` (top-k of
+    iid uniforms — the order statistics of which are exactly a uniform
+    without-replacement draw), each masking ``mask_length`` steps.
+
+    Under padding, the per-item span count follows the reference
+    (``round(mask_prob*sz_i/mask_length)`` on the UNPADDED length) by
+    drawing the static maximum count and invalidating spans beyond each
+    item's dynamic count — static shapes, reference mask rates
+    (tests/test_models.py statistical parity tests).
     """
     if mask_prob <= 0.0 or length == 0:
         return jnp.zeros((batch, length), dtype=bool)
     num_spans = max(1, int(mask_prob * length / float(mask_length) + 0.5))
-    starts = jax.random.randint(
-        key, (batch, num_spans), 0, max(length - mask_length, 1)
+    num_spans = min(num_spans, length)
+    if padding_mask is not None:
+        sz = padding_mask.astype(jnp.int32).sum(axis=1)  # [B]
+    else:
+        sz = jnp.full((batch,), length, jnp.int32)
+    hi = jnp.maximum(sz - mask_length, 1)  # starts in [0, hi)
+    num_i = jnp.maximum(  # per-item count from the unpadded length
+        (mask_prob * sz.astype(jnp.float32) / float(mask_length) + 0.5
+         ).astype(jnp.int32),
+        1,
+    )
+    u = jax.random.uniform(key, (batch, length))
+    pos1 = jax.lax.broadcasted_iota(jnp.int32, (batch, length), 1)
+    u = jnp.where(pos1 < hi[:, None], u, jnp.inf)
+    starts = jnp.argsort(u, axis=1)[:, :num_spans]  # distinct starts
+    span_ids = jax.lax.broadcasted_iota(jnp.int32, (batch, num_spans), 1)
+    valid = (jnp.take_along_axis(u, starts, axis=1) < jnp.inf) & (
+        span_ids < num_i[:, None]
     )
     pos = jax.lax.broadcasted_iota(jnp.int32, (batch, num_spans, length), 2)
-    spans = (pos >= starts[..., None]) & (pos < starts[..., None] + mask_length)
+    spans = (
+        (pos >= starts[..., None])
+        & (pos < starts[..., None] + mask_length)
+        & valid[..., None]
+    )
     mask = jnp.any(spans, axis=1)
     if padding_mask is not None:
         mask = mask & padding_mask.astype(bool)
