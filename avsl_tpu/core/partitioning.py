@@ -40,6 +40,10 @@ DEFAULT_RULES: List[Tuple[str, P]] = [
     (r"out_proj/kernel$", P(MODEL_AXIS, None)),
     (r"token_embedding/embedding$", P(MODEL_AXIS, None)),
     (r"embed_tokens/embedding$", P(MODEL_AXIS, None)),
+    # vocab-dim classifier heads (CTC): column-parallel; XLA all-gathers
+    # the logits for the loss
+    (r"ctc_head/kernel$", P(None, MODEL_AXIS)),
+    (r"ctc_head/bias$", P(MODEL_AXIS)),
 ]
 
 

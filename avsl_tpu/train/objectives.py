@@ -125,3 +125,48 @@ def avhubert_seq2seq_loss_fn(model, train: bool = True, label_smoothing: Optiona
         return loss, ({}, new_stats)
 
     return loss_fn
+
+
+def avhubert_ctc_loss_fn(model, train: bool = True):
+    """CTC loss for AVHuBERTForCTC (blank = pad id, zero-length guards —
+    reference av_hubert_model.py:1022-1040).
+
+    Batch keys: ``audio``/``video``, ``labels`` [B, L] token ids,
+    ``label_padding`` [B, L] (1 = PAD), optional ``logit_padding`` [B, T']
+    over DOWNSAMPLED encoder frames (replicates the reference's
+    downsample-aware attention-mask recompute) — defaults to no padding."""
+    import jax.numpy as jnp
+
+    from avsl_tpu.models.avhubert import ctc_loss
+
+    def loss_fn(params, batch_stats, batch, rng):
+        variables = {"params": params["params"] if "params" in params else params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        r1, r2, r3 = jax.random.split(rng, 3)
+        rngs = {"dropout": r1, "modality": r2, "mask": r3} if train else None
+        mutable = ["batch_stats"] if (train and batch_stats is not None) else False
+        out = model.apply(
+            variables,
+            audio=batch.get("audio"),
+            video=batch.get("video"),
+            padding_mask=batch.get("padding_mask"),
+            deterministic=not train,
+            rngs=rngs,
+            mutable=mutable,
+        )
+        if mutable:
+            logits, updates = out
+            new_stats = updates.get("batch_stats")
+        else:
+            logits, new_stats = out, batch_stats
+        logit_padding = batch.get(
+            "logit_padding", jnp.zeros(logits.shape[:2], jnp.float32)
+        )
+        loss = ctc_loss(
+            logits, logit_padding, batch["labels"], batch["label_padding"],
+            blank_id=model.cfg.pad_token_id,
+        )
+        return loss, ({}, new_stats)
+
+    return loss_fn
