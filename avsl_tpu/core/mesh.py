@@ -98,10 +98,11 @@ class activation_sharding_scope:
        NOT part of the jit cache key: a step function first called
        OUTSIDE the scope caches a constraint-free trace that is silently
        reused inside it (and vice versa). Make the FIRST call of each jit
-       under the scope you intend — e.g. build and warm the train step
-       inside ``with activation_sharding_scope(mesh):`` as
-       ``__graft_entry__.dryrun_multichip`` does. The scope is a module
-       global and not thread-safe."""
+       under the scope you intend. ``train.runner.TrainerRunner`` wraps
+       every train-step call in this scope whenever its mesh has a model
+       axis > 1 (so the tracing call is always in-scope), and
+       ``__graft_entry__.dryrun_multichip`` does the same explicitly. The
+       scope is a module global and not thread-safe."""
 
     def __init__(self, mesh: Mesh):
         self.mesh = mesh

@@ -134,6 +134,16 @@ class TrainerRunner:
         self.train_step = make_train_step(
             loss_fn, tx, mesh=mesh, grad_accum_steps=self.accum, donate=False
         )
+        # sequence parallelism: every train_step call (in particular the
+        # FIRST, tracing one) runs inside the activation-sharding scope —
+        # the scope is consulted at trace time and is not part of the jit
+        # cache key, so a step first traced outside it would silently run
+        # without SP forever (core/mesh.py activation_sharding_scope)
+        from avsl_tpu.core.mesh import MODEL_AXIS
+
+        self._sp_active = (
+            mesh is not None and mesh.shape.get(MODEL_AXIS, 1) > 1
+        )
         self.eval_logits_fn = eval_logits_fn
         # logits -> token rows; None = seq2seq teacher-forced argmax.
         # Pass decode.ctc_best_path (wrapped) for the CTC head.
@@ -148,6 +158,15 @@ class TrainerRunner:
         # uses EarlyStoppingCallback with patience 5); 0 disables
         self.early_stop_patience = int(getattr(cfg, "early_stop_patience", 0) or 0)
         self._evals_since_best = 0
+
+    def _maybe_sp_scope(self):
+        if self._sp_active:
+            from avsl_tpu.core.mesh import activation_sharding_scope
+
+            return activation_sharding_scope(self.mesh)
+        import contextlib
+
+        return contextlib.nullcontext()
 
     def maybe_resume(self) -> int:
         step = latest_step(self.ckpt_dir)
@@ -202,7 +221,10 @@ class TrainerRunner:
                 epoch += 1
                 it = train_batches(epoch)
                 continue
-            self.state, metrics = self.train_step(self.state, self._reshape_accum(batch))
+            with self._maybe_sp_scope():
+                self.state, metrics = self.train_step(
+                    self.state, self._reshape_accum(batch)
+                )
             step += 1
             if step % 10 == 0 or step == num_steps:
                 logd = {f"train/{k}": float(v) for k, v in metrics.items()}

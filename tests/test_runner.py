@@ -160,3 +160,43 @@ def test_runner_with_ctc_predictions_fn(tmp_path):
         predictions_fn=lambda lg: ctc_best_path(lg, blank_id=BLANK),
     )
     assert m["val/wer_av"] == pytest.approx(0.0)
+
+
+def test_runner_enters_sp_scope_on_model_parallel_mesh(tmp_path):
+    """ADVICE round-2: a step first traced outside the activation-sharding
+    scope silently runs without sequence parallelism forever. TrainerRunner
+    must make its FIRST train_step call (the tracing one) inside the scope
+    whenever the mesh has a model axis > 1."""
+    from avsl_tpu.core import mesh as mesh_mod
+    from avsl_tpu.core.mesh import make_mesh
+
+    seen = []
+
+    def loss_fn(params, batch_stats, batch, rng):
+        # records whether the scope was active while this traced
+        seen.append(mesh_mod._ACTIVATION_MESH is not None)
+        return jnp.mean((params["w"] - batch["x"]) ** 2), ({}, batch_stats)
+
+    tx = optax.adam(0.1)
+    state = TrainState.create({"w": jnp.zeros(())}, tx)
+    mesh = make_mesh(4, model_parallel=2)
+    runner = TrainerRunner(
+        loss_fn, lambda s, b: jnp.zeros((1, 1, VOCAB)), tx, state,
+        FakeTokenizer(), Cfg(), mesh=mesh,
+        log_dir=str(tmp_path / "logs"), ckpt_dir=str(tmp_path / "ckpt"),
+    )
+    assert runner._sp_active
+    runner.fit(lambda e: _train_batches(e), None, num_steps=1)
+    assert seen and seen[0], "first trace happened outside the SP scope"
+
+    # dp-only mesh: scope must NOT be entered (module global untouched)
+    seen.clear()
+    runner2 = TrainerRunner(
+        loss_fn, lambda s, b: jnp.zeros((1, 1, VOCAB)), tx,
+        TrainState.create({"w": jnp.zeros(())}, tx),
+        FakeTokenizer(), Cfg(), mesh=make_mesh(4, model_parallel=1),
+        log_dir=str(tmp_path / "logs2"), ckpt_dir=str(tmp_path / "ckpt2"),
+    )
+    assert not runner2._sp_active
+    runner2.fit(lambda e: _train_batches(e), None, num_steps=1)
+    assert seen and not seen[0]
