@@ -293,13 +293,15 @@ def separable_crop_coords_np(
 
 
 def _interp_matrix(coords: jnp.ndarray, n: int) -> jnp.ndarray:
-    # [..., crop, n] banded bilinear weights: W[..., i, k] = max(0, 1-|c-k|);
-    # coordinates outside the source contribute zero (gather-kernel fill)
+    # [..., crop, n] banded bilinear weights: W[..., i, k] = max(0, 1-|c-k|).
+    # Validity is per TAP, not per coordinate: a tap only exists for
+    # k in [0, n), so sub-pixel coords in (-1, 0) and (n-1, n) keep their
+    # one in-bounds partial contribution — exactly matching the gather
+    # kernel's per-tap masking (_bilinear_sample), including at frame
+    # edges; coords beyond that have every |c-k| >= 1 and contribute zero.
     k = jnp.arange(n, dtype=jnp.float32)
     d = jnp.abs(coords[..., None] - k)
-    wgt = jnp.maximum(0.0, 1.0 - d)
-    valid = (coords >= 0) & (coords <= n - 1)
-    return wgt * valid[..., None]
+    return jnp.maximum(0.0, 1.0 - d)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))

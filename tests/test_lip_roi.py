@@ -210,6 +210,17 @@ def test_separable_warp_matches_gather_warp():
     assert sep.shape == gather.shape == (3, 96, 96)
     np.testing.assert_allclose(sep, gather, atol=1e-2)
 
+    # edge-clipped crop: landmarks pushed so the crop samples beyond the
+    # frame border — per-tap masking must still match the gather kernel
+    # exactly (partial bilinear contributions in (-1,0) and (n-1,n))
+    lms_edge = np.asarray(mean_face) * 0.55 + np.array([-40.0, -35.0])
+    lms_et = jnp.asarray(np.tile(lms_edge, (3, 1, 1)))
+    g2 = np.asarray(warp_and_crop_clip(jnp.asarray(frames), lms_et, mean_face))
+    s2 = np.asarray(
+        warp_and_crop_clip_separable(jnp.asarray(frames), lms_et, mean_face)
+    )
+    np.testing.assert_allclose(s2, g2, atol=1e-2)
+
 
 AMI_GOLDEN_LIP = "/root/reference/examples/ami/EN2001a-A-21.39-25.86-lip_video.mp4"
 
