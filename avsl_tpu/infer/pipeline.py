@@ -52,6 +52,7 @@ class StreamingTranscriber:
         lang: str = "en",
         prefetch: int = 2,
         raw_video_hw: Tuple[int, int] = (288, 352),
+        raw_lip_mode: str = "host_refined",
     ):
         import jax
         import jax.numpy as jnp
@@ -70,6 +71,15 @@ class StreamingTranscriber:
         self.beam_size = beam_size
         self.lang = lang
         self.prefetch = prefetch
+        # raw-closeup crop source: "host_refined" (default) lip-crops with
+        # the SAME RefinedMouthTracker the offline preprocessing uses, so
+        # a segment gets the same crop at serving time as at training-data
+        # time (runs on the producer thread, overlapped with device work);
+        # "device" uses the on-device motion-detector frontend — lower
+        # host latency but an unrefined crop distribution (SERVING.md)
+        if raw_lip_mode not in ("host_refined", "device"):
+            raise ValueError(f"raw_lip_mode {raw_lip_mode!r}")
+        self.raw_lip_mode = raw_lip_mode
         cfg = model.cfg
 
         sot = np.asarray(tokenizer.sot_sequence(lang), np.int32)
@@ -165,6 +175,16 @@ class StreamingTranscriber:
                 frames = read_video_frames(
                     raw, grayscale=True, max_frames=self.video_frames
                 )
+                if self.raw_lip_mode == "host_refined":
+                    feats = self._host_refined_lip(frames)
+                    if feats is not None:
+                        video = np.zeros(
+                            (self.video_frames, self.crop, self.crop, 1),
+                            np.float32,
+                        )
+                        video[: len(feats)] = feats
+                        return audio, video, None, 0, True
+                    # detector found nothing: fall through to device crop
                 h, w = self.raw_video_hw
                 if frames.shape[1:] != (h, w):
                     import cv2
@@ -178,6 +198,23 @@ class StreamingTranscriber:
             except Exception:
                 pass
         return audio, None, None, 0, False
+
+    def _host_refined_lip(self, frames: np.ndarray):
+        """Training-parity lip crop: the offline preprocessing pipeline
+        (RefinedMouthTracker + extract_lip_clip) applied at serving time,
+        then the load_video_feats crop+normalization."""
+        from avsl_tpu.data.lip_refine import RefinedMouthTracker
+        from avsl_tpu.data.lip_roi import extract_lip_clip
+
+        if not hasattr(self, "_host_detector"):
+            self._host_detector = RefinedMouthTracker()
+        clip = extract_lip_clip(frames, self._host_detector(frames))
+        if clip is None:
+            return None
+        clip = clip[: self.video_frames]
+        off = (96 - self.crop) // 2
+        lip = clip[:, off: off + self.crop, off: off + self.crop, None]
+        return (lip.astype(np.float32) / 255.0 - 0.421) / 0.165
 
     def _prepare_batch(self, items: Sequence[Dict[str, Any]]):
         n = len(items)

@@ -120,7 +120,10 @@ def test_transcriber_raw_video_affects_output(media):
 
 def test_corrupt_lip_clip_falls_back_to_raw(media, tmp_path):
     """A lip_video that exists but fails to decode must fall back to the
-    item's raw closeup (not silently drop to audio-only)."""
+    item's raw closeup (not silently drop to audio-only). Default mode
+    lip-crops that raw closeup on the HOST with the same RefinedMouthTracker
+    the offline preprocessing uses (serve/preprocess crop parity);
+    raw_lip_mode='device' keeps the on-device staged-frontend crop."""
     tokenizer = get_tokenizer(None, "en")
     model, cfg = build_whisper_flamingo(
         "test", vocab_size=tokenizer.vocab_size, dtype="float32"
@@ -136,14 +139,26 @@ def test_corrupt_lip_clip_falls_back_to_raw(media, tmp_path):
     corrupt = str(tmp_path / "bad-lip.mp4")
     with open(corrupt, "wb") as f:
         f.write(b"notavideo" * 300)
+    item = {"audio": media["wav"], "lip_video": corrupt, "video": media["raw"]}
+
     tr = StreamingTranscriber(
         model, variables, tokenizer,
         audio_max_length=16000, video_frames=T_FRAMES,
         batch_size=1, max_new_tokens=3,
         raw_video_hw=(SRC_H, SRC_W),
     )
-    audio, lip, raw, nf, hv = tr._load_item(
-        {"audio": media["wav"], "lip_video": corrupt, "video": media["raw"]}
+    audio, lip, raw, nf, hv = tr._load_item(item)
+    assert hv, "raw closeup fallback dropped to audio-only"
+    # host_refined (default): the raw closeup became a normalized lip clip
+    assert lip is not None and raw is None
+    assert lip.shape == (T_FRAMES, 88, 88, 1) and np.isfinite(lip).all()
+
+    tr_dev = StreamingTranscriber(
+        model, variables, tokenizer,
+        audio_max_length=16000, video_frames=T_FRAMES,
+        batch_size=1, max_new_tokens=3,
+        raw_video_hw=(SRC_H, SRC_W), raw_lip_mode="device",
     )
+    audio, lip, raw, nf, hv = tr_dev._load_item(item)
     assert lip is None and raw is not None and hv
     assert nf > 0 and raw.shape == (T_FRAMES, SRC_H, SRC_W)
