@@ -4,6 +4,8 @@ The numpy references below are written directly from the published math
 (np.fft-based), independent of the conv-as-DFT formulation used on device.
 """
 
+import os
+
 import numpy as np
 import pytest
 import scipy.signal
@@ -167,3 +169,57 @@ def test_spec_augment_deterministic_per_key():
     c = np.asarray(spec_augment(mel, jax.random.PRNGKey(8), 100, 1, 1))
     np.testing.assert_array_equal(a, b)
     assert (a != c).any()
+
+
+def _torch_psf_logfbank(audio, sr=16000, nfilt=26, nfft=512):
+    """THIRD independent implementation of the psf logfbank math, on
+    torch's FFT backend and tensor ops (different framing code path and
+    FFT library from both the device kernel and the numpy port)."""
+    import torch
+
+    x = torch.as_tensor(np.asarray(audio, np.float64))
+    x = torch.cat([x[:1], x[1:] - 0.97 * x[:-1]])
+    frame_len, frame_step = int(0.025 * sr), int(0.01 * sr)
+    if len(x) <= frame_len:
+        n_frames = 1
+    else:
+        n_frames = 1 + int(np.ceil((len(x) - frame_len) / frame_step))
+    padded = torch.zeros(frame_len + (n_frames - 1) * frame_step, dtype=x.dtype)
+    padded[: len(x)] = x
+    frames = padded.unfold(0, frame_len, frame_step)
+    pspec = torch.abs(torch.fft.rfft(frames, n=nfft, dim=1)) ** 2 / nfft
+    fb = torch.as_tensor(
+        np.asarray(mel_filterbank_htk_psf(nfilt, nfft, sr), np.float64)
+    )
+    feat = pspec @ fb.T
+    feat = torch.where(
+        feat == 0, torch.tensor(float(np.finfo(np.float64).eps)), feat
+    )
+    return torch.log(feat).numpy()
+
+
+def test_logfbank_triple_implementation_agreement(audio):
+    """The device kernel, the numpy port, and a torch-backed port (three
+    independent code paths and two FFT backends) must agree. The actual
+    python_speech_features library is not installable here (no package,
+    no network egress) — scripts/gen_fbank_golden.py regenerates the
+    committed golden against the REAL library on any machine that has it."""
+    np_ref = _np_psf_logfbank(audio)
+    torch_ref = _torch_psf_logfbank(audio)
+    np.testing.assert_allclose(torch_ref, np_ref, atol=1e-8, rtol=1e-10)
+    got = np.asarray(logfbank(audio))
+    np.testing.assert_allclose(got, torch_ref, atol=2e-4, rtol=2e-5)
+
+
+def test_logfbank_matches_committed_golden(audio):
+    """Bit-anchor against the committed artifact: guards against silent
+    drift of BOTH the kernel and the in-repo reference math. The npz
+    records its source ('python_speech_features' when generated on a
+    machine with the real library; 'numpy-port' otherwise)."""
+    path = os.path.join(os.path.dirname(__file__), "goldens", "logfbank_golden.npz")
+    with np.load(path) as z:
+        want = z["logfbank"]
+        source = str(z["source"])
+    got = np.asarray(logfbank(audio))
+    assert got.shape == want.shape, (got.shape, want.shape, source)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-5)
