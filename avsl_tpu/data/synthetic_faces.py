@@ -111,3 +111,72 @@ def generate_dataset(
         imgs[i] = img
         lms[i] = l / size
     return imgs, lms
+
+
+def pseudo_label_dataset(
+    video_paths, per_frame: int = 8, size: int = 128, seed: int = 0,
+    max_frames: int = 300,
+):
+    """Real-footage training pairs pseudo-labeled by the refined tracker.
+
+    Each clip is labeled once with data.lip_refine.RefinedMouthTracker
+    (the preprocessing-default detector, golden-validated against the
+    reference's dlib crops), then every frame yields ``per_frame``
+    augmented crops: a random window containing the face at a random
+    scale (so the CNN sees the face at many apparent sizes), resized to
+    ``size`` with brightness/contrast/noise jitter. Landmarks map through
+    the same window -> normalized [0,1] coords.
+
+    Returns (images [N,size,size] float32, landmarks [N,68,2] in [0,1]).
+    """
+    import cv2
+
+    from avsl_tpu.data.lip_refine import RefinedMouthTracker
+    from avsl_tpu.data.video_io import read_video_frames
+
+    rng = np.random.default_rng(seed)
+    det = RefinedMouthTracker()
+    imgs, lms_out = [], []
+    for path in video_paths:
+        frames = read_video_frames(path, grayscale=True, max_frames=max_frames)
+        lms = det(frames)
+        h, w = frames.shape[1:3]
+        for t in range(len(frames)):
+            lm = lms[t]
+            if lm is None:
+                continue
+            face_w = float(lm[:, 0].max() - lm[:, 0].min())
+            cx, cy = lm[48:68].mean(axis=0)
+            for _ in range(per_frame):
+                # window side: face occupies 25-90% of the crop
+                side = face_w / rng.uniform(0.25, 0.90)
+                side = float(np.clip(side, 32, 2 * max(h, w)))
+                # face center lands anywhere in the middle half of the crop
+                jx = rng.uniform(-0.22, 0.22) * side
+                jy = rng.uniform(-0.22, 0.22) * side
+                x0 = cx + jx - side / 2
+                y0 = cy + jy - side / 2
+                # integer window clipped to the frame (pad if short)
+                xi, yi = int(round(x0)), int(round(y0))
+                win = np.zeros((int(side), int(side)), np.float32)
+                sx0, sy0 = max(0, xi), max(0, yi)
+                sx1 = min(w, xi + int(side))
+                sy1 = min(h, yi + int(side))
+                if sx1 <= sx0 or sy1 <= sy0:
+                    continue
+                win[sy0 - yi: sy1 - yi, sx0 - xi: sx1 - xi] = frames[
+                    t, sy0:sy1, sx0:sx1
+                ]
+                img = cv2.resize(win, (size, size))
+                # photometric jitter
+                gain = rng.uniform(0.7, 1.3)
+                bias = rng.uniform(-20, 20)
+                img = np.clip(img * gain + bias, 0, 255)
+                img = img + rng.normal(0, rng.uniform(0, 4), img.shape)
+                norm = (lm - np.array([xi, yi], np.float32)) / float(int(side))
+                imgs.append(np.clip(img, 0, 255).astype(np.float32))
+                lms_out.append(norm.astype(np.float32))
+    if not imgs:
+        return (np.zeros((0, size, size), np.float32),
+                np.zeros((0, 68, 2), np.float32))
+    return np.stack(imgs), np.stack(lms_out)

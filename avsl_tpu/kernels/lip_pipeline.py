@@ -360,6 +360,30 @@ def make_staged_lip_frontend(
         ok = det_ok.astype(bool)[:, None, None]
         return jnp.where(ok, tracked, base_traj), face_w, det_ok
 
+    def track_refine_parallel(small, base_traj, face_w, det_ok):
+        """Scan-free variant of ``track_refine``: every frame matched
+        independently against the anchor template inside one static
+        search window as a single batched conv
+        (kernels.track.ncc_track_clip_parallel) — no lax.scan, no
+        per-step dynamic slices, so it avoids the tunneled backend's
+        pathological-compile class the sequential tracker hits. The
+        search radius covers the clip's total motion (~90 px of dlib
+        mouth travel on the AMI golden clip at full res)."""
+        from avsl_tpu.kernels.track import ncc_track_batch_parallel
+
+        anchor = t // 2
+        anchor_pos = base_traj[:, anchor, :] / detect_ds   # small coords
+        track = ncc_track_batch_parallel(
+            small, anchor_pos, anchor,
+            template_size=max(16, 48 // detect_ds),
+            search=max(24, 96 // detect_ds),
+        )                                                  # [B, t, 2]
+        tracked = jax.vmap(lambda tr_: smooth_time(tr_, smoothing_window))(
+            track * detect_ds
+        )
+        ok = det_ok.astype(bool)[:, None, None]
+        return jnp.where(ok, tracked, base_traj), face_w, det_ok
+
     def traj_tracked(small):
         """``track_refine(small, *traj(small))`` in one call — fine on
         CPU/tests; on TPU jit the two halves separately."""
@@ -431,6 +455,7 @@ def make_staged_lip_frontend(
         "landmarks": landmarks,
         "traj": traj,
         "track_refine": track_refine,
+        "track_refine_parallel": track_refine_parallel,
         "traj_tracked": traj_tracked,
         "coords_from_traj": coords_from_traj,
         "traj_window": traj_window,

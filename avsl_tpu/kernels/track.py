@@ -149,3 +149,89 @@ def ncc_track_batch_anchored(
             f, p, anchor, template_size=template_size, search=search
         )
     )(clips, anchor_pos)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("anchor", "template_size", "search")
+)
+def ncc_track_clip_parallel(
+    frames: jnp.ndarray,  # [T, H, W]
+    anchor_pos: jnp.ndarray,  # (x, y) center at the anchor frame
+    anchor: int,
+    template_size: int = 48,
+    search: int = 80,
+) -> jnp.ndarray:
+    """Scan-free anchored tracking: every frame matched INDEPENDENTLY.
+
+    The sequential tracker (:func:`ncc_track_clip_anchored`) hits the
+    tunneled backend's pathological-compile class (dynamic-slice windows
+    inside ``lax.scan``, measured 30 s-7 min). This formulation removes
+    the sequential dependency entirely: ONE static search window around
+    the anchor position — sized to cover the whole clip's motion
+    (``search`` is the max total excursion, not per-frame) — is sliced
+    from every frame at the same coordinates, and the fixed anchor
+    template is NCC-matched against all T windows as one batched conv
+    (three convolutions total on the MXU: raw correlation, local sum,
+    local sum of squares). No scan, no per-step dynamic slices.
+
+    Per-frame independence trades the moving search window for a larger
+    static one; temporal coherence is restored downstream by the
+    trajectory smoothing every caller already applies (the host golden
+    comparison in tests/test_batched_detector.py covers both trackers).
+    Returns [T, 2] (x, y) centers.
+    """
+    t_len, h, w = frames.shape
+    ts = template_size
+    half = ts // 2
+    # shrink the static search radius so the window fits the frame
+    search = min(search, (min(h, w) - ts - 2) // 2)
+    frames = frames.astype(jnp.float32)
+
+    px = jnp.clip(anchor_pos[0], half + search, w - half - search - 1)
+    py = jnp.clip(anchor_pos[1], half + search, h - half - search - 1)
+    x0 = (px - half).astype(jnp.int32)
+    y0 = (py - half).astype(jnp.int32)
+    template = jax.lax.dynamic_slice(frames[anchor], (y0, x0), (ts, ts))
+    t_zero = template - jnp.mean(template)
+    t_norm = jnp.sqrt(jnp.maximum(jnp.sum(t_zero * t_zero), 1e-6))
+
+    win = ts + 2 * search
+    wx = (px - half - search).astype(jnp.int32)
+    wy = (py - half - search).astype(jnp.int32)
+    windows = jax.lax.dynamic_slice(frames, (0, wy, wx), (t_len, win, win))
+
+    def corr(x, k):  # [T, H, W] x [h, w] -> [T, H-h+1, W-w+1]
+        return jax.lax.conv_general_dilated(
+            x[:, None], k[None, None], window_strides=(1, 1),
+            padding="VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.float32,
+        )[:, 0]
+
+    n = ts * ts
+    raw = corr(windows, t_zero)
+    ones = jnp.ones_like(template)
+    local_sum = corr(windows, ones)
+    local_sq = corr(windows * windows, ones)
+    local_var = jnp.maximum(local_sq - local_sum * local_sum / n, 1e-6)
+    scores = raw / (jnp.sqrt(local_var) * t_norm)  # [T, S, S]
+
+    s = scores.shape[-1]
+    flat = jnp.argmax(scores.reshape(t_len, -1), axis=-1)
+    dy = (flat // s).astype(jnp.float32) - search
+    dx = (flat % s).astype(jnp.float32) - search
+    return jnp.stack([px + dx, py + dy], axis=-1)
+
+
+def ncc_track_batch_parallel(
+    clips: jnp.ndarray,  # [B, T, H, W]
+    anchor_pos: jnp.ndarray,  # [B, 2]
+    anchor: int,
+    template_size: int = 48,
+    search: int = 80,
+) -> jnp.ndarray:
+    """vmapped scan-free tracker: [B, T, 2] positions."""
+    return jax.vmap(
+        lambda f, p: ncc_track_clip_parallel(
+            f, p, anchor, template_size=template_size, search=search
+        )
+    )(clips, anchor_pos)

