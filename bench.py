@@ -45,7 +45,11 @@ import numpy as np
 BASELINE_SEGMENTS_PER_SEC = 1.5
 
 BATCH = int(os.environ.get("AVSL_BENCH_BATCH", "8"))
-ITERS = int(os.environ.get("AVSL_BENCH_ITERS", "8"))
+# 6 steady iterations: the measured loop must fit the tunnel's burst-tier
+# transfer budget together with the compile phase and the media child —
+# longer series spill into the 130 MB/s tier and measure the rate
+# limiter, not the pipeline (mean/p90 in the JSON expose any tail)
+ITERS = int(os.environ.get("AVSL_BENCH_ITERS", "6"))
 # real-media mode: decode actual mp4 segments (libav C++ decoder) inside
 # the measured loop, exactly as the baseline's 1-2 seg/s includes reading
 # real mp4s. "on" also runs it; "only" makes it the headline. The content
@@ -176,6 +180,22 @@ def main() -> None:
     )
     j_sample = jax.jit(stages["sample"])
     j_sub = jax.jit(stages["subsample"])
+    # per-frame NCC refinement of the detection trajectory — the
+    # scan-free batched-conv formulation compiles in ~20 s on the
+    # tunneled backend (the sequential scan tracker compiles 30 s-7 min
+    # there) and costs ~19 ms per 8x250-frame batch in steady state
+    track_enabled = os.environ.get("AVSL_BENCH_TRACK", "1") == "1"
+    j_track = jax.jit(
+        lambda s, tr, fw, ok: stages["track_refine_parallel"](
+            s.astype(jnp.float32), tr, fw, ok
+        )
+    )
+
+    def detect(small_dev):
+        tr, fw, ok = j_traj(small_dev)
+        if track_enabled:
+            tr, fw, ok = j_track(small_dev, tr, fw, ok)
+        return tr, fw, ok
     # donate the big buffers (per-clip uploads into the stack, frames into
     # the sampler) so each iteration recycles the same HBM slots instead
     # of growing the allocator's footprint
@@ -238,6 +258,10 @@ def main() -> None:
 
     small_dev = jnp.stack([jax.device_put(s) for s in small_np])
     traj, face_w, _det_ok = timed("traj", j_traj, small_dev)
+    if track_enabled:
+        traj, face_w, _det_ok = timed(
+            "track", j_track, small_dev, traj, face_w, _det_ok
+        )
     x0, y0 = timed("window", j_window, traj)
     ys, xs = timed("coords", j_coords, traj, face_w, x0, y0)
     rois0 = jnp.zeros((BATCH, VIDEO_FRAMES, ROI, ROI), jnp.uint8)
@@ -249,14 +273,21 @@ def main() -> None:
     log(f"link after roi-path compiles: {bw:.0f} MB/s")
     mode = "full" if bw >= CLEAN_LINK_MBPS else "roi"
     forced = os.environ.get("AVSL_BENCH_MODE", "")
+    # "only": this process measures just the real-media loop (it is the
+    # fresh-budget child, or was asked for explicitly)
+    media_enabled = MEDIA == "only" and (
+        bench_model != "large" or "AVSL_BENCH_MEDIA" in os.environ
+    )
     if forced in ("full", "roi"):
         mode = forced
     if mode == "full":
         # compile the full-frame path (bigger sampling program); if that
         # compile trips the throttle anyway, fall back to the
-        # already-compiled ROI path
+        # already-compiled ROI path. Compile against device-created zeros
+        # — content is irrelevant for compilation and this saves a 203 MB
+        # upload out of the burst budget
         t0 = time.perf_counter()
-        full0 = jnp.stack([jax.device_put(c) for c in clip_list])
+        full0 = jnp.zeros((BATCH, VIDEO_FRAMES, SRC_H, SRC_W), jnp.uint8)
         tr0, fw0, _ = j_traj(j_sub(full0))
         lip96 = j_sample(full0, *j_coords(tr0, fw0))
         out = decode_tokens(encode(variables, audio, lip96))
@@ -272,14 +303,14 @@ def main() -> None:
         # zero host round-trips: detection stream sliced on device, warp
         # coords in closed form from the trajectory
         clips_dev = j_stack(*uploaded)
-        tr, fw, _ = j_traj(j_sub(clips_dev))
+        tr, fw, _ = detect(j_sub(clips_dev))
         lip96 = j_sample_don(clips_dev, *j_coords(tr, fw))
         return decode_tokens(encode(variables, audio, lip96))
 
     def run_roi(uploaded_small, host_frames=None):
         src = clips if host_frames is None else host_frames
         small_dev = jnp.stack(uploaded_small)
-        tr, fw, _ = j_traj(small_dev)
+        tr, fw, _ = detect(small_dev)
         x0, y0 = j_window(tr)
         x0h, y0h = np.asarray(x0), np.asarray(y0)  # [B]-int d2h sync
         rois = np.empty((BATCH, VIDEO_FRAMES, ROI, ROI), np.uint8)
@@ -297,10 +328,11 @@ def main() -> None:
         return [jax.device_put(c) for c in upload_src]
 
     run = run_full if mode == "full" else run_roi
-    out = run(upload())  # warm all programs in the measured configuration
-    out.block_until_ready()
+    if MEDIA != "only":  # media-only child warms through its own loop
+        out = run(upload())  # warm all programs in the measured config
+        out.block_until_ready()
 
-    if verbose:
+    if verbose and MEDIA != "only":
         for it in range(3):
             t0 = time.perf_counter()
             parts = upload()
@@ -321,7 +353,7 @@ def main() -> None:
     # own the headline. mean/p90 of the same series are reported alongside
     # so the stall-inclusive sustained picture is visible in the JSON.
     iter_times = []
-    for i in range(iters):
+    for i in range(0 if MEDIA == "only" else iters):
         ti = time.perf_counter()
         parts = upload()
         # block BEFORE dispatching compute: issuing programs while the
@@ -341,11 +373,6 @@ def main() -> None:
     # host core count next to it: this delivery host has 1 core where the
     # reference's preprocessing node had 16-32 + a GPU for dlib.
     real_media = None
-    # the large envelope run is a transfer-budget-critical measurement;
-    # only add the media loop there when explicitly requested
-    media_enabled = MEDIA in ("on", "only") and (
-        bench_model != "large" or "AVSL_BENCH_MEDIA" in os.environ
-    )
     if media_enabled:
         import tempfile
 
@@ -382,7 +409,7 @@ def main() -> None:
 
         media_iter().block_until_ready()  # warm (paths identical post-decode)
         media_times = []
-        for i in range(iters):
+        for i in range(min(6, iters)):
             ti = time.perf_counter()
             media_iter().block_until_ready()
             media_times.append(time.perf_counter() - ti)
@@ -398,27 +425,91 @@ def main() -> None:
             "iter_p90_s": round(float(np.percentile(media_times, 90)), 4),
         }
 
-    times = np.asarray(iter_times)
-    segments_per_sec = BATCH / float(np.median(times))
-    if MEDIA == "only" and real_media is not None:
-        segments_per_sec = real_media["segments_per_sec"]
+    # ---- device-resident per-batch series (large envelope artifact) ----
+    # The large-v2 + AV-HuBERT-large parameter state (~3.7 GB even in
+    # bf16) exceeds the tunnel's ~2.5 GB burst tier by itself, so any
+    # upload-inclusive loop afterwards measures the rate limiter, not the
+    # system. The defensible artifact is a >=20-batch series with inputs
+    # device-resident (uploaded once): per-batch pipeline time through
+    # detection -> warp -> encode -> KV-cached decode.
+    device_series = None
+    if bench_model == "large" or os.environ.get("AVSL_BENCH_DEVICE_SERIES"):
+        clips_dev = jnp.stack([jax.device_put(c) for c in clip_list])
+        clips_dev.block_until_ready()
+
+        def run_resident():
+            tr, fw, _ = detect(j_sub(clips_dev))
+            lip96 = j_sample(clips_dev, *j_coords(tr, fw))
+            return decode_tokens(encode(variables, audio, lip96))
+
+        run_resident().block_until_ready()  # compiles the non-donating path
+        series = []
+        for i in range(max(20, iters)):
+            t0 = time.perf_counter()
+            run_resident().block_until_ready()
+            series.append(time.perf_counter() - t0)
+            log(f"resident iter{i}: {series[-1]:.3f}s")
+        device_series = {
+            "segments_per_sec": round(BATCH / float(np.median(series)), 3),
+            "iter_median_s": round(float(np.median(series)), 4),
+            "iter_mean_s": round(float(np.mean(series)), 4),
+            "iter_p90_s": round(float(np.percentile(series, 90)), 4),
+            "iters": len(series),
+        }
+
+    # ---- real-media child: a FRESH SUBPROCESS spawned AFTER this
+    # process's measured loops (the tunnel's transfer budget is largely
+    # per-process — a fresh process probes 1.5 GB/s while an exhausted
+    # one crawls at 50 MB/s — but with a shared component, so the
+    # headline loop runs first on the freshest budget; this process sits
+    # idle while the child owns the device)
+    if real_media is None and MEDIA == "on" and (
+        os.environ.get("AVSL_BENCH_CHILD") != "1"
+    ) and (bench_model != "large" or "AVSL_BENCH_MEDIA" in os.environ):
+        import subprocess
+
+        env = dict(os.environ, AVSL_BENCH_MEDIA="only", AVSL_BENCH_CHILD="1")
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=1200,
+            )
+            if verbose:
+                sys.stderr.write(proc.stderr)
+            for line in reversed(proc.stdout.strip().splitlines()):
+                if line.startswith("{"):
+                    real_media = json.loads(line).get("real_media")
+                    break
+        except Exception as e:
+            print(f"media child failed: {e}", file=sys.stderr)
+    if iter_times:
+        times = np.asarray(iter_times)
+        segments_per_sec = BATCH / float(np.median(times))
+        stats = {
+            # basis: BATCH / median(iter); mean/p90 expose stall-inclusive
+            # sustained behavior on the shared tunnel (ADVICE round-2)
+            "iter_median_s": round(float(np.median(times)), 4),
+            "iter_mean_s": round(float(np.mean(times)), 4),
+            "iter_p90_s": round(float(np.percentile(times, 90)), 4),
+            "iters": len(iter_times),
+        }
+    else:  # media-only child: the media loop IS the measurement
+        segments_per_sec = real_media["segments_per_sec"] if real_media else 0.0
+        stats = {"iters": 0}
     result = {
         "metric": "ami_av_segments_per_sec_per_chip",
         "value": round(segments_per_sec, 3),
         "unit": "segments/s",
         "vs_baseline": round(segments_per_sec / BASELINE_SEGMENTS_PER_SEC, 2),
-        # basis: BATCH / median(iter); mean/p90 expose stall-inclusive
-        # sustained behavior on the shared tunnel (ADVICE round-2)
-        "iter_median_s": round(float(np.median(times)), 4),
-        "iter_mean_s": round(float(np.mean(times)), 4),
-        "iter_p90_s": round(float(np.percentile(times, 90)), 4),
-        "iters": len(iter_times),
+        **stats,
         "mode": mode,
         "model": bench_model or "base",
         "param_dtype": "bfloat16" if cast_params_bf16 else "float32",
     }
     if real_media is not None:
         result["real_media"] = real_media
+    if device_series is not None:
+        result["device_resident"] = device_series
     print(json.dumps(result))
 
 
