@@ -124,6 +124,23 @@ def skin_reference(
     return float(np.median(vals)) if vals else 128.0
 
 
+def _gap_run_end(skin: np.ndarray, start: int, max_gap: int) -> int:
+    """Vectorized twin of the outward gap-tolerant run walker: from
+    ``start``, walking right, the position of the last skin pixel seen
+    before ``max_gap`` consecutive non-skin pixels (``start`` itself if
+    none). Mirror the array for the leftward run."""
+    w = len(skin)
+    idx = np.arange(start, w)
+    # virtual skin at start-1 so a leading non-skin pixel at `start`
+    # already counts gap 1, exactly like the walker's counter
+    last_skin = np.maximum.accumulate(np.where(skin[start:], idx, start - 1))
+    gap = idx - last_skin
+    broke = gap > max_gap
+    if broke.any():
+        return max(int(last_skin[int(np.argmax(broke))]), start)
+    return max(int(last_skin[-1]), start)
+
+
 def face_width_at(
     frame: np.ndarray, cx: float, cy: float, ref: float,
     w_guess: float = 60.0, tol: float = 30.0,
@@ -142,20 +159,9 @@ def face_width_at(
         if y < 0 or y >= h:
             continue
         skin = np.abs(frame[y] - ref) < tol
-
-        def run(direction: int) -> int:
-            x, gap, last = cx_i, 0, cx_i
-            while 0 <= x < w:
-                if skin[x]:
-                    last, gap = x, 0
-                else:
-                    gap += 1
-                    if gap > max_gap:
-                        break
-                x += direction
-            return last
-
-        widths.append(run(1) - run(-1) + 1)
+        right = _gap_run_end(skin, cx_i, max_gap)
+        left = (w - 1) - _gap_run_end(skin[::-1], (w - 1) - cx_i, max_gap)
+        widths.append(right - left + 1)
     return float(np.median(widths)) if widths else None
 
 
@@ -180,15 +186,28 @@ def sandwich_y_candidates(
     d = base - prof
     y_lo = int(max(6, cy - band_frac * face_w))
     y_hi = int(min(h - 6, cy + band_frac * face_w))
+    if y_hi - y_lo < 3:
+        return []
     off = max(3, int(cfg.sandwich_offset_frac * face_w))
-    cands: List[Tuple[int, float]] = []
-    for y in range(y_lo + 1, y_hi - 1):
-        if d[y] >= d[y - 1] and d[y] >= d[y + 1] and d[y] > cfg.min_darkness:
-            up = prof[max(0, y - off):max(1, y - off + 3)].mean()
-            dn = prof[y + off - 2:y + off + 1].mean() if y + off < h else 0.0
-            cands.append((y, float(min(up - prof[y], dn - prof[y]))))
-    cands.sort(key=lambda c: -c[1])
-    return cands[:4]
+    # vectorized local-max detection + sandwich probes over the band
+    ys = np.arange(y_lo + 1, y_hi - 1)
+    peak = (d[ys] >= d[ys - 1]) & (d[ys] >= d[ys + 1]) & (d[ys] > cfg.min_darkness)
+    ys = ys[peak]
+    if ys.size == 0:
+        return []
+    c = np.concatenate([[0.0], np.cumsum(prof, dtype=np.float64)])
+    up_lo = np.maximum(0, ys - off)
+    up_hi = np.maximum(1, ys - off + 3)
+    up = (c[up_hi] - c[up_lo]) / (up_hi - up_lo)
+    in_range = ys + off < h
+    dn_hi = np.minimum(ys + off + 1, h)
+    dn_lo = np.maximum(np.minimum(ys + off - 2, dn_hi - 1), 0)
+    dn = np.where(
+        in_range, (c[dn_hi] - c[dn_lo]) / np.maximum(dn_hi - dn_lo, 1), 0.0
+    )
+    scores = np.minimum(up, dn) - prof[ys]
+    order = np.argsort(-scores, kind="stable")[:4]
+    return [(int(ys[k]), float(scores[k])) for k in order]
 
 
 def sandwich_best_x(
@@ -199,26 +218,36 @@ def sandwich_best_x(
     (already-refined) lip-line y. The response peaks when the averaging
     window is centered on the mouth: the philtrum directly above the lip
     center is the brightest above-context, and off-mouth columns dilute
-    the dark line."""
+    the dark line.
+
+    Vectorized over the whole x-scan (one cumsum per row band instead of
+    2*span+1 slice-means — this is the host preprocessing hot spot)."""
     h, w = frame.shape
     off = max(3, int(cfg.sandwich_offset_frac * face_w))
     y = int(cy)
     if y - off < 0 or y + off >= h:
         return None, -1e9
-    best_x, best_s = None, -1e9
-    for dx in range(-span, span + 1):
-        x = int(cx + dx)
-        xs0 = int(max(0, x - cfg.sandwich_halfwidth_frac * face_w))
-        xs1 = int(min(w, x + cfg.sandwich_halfwidth_frac * face_w + 1))
-        if xs1 - xs0 < 2:
-            continue
-        prof = frame[:, xs0:xs1].mean(axis=1)
-        up = prof[max(0, y - off):max(1, y - off + 3)].mean()
-        dn = prof[y + off - 2:y + off + 1].mean()
-        s = float(min(up - prof[y], dn - prof[y]))
-        if s > best_s:
-            best_x, best_s = x, s
-    return best_x, best_s
+    half = cfg.sandwich_halfwidth_frac * face_w
+    rows_up = frame[max(0, y - off):max(1, y - off + 3)].mean(axis=0)
+    rows_dn = frame[y + off - 2:y + off + 1].mean(axis=0)
+    row_y = frame[y].astype(np.float64)
+
+    xs = np.arange(int(cx) - span, int(cx) + span + 1)
+    x0s = np.clip((xs - half).astype(int), 0, w)
+    x1s = np.clip((xs + half + 1).astype(int), 0, w)
+    widths = x1s - x0s
+    valid = widths >= 2
+
+    def windowed(v: np.ndarray) -> np.ndarray:
+        c = np.concatenate([[0.0], np.cumsum(v, dtype=np.float64)])
+        return (c[x1s] - c[x0s]) / np.maximum(widths, 1)
+
+    s = np.minimum(windowed(rows_up), windowed(rows_dn)) - windowed(row_y)
+    s = np.where(valid, s, -1e9)
+    k = int(np.argmax(s))
+    if s[k] <= -1e9:
+        return None, -1e9
+    return int(xs[k]), float(s[k])
 
 
 def lip_opening(
@@ -289,7 +318,10 @@ class RefinedMouthTracker(LandmarkDetector):
     def __init__(self, base: Optional[LandmarkDetector] = None,
                  config: Optional[RefinerConfig] = None,
                  template: int = 40, search: int = 24):
-        self.base = base or EnergyBoxDetector()
+        # the base detector only seeds the ANCHOR (one mid-clip frame);
+        # every_n=4 skips 3/4 of its per-frame work with no effect on the
+        # anchor choice beyond +-2 frames
+        self.base = base or EnergyBoxDetector(every_n=4)
         self.cfg = config or RefinerConfig()
         self.template = template
         self.search = search

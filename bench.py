@@ -425,15 +425,17 @@ def main() -> None:
             "iter_p90_s": round(float(np.percentile(media_times, 90)), 4),
         }
 
-    # ---- device-resident per-batch series (large envelope artifact) ----
-    # The large-v2 + AV-HuBERT-large parameter state (~3.7 GB even in
-    # bf16) exceeds the tunnel's ~2.5 GB burst tier by itself, so any
-    # upload-inclusive loop afterwards measures the rate limiter, not the
-    # system. The defensible artifact is a >=20-batch series with inputs
-    # device-resident (uploaded once): per-batch pipeline time through
-    # detection -> warp -> encode -> KV-cached decode.
+    # ---- device-resident per-batch series (default for every model) ----
+    # A >=20-batch series with inputs device-resident (uploaded once):
+    # per-batch pipeline time through detection -> warp -> encode ->
+    # KV-cached decode, independent of the tunnel's transfer-budget state
+    # at measurement time. For the large envelope it is the PRIMARY
+    # artifact: the large-v2 + AV-HuBERT-large parameter state (~3.7 GB
+    # even in bf16) exceeds the ~2.5 GB burst tier by itself, so any
+    # upload-inclusive loop afterwards measures the rate limiter, not
+    # the system.
     device_series = None
-    if bench_model == "large" or os.environ.get("AVSL_BENCH_DEVICE_SERIES"):
+    if os.environ.get("AVSL_BENCH_DEVICE_SERIES", "1") == "1" and MEDIA != "only":
         clips_dev = jnp.stack([jax.device_put(c) for c in clip_list])
         clips_dev.block_until_ready()
 
