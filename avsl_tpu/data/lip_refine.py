@@ -40,9 +40,14 @@ This module replaces both with image-measured quantities:
   opening/closing frame by frame — the signal lipreading consumes.
 
 Golden validation (tests/test_lip_roi.py): best-shift NCC vs the
-reference's own dlib-produced lip clip — whole-clip 0.87, early frames
-0.82, mid 0.86 (round-2 state: 0.61 / 0.54 / 0.69; an oracle given
-dlib's exact per-frame geometry scores 0.89).
+reference's own dlib-produced lip clip — whole-clip 0.89, early frames
+0.93, mid 0.85 (round-2 state: 0.61 / 0.54 / 0.69; an oracle given
+dlib's exact per-frame geometry scores 0.89 — the refiner's smoothed
+trajectory matches dlib's smoothed landmarks even more closely than the
+raw template-recovered geometry does). Robustness beyond the single real
+pair: tests/test_lip_refine_stress.py (known-truth synthetic scenarios;
+a whole-frame sandwich rescue re-anchors when the coarse estimate lands
+beyond local capture range).
 """
 
 from __future__ import annotations
@@ -88,7 +93,7 @@ class RefinerConfig:
     conf_trust: float = 8.0  # min confidence to mark a frame trusted
     snap_gate_frac: float = 0.08  # per-frame snap gate / face width
     # skin scale
-    skin_tol: float = 30.0  # |pixel - ref| skin classification (gray levels)
+    skin_tol: float = 36.0  # |pixel - ref| skin classification (gray levels)
     width_smooth: int = 12  # temporal median half-window for face widths
     # chained repair
     chain_template_frac: float = 0.33
@@ -401,6 +406,152 @@ class RefinedMouthTracker(LandmarkDetector):
             cen[t] = (px, py)
             prev = t
 
+    # -- bootstrap: (scale <-> lip-line y) fixed point ---------------------
+    def _bootstrap(self, blur3, blur5, track):
+        """Two passes of (skin-run scale at current centers -> sandwich
+        y-snap at current scale), resolving their chicken-and-egg: the
+        scale's cheek band is placed relative to the mouth center and the
+        y-snap's band/probes are scale-relative. A coarse-anchor bias
+        that poisons the first scale pass (degenerate widths measured
+        with the band off the face) is corrected by the wide-band first
+        y-snap, and the second pass then measures real widths.
+
+        -> (centers [T,2], sm_w [T], y_conf [T], no_lip_contrast)."""
+        cfg = self.cfg
+        t_total = len(track)
+        h, w = blur3[0].shape
+        centers = track.copy()
+        face_w = 60.0
+        sm_w = np.full(t_total, face_w)
+        y_conf = np.zeros(t_total)
+        no_lip_contrast = False
+        scale_ok = False
+        for _pass in range(2):
+            if not scale_ok:
+                # (re)measure widths; once a pass yields healthy widths,
+                # later passes keep them — re-measuring at the snapped
+                # centers perturbs the per-frame scale the golden
+                # comparison validated, while a degenerate first pass
+                # (cheek band off the face) NEEDS the re-measure after
+                # the y-snap recenters
+                ref = skin_reference(blur5, centers, w_guess=face_w)
+                widths = []
+                for t in range(t_total):
+                    w1 = face_width_at(
+                        blur5[t], *centers[t], ref, face_w, cfg.skin_tol
+                    )
+                    w2 = face_width_at(
+                        blur5[t], *centers[t], ref,
+                        float(np.clip(w1 if w1 else face_w, 35, 110)),
+                        cfg.skin_tol,
+                    )
+                    widths.append(w2 if w2 else np.nan)
+                widths = np.asarray(widths, np.float64)
+                # outlier rejection against the clip median: the face
+                # scale varies slowly within a clip (dlib's similarity
+                # fit moves ~±10%/s on the AMI golden pair) while
+                # per-frame skin-run failures (band off the face during
+                # fast motion) are sudden collapses to a few pixels
+                med = np.nanmedian(widths)
+                if np.isfinite(med) and med > 0:
+                    ok = (widths > 0.7 * med) & (widths < 1.4 * med)
+                    widths = np.where(ok, widths, np.nan)
+                pass_sm = np.array([
+                    np.nanmedian(
+                        widths[max(0, t - cfg.width_smooth):
+                               t + cfg.width_smooth + 1]
+                    )
+                    for t in range(t_total)
+                ])
+                pass_sm = np.where(np.isfinite(pass_sm), pass_sm, med)
+                pass_face_w = float(np.nanmedian(pass_sm))
+                # plausibility guard: a cheek band off the face measures
+                # either a few pixels (background rejected as non-skin)
+                # or the whole frame (centers below the face lock the
+                # skin reference onto the background). Either way,
+                # emitting it as scale would wreck the layout — keep the
+                # default and let the y-snap recenter first.
+                if (
+                    np.isfinite(pass_face_w)
+                    and 28.0 <= pass_face_w <= 0.8 * min(h, w)
+                ):
+                    sm_w = pass_sm
+                    face_w = pass_face_w
+                    scale_ok = True
+
+            # lip-line y snap at the current scale. The first pass scans
+            # a wide band (the coarse anchor can sit half a face-width
+            # off on hard content — e.g. below the chin); once the global
+            # offset has been applied, later passes narrow to the
+            # validated band.
+            band = 0.8 if _pass == 0 else 0.5
+            cand_by_t = [
+                sandwich_y_candidates(
+                    blur3[t], centers[t, 0], centers[t, 1], face_w,
+                    band_frac=band, cfg=cfg,
+                )
+                for t in range(t_total)
+            ]
+            offsets = [
+                c[0][0] - centers[t, 1]
+                for t, c in enumerate(cand_by_t)
+                if c and c[0][1] > cfg.conf_offset
+            ]
+            if not offsets:
+                no_lip_contrast = True
+                break
+            y_corr = centers[:, 1] + float(np.median(offsets))
+            y_ref = y_corr.copy()
+            y_conf = np.zeros(t_total)
+            gate = max(4.0, cfg.snap_gate_frac * face_w)
+            for t in range(t_total):
+                for (cy, s) in cand_by_t[t]:
+                    if s > cfg.conf_snap and abs(cy - y_corr[t]) <= gate:
+                        y_ref[t] = 0.5 * y_corr[t] + 0.5 * cy
+                        y_conf[t] = s
+                        break
+            centers = np.stack([centers[:, 0], y_ref], axis=1)
+        return centers, sm_w, y_conf, no_lip_contrast
+
+    def _global_anchor_scan(self, blur3, frame_idx: int,
+                            face_w: float = 60.0):
+        """Whole-frame sandwich scan: the strongest bright-dark-bright
+        line candidate anywhere in the anchor frame. Used only when the
+        local bootstrap finds (almost) no confident lip evidence — the
+        coarse anchor was beyond every local stage's capture range."""
+        cfg = self.cfg
+        f = blur3[frame_idx]
+        h, w = f.shape
+        best = None
+        for x in np.linspace(0.12 * w, 0.88 * w, 13):
+            cands = sandwich_y_candidates(
+                f, float(x), h / 2.0, face_w,
+                band_frac=(h / 2.0 - 8) / face_w, cfg=cfg,
+            )
+            for (cy, s) in cands[:2]:
+                if best is None or s > best[2]:
+                    best = (float(x), float(cy), s)
+        if best is None or best[2] <= cfg.conf_snap:
+            return None
+        # sharpen x at the found y
+        bx, bs = sandwich_best_x(
+            f, best[0], best[1], face_w, span=int(0.1 * w), cfg=cfg
+        )
+        return np.array(
+            [bx if bx is not None else best[0], best[1]], np.float32
+        )
+
+    def _track_from(self, frames, anchor: int, pos: np.ndarray):
+        canon = canonical_mean_face(300)
+        seed = canon * 0.5 + (pos - (canon * 0.5)[48:68].mean(axis=0))
+        per_frame: List[Optional[np.ndarray]] = [None] * len(frames)
+        per_frame[anchor] = seed.astype(np.float32)
+        tracker = AnchorTrackDetector(
+            base=PrecomputedLandmarks(per_frame),
+            template=self.template, search=self.search,
+        )
+        return np.array([l[48:68].mean(axis=0) for l in tracker(frames)])
+
     # -- full pipeline -----------------------------------------------------
     def refine(self, frames: np.ndarray):
         """-> (centers [T,2], widths [T], openings [T] | None) or None."""
@@ -412,48 +563,29 @@ class RefinedMouthTracker(LandmarkDetector):
         blur3 = [_gaussian_blur(f, 3) for f in frames]
         blur5 = [_gaussian_blur(f, 5) for f in frames]
 
-        # scale
-        ref = skin_reference(blur5, track)
-        widths = []
-        for t in range(t_total):
-            w1 = face_width_at(blur5[t], *track[t], ref, 60.0, cfg.skin_tol)
-            w2 = face_width_at(
-                blur5[t], *track[t], ref,
-                float(np.clip(w1 if w1 else 60.0, 35, 110)), cfg.skin_tol,
-            )
-            widths.append(w2 if w2 else np.nan)
-        widths = np.asarray(widths, np.float64)
-        if np.isnan(widths).all():
-            return None
-        sm_w = np.array([
-            np.nanmedian(widths[max(0, t - cfg.width_smooth):t + cfg.width_smooth + 1])
-            for t in range(t_total)
-        ])
-        face_w = float(np.nanmedian(sm_w))
+        centers, sm_w, y_conf, no_lip = self._bootstrap(blur3, blur5, track)
 
-        # lip-line y
-        cand_by_t = [
-            sandwich_y_candidates(blur3[t], track[t, 0], track[t, 1], face_w, cfg=cfg)
-            for t in range(t_total)
-        ]
-        offsets = [
-            c[0][0] - track[t, 1]
-            for t, c in enumerate(cand_by_t)
-            if c and c[0][1] > cfg.conf_offset
-        ]
-        if not offsets:  # no lip contrast anywhere: plain tracked layout
+        # global rescue: (almost) no frame produced a confident sandwich
+        # hit — the coarse anchor sat beyond local capture (e.g. below
+        # the chin). Re-anchor from a whole-frame scan and re-bootstrap;
+        # keep whichever run has more confident frames.
+        conf_frac = float((y_conf > cfg.conf_snap).mean())
+        if conf_frac < 0.2:
+            pos = self._global_anchor_scan(blur3, t_total // 2)
+            if pos is not None:
+                track2 = self._track_from(frames, t_total // 2, pos)
+                c2, w2, conf2, nl2 = self._bootstrap(blur3, blur5, track2)
+                if float((conf2 > cfg.conf_snap).mean()) > conf_frac:
+                    track, centers, sm_w, y_conf, no_lip = (
+                        track2, c2, w2, conf2, nl2
+                    )
+
+        if no_lip and np.allclose(centers, track):
+            # no lip evidence anywhere: plain tracked layout
             return track, sm_w, None
-        y_corr = track[:, 1] + float(np.median(offsets))
-        y_ref = y_corr.copy()
-        conf = np.zeros(t_total)
-        gate = max(4.0, cfg.snap_gate_frac * face_w)
-        for t in range(t_total):
-            for (cy, s) in cand_by_t[t]:
-                if s > cfg.conf_snap and abs(cy - y_corr[t]) <= gate:
-                    y_ref[t] = 0.5 * y_corr[t] + 0.5 * cy
-                    conf[t] = s
-                    break
-        cen = np.stack([track[:, 0], y_ref], axis=1)
+        cen = centers
+        conf = y_conf
+        face_w = float(np.nanmedian(sm_w))
 
         # repair untrusted spans
         trusted = conf > cfg.conf_trust

@@ -256,11 +256,13 @@ def test_lip_crops_agree_with_reference_golden_clip():
     pipeline under test: video_process.py:305-490).
 
     Round-3 state (RefinedMouthTracker, data/lip_refine.py): measured
-    whole-clip mean best-shift NCC 0.868, early frames 0.815, mid 0.854 —
+    whole-clip mean best-shift NCC 0.892, early frames 0.929, mid 0.853 —
     vs an oracle fed dlib's exact per-frame center+scale scoring 0.886 /
-    0.920 / 0.845 on the same rotation-free warp. The floors below are the
-    VERDICT round-2 targets (whole >= 0.72, early >= 0.62) plus margin
-    sanity on mid-clip; random or off-face crops score ~0.0."""
+    0.920 / 0.845 on the same rotation-free warp (at or above the oracle:
+    the refiner's smoothed trajectory is closer to dlib's SMOOTHED
+    landmarks than the raw recovered geometry is). Floors sit above the
+    VERDICT round-2 targets (whole >= 0.72, early >= 0.62) with margin
+    for environment variation; random or off-face crops score ~0.0."""
     frames = read_video_frames(AMI_EXAMPLE, grayscale=True)
     gold = read_video_frames(AMI_GOLDEN_LIP, grayscale=True)
     from avsl_tpu.data.lip_refine import RefinedMouthTracker
@@ -275,11 +277,11 @@ def test_lip_crops_agree_with_reference_golden_clip():
     mid = np.array(
         [_ncc_best_shift(clip[t], gold[t]) for t in range(25, min(n, 85), 5)]
     )
-    assert sims.mean() >= 0.72, f"whole-clip mean NCC {sims.mean():.3f}"
-    assert early.mean() >= 0.62, f"early-clip mean NCC {early.mean():.3f}"
-    assert mid.mean() >= 0.72, f"mid-clip mean NCC {mid.mean():.3f}"
+    assert sims.mean() >= 0.78, f"whole-clip mean NCC {sims.mean():.3f}"
+    assert early.mean() >= 0.72, f"early-clip mean NCC {early.mean():.3f}"
+    assert mid.mean() >= 0.75, f"mid-clip mean NCC {mid.mean():.3f}"
     # and the mid-clip peak must show real per-frame structure agreement
-    assert mid.max() >= 0.80, f"mid-clip max NCC {mid.max():.3f}"
+    assert mid.max() >= 0.85, f"mid-clip max NCC {mid.max():.3f}"
 
 
 @pytest.mark.skipif(
