@@ -159,6 +159,30 @@ class TrainerRunner:
         self.early_stop_patience = int(getattr(cfg, "early_stop_patience", 0) or 0)
         self._evals_since_best = 0
 
+    def _install_preemption_handler(self):
+        """SIGTERM-safe training: TPU pods are preempted with SIGTERM; the
+        reference relies on Lightning's last.ckpt cadence and loses up to
+        a validation interval of work. Here the handler marks a flag, the
+        step loop checkpoints at the next step boundary and exits cleanly
+        (resumable via ``resume_training``). Returns a restore callable.
+        No-op outside the main thread (signals only deliver there)."""
+        import signal
+        import threading
+
+        self._preempted = False
+        if threading.current_thread() is not threading.main_thread():
+            return lambda: None
+
+        def on_term(signum, frame):
+            self._preempted = True
+
+        prev = signal.signal(signal.SIGTERM, on_term)
+
+        def restore():
+            signal.signal(signal.SIGTERM, prev)
+
+        return restore
+
     def _maybe_sp_scope(self):
         if self._sp_active:
             from avsl_tpu.core.mesh import activation_sharding_scope
@@ -214,7 +238,12 @@ class TrainerRunner:
         it = train_batches(epoch)
         t0 = time.time()
         history = []
+        restore_signal = self._install_preemption_handler()
         while step < num_steps:
+            if self._preempted:
+                save_checkpoint(self.ckpt_dir, self.state, step)
+                self.logger.log(step, {"train/preempted": 1.0})
+                break
             try:
                 batch = next(it)
             except StopIteration:
@@ -258,12 +287,14 @@ class TrainerRunner:
                         and self._evals_since_best >= self.early_stop_patience
                     ):
                         break
+        restore_signal()
         save_checkpoint(self.ckpt_dir, self.state, step)
         return {
             "final_step": step,
             "best_wer": self.best_wer,
             "best_step": self.best_step,
             "history": history,
+            "preempted": self._preempted,
         }
 
     def test_best(

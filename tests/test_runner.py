@@ -200,3 +200,53 @@ def test_runner_enters_sp_scope_on_model_parallel_mesh(tmp_path):
     assert not runner2._sp_active
     runner2.fit(lambda e: _train_batches(e), None, num_steps=1)
     assert seen and not seen[0]
+
+
+def test_preemption_checkpoint_and_resume(tmp_path):
+    """SIGTERM mid-training must checkpoint at the next step boundary,
+    exit cleanly with preempted=True, and the run must resume from that
+    step (reference parity target: Lightning's last.ckpt cadence loses up
+    to a validation interval; here at most one step)."""
+    import os
+    import signal
+
+    calls = {"n": 0}
+
+    def loss_fn(params, batch_stats, batch, rng):
+        return jnp.mean((params["w"] - batch["x"]) ** 2), ({}, batch_stats)
+
+    tx = optax.adam(0.1)
+    runner = TrainerRunner(
+        loss_fn, lambda s, b: jnp.zeros((1, 1, VOCAB)), tx,
+        TrainState.create({"w": jnp.zeros(())}, tx),
+        FakeTokenizer(), Cfg(),
+        log_dir=str(tmp_path / "logs"), ckpt_dir=str(tmp_path / "ckpt"),
+    )
+
+    def batches(epoch=0):
+        def it():
+            for i in range(100):
+                calls["n"] += 1
+                if calls["n"] == 3:  # deliver SIGTERM mid-run
+                    os.kill(os.getpid(), signal.SIGTERM)
+                yield {"x": np.ones((4,), np.float32)}
+        return it()
+
+    out = runner.fit(batches, None, num_steps=50)
+    assert out["preempted"] is True
+    assert 0 < out["final_step"] < 50
+
+    # resume picks up from the checkpointed step
+    class ResumeCfg(Cfg):
+        resume_training = True
+
+    runner2 = TrainerRunner(
+        loss_fn, lambda s, b: jnp.zeros((1, 1, VOCAB)), tx,
+        TrainState.create({"w": jnp.zeros(())}, tx),
+        FakeTokenizer(), ResumeCfg(),
+        log_dir=str(tmp_path / "logs"), ckpt_dir=str(tmp_path / "ckpt"),
+    )
+    assert runner2.maybe_resume() == out["final_step"]
+    # the handler must have been removed after fit()
+    import signal as _s
+    assert _s.getsignal(_s.SIGTERM) in (_s.SIG_DFL, _s.default_int_handler)
