@@ -12,7 +12,7 @@ vertical bias between the lip line and the chin.
 
 This module replaces both with image-measured quantities:
 
-* **Skin-run scale** (:class:`SkinScaleEstimator`): the face width at the
+* **Skin-run scale** (:func:`face_width_at` + :func:`skin_reference`): the face width at the
   cheek band is read off as the gap-tolerant run of skin-toned pixels
   through the mouth center, against a clip-median skin reference (skin
   tone is constant within a clip; lighting pose changes are not). The

@@ -16,7 +16,7 @@ sum, local sum of squares).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp
