@@ -242,8 +242,22 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         grad_accum_steps=runner_accum,
     )
     train_bs = int(cfg.batch_size) * (runner_accum if runner_accum > 1 else 1)
+    # prefetch_batches > 0 uploads the next batch while the step runs
+    # (double buffering; data/prefetch.py). Default off: beneficial on
+    # directly-attached TPUs, harmful on tunneled dev backends where
+    # dispatch/transfer overlap collapses the link.
+    n_prefetch = int(getattr(cfg, "prefetch_batches", 0) or 0)
+
+    def train_batches(epoch):
+        it = batches(train_ds, train_bs, True, epoch)
+        if n_prefetch > 0:
+            from avsl_tpu.data.prefetch import prefetch_to_device
+
+            return prefetch_to_device(it, size=n_prefetch, mesh=mesh)
+        return it
+
     result = runner.fit(
-        train_batches=lambda epoch: batches(train_ds, train_bs, True, epoch),
+        train_batches=train_batches,
         val_batches=lambda: batches(val_ds, int(cfg.eval_batch_size), False),
         # num_train_steps counts optimizer steps; under MultiSteps each
         # optimizer step consumes `accum` micro-batches
