@@ -147,6 +147,8 @@ def test_full_pipeline(mini_corpus, tmp_path):
         "check_output_dir": str(tmp_path / "ckpt"),
         "num_sanity_val_steps": 0,
         "max_duration_filter_seconds": 10.0,
+        # exercises the host->device prefetch wiring (data/prefetch.py)
+        "prefetch_batches": 1,
     }
     cfg_path = str(tmp_path / "cfg.yaml")
     with open(cfg_path, "w") as f:
