@@ -51,6 +51,7 @@ def check(name: str, warn_only: bool = False):
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    _RESULTS.clear()  # module-level accumulator: reset per invocation
     p = argparse.ArgumentParser(prog="avsl_tpu.cli.doctor")
     p.add_argument("--config", default=None,
                    help="training YAML to validate (keys + output dirs)")

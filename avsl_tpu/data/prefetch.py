@@ -49,27 +49,43 @@ def prefetch_to_device(
     from avsl_tpu.core.mesh import shard_batch
 
     q: "queue.Queue" = queue.Queue(maxsize=max(1, size))
+    stop = threading.Event()
 
     def put(batch):
         if mesh is not None:
             return shard_batch(mesh, batch)
         return jax.tree_util.tree_map(jax.device_put, batch)
 
+    def enqueue(item) -> bool:
+        # bounded put that notices an abandoned consumer (generator
+        # closed / epoch ended mid-stream) instead of parking forever
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for batch in iterator:
-                q.put(put(batch))
+                if not enqueue(put(batch)):
+                    return
         except BaseException as e:  # noqa: BLE001 — relayed to consumer
-            q.put(_Err(e))
+            enqueue(_Err(e))
             return
-        q.put(_End())
+        enqueue(_End())
 
     threading.Thread(target=producer, daemon=True).start()
 
-    while True:
-        item = q.get()
-        if isinstance(item, _End):
-            return
-        if isinstance(item, _Err):
-            raise item.exc
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if isinstance(item, _End):
+                return
+            if isinstance(item, _Err):
+                raise item.exc
+            yield item
+    finally:
+        stop.set()  # consumer done or closed: release the producer

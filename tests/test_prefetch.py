@@ -41,3 +41,15 @@ def test_mesh_sharded_prefetch():
     assert len(out) == 3
     shard_axes = out[0]["x"].sharding.spec
     assert shard_axes and shard_axes[0] == DATA_AXIS
+
+
+def test_abandoned_consumer_releases_producer():
+    import threading
+    import time
+
+    before = threading.active_count()
+    it = prefetch_to_device(_batches(100), size=1)
+    next(it)
+    it.close()  # abandon mid-stream
+    time.sleep(0.6)
+    assert threading.active_count() <= before + 1  # producer exited
