@@ -362,15 +362,7 @@ class RefinedMouthTracker(LandmarkDetector):
                         [(blob * xx).sum() / tot, (blob * yy).sum() / tot],
                         np.float32,
                     )
-        canon = canonical_mean_face(300)
-        seed = canon * 0.5 + (mouth - (canon * 0.5)[48:68].mean(axis=0))
-        per_frame: List[Optional[np.ndarray]] = [None] * t_total
-        per_frame[anchor] = seed.astype(np.float32)
-        tracker = AnchorTrackDetector(
-            base=PrecomputedLandmarks(per_frame),
-            template=self.template, search=self.search,
-        )
-        return np.array([l[48:68].mean(axis=0) for l in tracker(frames)])
+        return self._track_from(frames, anchor, np.asarray(mouth, np.float32))
 
     # -- stage 5: chained frame-to-frame repair ----------------------------
     def _chain(self, blurred, src_t: int, dst_range, cen: np.ndarray,
