@@ -54,7 +54,12 @@ ITERS = int(os.environ.get("AVSL_BENCH_ITERS", "6"))
 # the measured loop, exactly as the baseline's 1-2 seg/s includes reading
 # real mp4s. "on" also runs it; "only" makes it the headline. The content
 # is the reference's own AMI closeup footage (tiled to segment length)
-# when the mount exists, synthetic otherwise.
+# when the mount exists, synthetic otherwise. Codec honesty: this
+# environment ships NO h264 encoder (no libx264/ffmpeg binary), so the
+# segments are written as mp4v; measured on this 1-core host the real
+# h264 AMI clip decodes at ~1400 fps vs ~4000 for mp4v, so h264 segments
+# would bound the loop at ~5.6 seg/s. Decode parallelizes across host
+# cores (cpp thread pool) on production machines either way.
 MEDIA = os.environ.get("AVSL_BENCH_MEDIA", "on")  # "on" | "off" | "only"
 AMI_EXAMPLE = "/root/reference/examples/ami/EN2001a-A-21.39-25.86-video.mp4"
 DECODE_TOKENS = int(os.environ.get("AVSL_BENCH_DECODE_TOKENS", "24"))
