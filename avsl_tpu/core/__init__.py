@@ -16,3 +16,9 @@ from avsl_tpu.core.mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
 )
+from avsl_tpu.core.pipeline import (  # noqa: F401
+    make_pp_mesh,
+    pipeline_apply,
+    stack_block_params,
+    unstack_block_params,
+)
