@@ -6,6 +6,11 @@ from avsl_tpu.train.optim import (  # noqa: F401
     label_params,
 )
 from avsl_tpu.train.loop import TrainState, make_train_step, make_eval_step  # noqa: F401
+from avsl_tpu.train.pp import (  # noqa: F401
+    shard_pp_state,
+    split_whisper_encoder_params,
+    whisper_encoder_pp_forward,
+)
 from avsl_tpu.train.checkpoints import (  # noqa: F401
     save_checkpoint,
     restore_checkpoint,
