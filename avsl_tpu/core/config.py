@@ -387,6 +387,13 @@ class AVHuBERTConfig:
     param_dtype: str = "float32"
     remat: bool = False
 
+    # Mixture-of-experts encoder FFN (new in this framework; the reference
+    # stacks are dense). n_experts > 0 swaps every fusion-encoder block's
+    # MLP for models/moe.MoEFFN, sharded over an "expert" mesh axis.
+    n_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+
     @property
     def encoder_hidden_size(self) -> int:
         """Post-fusion feature dim: concat doubles when both modalities exist.

@@ -29,9 +29,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from avsl_tpu.core.mesh import MODEL_AXIS
 
+EXPERT_AXIS = "expert"
+
 # (path regex, spec builder) — first match wins. Specs reference dims of
 # the *kernel layout used by this framework* (flax conventions).
 DEFAULT_RULES: List[Tuple[str, P]] = [
+    # MoE expert blocks (models/moe.py): expert dim over the "expert" axis,
+    # hidden dim over "model" (ep x tp compose); the router replicates so
+    # every data shard routes its own tokens. On meshes without an
+    # "expert" axis the expert dim falls back to replicated per-axis.
+    (r"mlp/w_in$", P(EXPERT_AXIS, None, MODEL_AXIS)),
+    (r"mlp/b_in$", P(EXPERT_AXIS, MODEL_AXIS)),
+    (r"mlp/w_out$", P(EXPERT_AXIS, MODEL_AXIS, None)),
+    (r"mlp/b_out$", P(EXPERT_AXIS, None)),
+    (r"mlp/router$", P()),
     (r"(mlp|x_mlp)/fc1/kernel$", P(None, MODEL_AXIS)),
     (r"(mlp|x_mlp)/fc1/bias$", P(MODEL_AXIS)),
     (r"(mlp|x_mlp)/fc2/kernel$", P(MODEL_AXIS, None)),
@@ -55,20 +66,22 @@ def _path_str(path: Tuple) -> str:
 
 def spec_for(path: str, shape: Tuple[int, ...], mesh: Mesh,
              rules: Sequence[Tuple[str, P]] = DEFAULT_RULES) -> P:
-    """PartitionSpec for one leaf; falls back to replicated when no rule
-    matches or the sharded dim does not divide the axis size."""
-    n_model = mesh.shape.get(MODEL_AXIS, 1)
-    if n_model <= 1:
-        return P()
+    """PartitionSpec for one leaf.
+
+    Each mesh axis named in the matching rule is validated independently:
+    an axis absent from the mesh (or of size 1, or whose dim does not
+    divide it) is dropped from the spec — so the same rule table serves
+    tp-only, ep-only, and ep x tp meshes, and small models stay valid on
+    any mesh. A rule whose axes all drop (or no rule at all) replicates."""
     for pat, spec in rules:
         if re.search(pat, path):
             if len(spec) > len(shape):
                 return P()
-            ok = all(
-                axis is None or shape[d] % n_model == 0
-                for d, axis in enumerate(spec)
-            )
-            return spec if ok else P()
+            fixed = []
+            for d, axis in enumerate(spec):
+                n = mesh.shape.get(axis, 1) if axis is not None else 1
+                fixed.append(axis if n > 1 and shape[d] % n == 0 else None)
+            return P(*fixed) if any(a is not None for a in fixed) else P()
     return P()
 
 

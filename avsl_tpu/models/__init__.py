@@ -13,3 +13,8 @@ from avsl_tpu.models.avhubert import (  # noqa: F401
     AVHuBERTForCTC,
     AVHuBERTForSpeech2Text,
 )
+from avsl_tpu.models.moe import (  # noqa: F401
+    MoEFFN,
+    make_ep_mesh,
+    moe_aux_loss,
+)

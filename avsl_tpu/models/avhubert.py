@@ -293,6 +293,9 @@ class AVHuBERTTransformerEncoder(nn.Module):
                 attention_dropout=cfg.attention_dropout,
                 activation_dropout=cfg.activation_dropout,
                 use_k_bias=True,
+                n_experts=cfg.n_experts,
+                moe_top_k=cfg.moe_top_k,
+                moe_capacity_factor=cfg.moe_capacity_factor,
                 dtype=jnp.dtype(cfg.dtype),
                 param_dtype=jnp.dtype(cfg.param_dtype),
                 name=f"layer_{i}",

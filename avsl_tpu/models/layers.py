@@ -268,6 +268,12 @@ class TransformerBlock(nn.Module):
     attention_dropout: float = 0.0
     activation_dropout: float = 0.0
     use_k_bias: bool = False
+    # n_experts > 0 swaps the dense MLP for a mixture-of-experts FFN
+    # (models/moe.py) under the same "mlp" param name; the router's aux
+    # load-balance loss is sown into the "intermediates" collection.
+    n_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -293,8 +299,18 @@ class TransformerBlock(nn.Module):
                              dtype=self.dtype, param_dtype=self.param_dtype, name="x_mlp")
             self.x_mlp_ln = LayerNormF32(param_dtype=self.param_dtype, name="x_mlp_ln")
             self.x_mlp_gate = self.param("x_mlp_gate", nn.initializers.zeros, (1,), self.param_dtype)
-        self.mlp = MLP(self.d_model, self.d_ff, dropout=self.activation_dropout,
-                       dtype=self.dtype, param_dtype=self.param_dtype, name="mlp")
+        if self.n_experts > 0:
+            from avsl_tpu.models.moe import MoEFFN
+
+            self.mlp = MoEFFN(
+                self.d_model, self.d_ff, self.n_experts,
+                top_k=self.moe_top_k,
+                capacity_factor=self.moe_capacity_factor,
+                dtype=self.dtype, param_dtype=self.param_dtype, name="mlp",
+            )
+        else:
+            self.mlp = MLP(self.d_model, self.d_ff, dropout=self.activation_dropout,
+                           dtype=self.dtype, param_dtype=self.param_dtype, name="mlp")
         self.mlp_ln = LayerNormF32(param_dtype=self.param_dtype, name="mlp_ln")
         self.residual_dropout = nn.Dropout(self.dropout)
 

@@ -88,10 +88,16 @@ def flamingo_loss_fn(model, train: bool = True, freeze_video_bn_stats: bool = Fa
     return loss_fn
 
 
-def avhubert_seq2seq_loss_fn(model, train: bool = True, label_smoothing: Optional[float] = None):
-    """Label-smoothed CE for AVHuBERTForSpeech2Text."""
+def avhubert_seq2seq_loss_fn(model, train: bool = True, label_smoothing: Optional[float] = None,
+                             moe_aux_coef: float = 0.01):
+    """Label-smoothed CE for AVHuBERTForSpeech2Text.
+
+    When ``cfg.n_experts > 0`` the encoder's MoE routers sow a Switch
+    load-balance loss; it is added as ``moe_aux_coef * aux`` (Switch
+    Transformer's alpha = 0.01) and reported in the metrics."""
 
     smoothing = model.cfg.label_smoothing if label_smoothing is None else label_smoothing
+    moe_on = getattr(model.cfg, "n_experts", 0) > 0
 
     def loss_fn(params, batch_stats, batch, rng):
         variables = {"params": params["params"] if "params" in params else params}
@@ -99,7 +105,10 @@ def avhubert_seq2seq_loss_fn(model, train: bool = True, label_smoothing: Optiona
             variables["batch_stats"] = batch_stats
         r1, r2, r3 = jax.random.split(rng, 3)
         rngs = {"dropout": r1, "modality": r2, "mask": r3} if train else None
-        mutable = ["batch_stats"] if (train and batch_stats is not None) else False
+        mutable = ["batch_stats"] if (train and batch_stats is not None) else []
+        if moe_on:
+            mutable = mutable + ["intermediates"]
+        mutable = mutable or False
 
         out = model.apply(
             variables,
@@ -116,28 +125,39 @@ def avhubert_seq2seq_loss_fn(model, train: bool = True, label_smoothing: Optiona
         )
         if mutable:
             result, updates = out
-            new_stats = updates.get("batch_stats")
+            new_stats = updates.get("batch_stats", batch_stats)
         else:
             result, new_stats = out, batch_stats
         loss = cross_entropy_loss(
             result["logits"], batch["labels"], label_smoothing=smoothing
         )
-        return loss, ({}, new_stats)
+        metrics = {}
+        if moe_on:
+            from avsl_tpu.models.moe import moe_aux_loss
+
+            aux = moe_aux_loss(updates.get("intermediates", {}))
+            loss = loss + moe_aux_coef * aux
+            metrics["moe_aux"] = aux
+        return loss, (metrics, new_stats)
 
     return loss_fn
 
 
-def avhubert_ctc_loss_fn(model, train: bool = True):
+def avhubert_ctc_loss_fn(model, train: bool = True, moe_aux_coef: float = 0.01):
     """CTC loss for AVHuBERTForCTC (blank = pad id, zero-length guards —
     reference av_hubert_model.py:1022-1040).
 
     Batch keys: ``audio``/``video``, ``labels`` [B, L] token ids,
     ``label_padding`` [B, L] (1 = PAD), optional ``logit_padding`` [B, T']
     over DOWNSAMPLED encoder frames (replicates the reference's
-    downsample-aware attention-mask recompute) — defaults to no padding."""
+    downsample-aware attention-mask recompute) — defaults to no padding.
+    ``cfg.n_experts > 0`` adds the MoE Switch balance loss (see
+    :func:`avhubert_seq2seq_loss_fn`)."""
     import jax.numpy as jnp
 
     from avsl_tpu.models.avhubert import ctc_loss
+
+    moe_on = getattr(model.cfg, "n_experts", 0) > 0
 
     def loss_fn(params, batch_stats, batch, rng):
         variables = {"params": params["params"] if "params" in params else params}
@@ -145,7 +165,10 @@ def avhubert_ctc_loss_fn(model, train: bool = True):
             variables["batch_stats"] = batch_stats
         r1, r2, r3 = jax.random.split(rng, 3)
         rngs = {"dropout": r1, "modality": r2, "mask": r3} if train else None
-        mutable = ["batch_stats"] if (train and batch_stats is not None) else False
+        mutable = ["batch_stats"] if (train and batch_stats is not None) else []
+        if moe_on:
+            mutable = mutable + ["intermediates"]
+        mutable = mutable or False
         out = model.apply(
             variables,
             audio=batch.get("audio"),
@@ -157,7 +180,7 @@ def avhubert_ctc_loss_fn(model, train: bool = True):
         )
         if mutable:
             logits, updates = out
-            new_stats = updates.get("batch_stats")
+            new_stats = updates.get("batch_stats", batch_stats)
         else:
             logits, new_stats = out, batch_stats
         logit_padding = batch.get(
@@ -167,6 +190,13 @@ def avhubert_ctc_loss_fn(model, train: bool = True):
             logits, logit_padding, batch["labels"], batch["label_padding"],
             blank_id=model.cfg.pad_token_id,
         )
-        return loss, ({}, new_stats)
+        metrics = {}
+        if moe_on:
+            from avsl_tpu.models.moe import moe_aux_loss
+
+            aux = moe_aux_loss(updates.get("intermediates", {}))
+            loss = loss + moe_aux_coef * aux
+            metrics["moe_aux"] = aux
+        return loss, (metrics, new_stats)
 
     return loss_fn
