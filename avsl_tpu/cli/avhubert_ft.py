@@ -90,6 +90,15 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--smoke", action="store_true")
+    # parallelism (beyond data-parallel): Megatron-style tensor parallelism
+    # over a `model` mesh axis, or — with --n_experts — MoE expert
+    # parallelism over an `expert` axis (models/moe.py). n_experts is also
+    # accepted as a flat key in the --config YAML.
+    p.add_argument("--n_experts", type=int, default=0,
+                   help="swap encoder MLPs for a MoE FFN with N experts")
+    p.add_argument("--moe_top_k", type=int, default=2)
+    p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--experts_parallel", type=int, default=1)
     args = p.parse_args(argv)
 
     if args.smoke:
@@ -101,6 +110,12 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         cfg = AVHuBERTConfig.from_yaml(args.config)
     else:
         cfg = AVHuBERTConfig()
+    if args.n_experts > 0:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, n_experts=args.n_experts, moe_top_k=args.moe_top_k
+        )
 
     rows = make_synthetic_av_batchset(
         4 * args.batch_size, image=cfg.image_crop_size if not args.smoke else 24,
@@ -143,7 +158,10 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
             rngs = (
                 {"dropout": rng, "modality": rng, "mask": rng} if train else None
             )
-            mutable = ["batch_stats"] if (train and batch_stats is not None) else False
+            mutable = ["batch_stats"] if (train and batch_stats is not None) else []
+            if cfg.n_experts > 0:
+                mutable = mutable + ["intermediates"]
+            mutable = mutable or False
             out = model.apply(
                 var, audio=batch["audio"], video=batch["video"],
                 padding_mask=batch["padding_mask"], deterministic=not train,
@@ -151,13 +169,17 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
             )
             if mutable:
                 logits, upd = out
-                new_stats = upd.get("batch_stats")
+                new_stats = upd.get("batch_stats", batch_stats)
             else:
                 logits, new_stats = out, batch_stats
             labels = jnp.where(batch["labels"] == -100, cfg.pad_token_id, batch["labels"])
             label_pad = (batch["labels"] == -100).astype(jnp.float32)
             logit_pad = 1.0 - batch["padding_mask"].astype(jnp.float32)
             loss = ctc_loss(logits, logit_pad, labels, label_pad, cfg.pad_token_id)
+            if cfg.n_experts > 0:
+                from avsl_tpu.models.moe import moe_aux_loss
+
+                loss = loss + 0.01 * moe_aux_loss(upd.get("intermediates", {}))
             return loss, ({}, new_stats)
 
         loss_fn = lambda p, s, b, r: _ctc(p, s, b, r, True)  # noqa: E731
@@ -187,21 +209,51 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
             b1=0.9, b2=0.98, eps=1e-6, weight_decay=0.01,
         ),
     )
-    step = make_train_step(loss_fn, tx, donate=False)
-    state = TrainState.create(params, tx, batch_stats=batch_stats)
+    # optional tp / ep mesh (dp is implicit when a mesh exists: dim 0 of
+    # every batch leaf shards over the leftover `data` axis)
+    mesh = None
+    n_sharded = 0
+    if args.experts_parallel > 1 or args.model_parallel > 1:
+        from avsl_tpu.core.mesh import activation_sharding_scope, make_mesh
+        from avsl_tpu.core.partitioning import describe_shardings, shard_state
 
+        if args.experts_parallel > 1:
+            from avsl_tpu.models.moe import make_ep_mesh
+
+            mesh = make_ep_mesh(
+                len(jax.devices()), experts_parallel=args.experts_parallel
+            )
+        else:
+            mesh = make_mesh(
+                len(jax.devices()), model_parallel=args.model_parallel
+            )
+    step = make_train_step(
+        loss_fn, tx, mesh=mesh, donate=False, partitioned_state=mesh is not None
+    )
+    state = TrainState.create(params, tx, batch_stats=batch_stats)
+    if mesh is not None:
+        state = shard_state(state, mesh)
+        n_sharded = len(describe_shardings(state.params, mesh))
+
+    import contextlib
+
+    scope = (
+        activation_sharding_scope(mesh) if mesh is not None
+        else contextlib.nullcontext()
+    )
     it = batches(0)
     epoch = 0
     losses = []
-    for s in range(args.steps):
-        try:
-            batch = next(it)
-        except StopIteration:
-            epoch += 1
-            it = batches(epoch)
-            batch = next(it)
-        state, metrics = step(state, batch)
-        losses.append(float(metrics["loss"]))
+    with scope:
+        for s in range(args.steps):
+            try:
+                batch = next(it)
+            except StopIteration:
+                epoch += 1
+                it = batches(epoch)
+                batch = next(it)
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
 
     final_eval = float(eval_loss({"params": state.params}, state.batch_stats, probe))
     result = {
@@ -211,6 +263,11 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         "last_loss": losses[-1],
         "eval_loss": final_eval,
     }
+    if mesh is not None:
+        result["mesh"] = {k: int(v) for k, v in mesh.shape.items()}
+        result["sharded_params"] = n_sharded
+    if args.n_experts > 0:
+        result["n_experts"] = args.n_experts
     if args.head == "ctc":
         # best-path decode of the eval batch (collapse repeats, drop
         # blanks = pad id) + mean path log-prob as confidence; reuses the

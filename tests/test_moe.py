@@ -145,6 +145,32 @@ def test_expert_partitioning_rules(eight_devices):
     assert spec_for("x/mlp/w_in", (3, 16, 32), mesh3) == P(None, None, "model")
 
 
+def test_avhubert_ft_cli_moe_ep(eight_devices):
+    """The ep axis is user-reachable: --n_experts + --experts_parallel on
+    the AV-HuBERT fine-tune CLI trains a MoE encoder on a (data, expert)
+    mesh with the expert blocks sharded."""
+    from avsl_tpu.cli.avhubert_ft import main
+
+    res = main(["--smoke", "--n_experts", "4", "--experts_parallel", "4"])
+    assert res["n_experts"] == 4
+    assert res["mesh"] == {"data": 2, "expert": 4}
+    assert res["sharded_params"] >= 8
+    assert res["last_loss"] < res["first_loss"]
+
+
+def test_avhubert_ft_cli_ctc_moe_tp(eight_devices):
+    """CTC head + MoE on a tensor-parallel mesh: the expert axis drops
+    (no `expert` axis in the mesh) but hidden dims still shard on
+    `model`, and the aux loss flows through the CLI's CTC closure."""
+    from avsl_tpu.cli.avhubert_ft import main
+
+    res = main(["--smoke", "--head", "ctc", "--n_experts", "2",
+                "--model_parallel", "2"])
+    assert res["mesh"] == {"data": 4, "model": 2}
+    assert res["sharded_params"] > 0
+    assert np.isfinite(res["last_loss"])
+
+
 def test_ep_matches_replicated(eight_devices):
     """Expert-parallel block output and gradients equal the replicated
     run — XLA inserts the dispatch all-to-all from the sharding
