@@ -251,6 +251,17 @@ def main() -> None:
             del x
         return best
 
+    def true_sync(x):
+        """Force REAL completion via a tiny d2h pull. On the tunneled
+        backend `block_until_ready` can return at dispatch-ack (measured:
+        a 34-GFLOP op "completes" in ~30 us with block alone; see
+        docs/ENGINEERING_NOTES.md round-3 timing recipe), so every timed
+        loop is anchored by a scalar pull at its start and end — the
+        loop's total wall time is then provably compute-inclusive."""
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        np.asarray(leaf[(0,) * getattr(leaf, "ndim", 0)])
+        return x
+
     # ---- compile phase: ROI-path stages first (the robust fallback) ----
     def timed(tag, fn, *args):
         t0 = time.perf_counter()
@@ -358,18 +369,24 @@ def main() -> None:
     # own the headline. mean/p90 of the same series are reported alongside
     # so the stall-inclusive sustained picture is visible in the JSON.
     iter_times = []
-    for i in range(0 if MEDIA == "only" else iters):
-        ti = time.perf_counter()
-        parts = upload()
-        # block BEFORE dispatching compute: issuing programs while the
-        # uploads are still in flight collapses the tunnel's transfer
-        # rate ~20x (measured 0.16 s/iter fully-synchronous vs 3-5 s/iter
-        # with dispatch/transfer overlap)
-        jax.block_until_ready(parts)
-        out = run(parts)
-        out.block_until_ready()
-        iter_times.append(time.perf_counter() - ti)
-        log(f"steady iter{i}: {iter_times[-1]:.3f}s")
+    steady_total_s = None
+    if MEDIA != "only":
+        true_sync(out)  # drain everything in flight before the clock starts
+        t_loop = time.perf_counter()
+        for i in range(iters):
+            ti = time.perf_counter()
+            parts = upload()
+            # block BEFORE dispatching compute: issuing programs while the
+            # uploads are still in flight collapses the tunnel's transfer
+            # rate ~20x (measured 0.16 s/iter fully-synchronous vs 3-5 s/iter
+            # with dispatch/transfer overlap)
+            jax.block_until_ready(parts)
+            out = run(parts)
+            out.block_until_ready()
+            iter_times.append(time.perf_counter() - ti)
+            log(f"steady iter{i}: {iter_times[-1]:.3f}s")
+        true_sync(out)  # d2h anchor: total is provably compute-inclusive
+        steady_total_s = time.perf_counter() - t_loop
 
     # ---- real-media loop: mp4 decode INSIDE the measured iteration ----
     # (the baseline's 1-2 seg/s includes reading real mp4s; this measures
@@ -435,16 +452,24 @@ def main() -> None:
             jax.block_until_ready(dev)
             return run_roi(dev, host_frames=arena)
 
-        media_iter().block_until_ready()  # warm (paths identical post-decode)
+        true_sync(media_iter())  # warm (paths identical post-decode)
         media_times = []
+        t_loop = time.perf_counter()
+        mo = None
         for i in range(n_media):
             ti = time.perf_counter()
-            media_iter().block_until_ready()
+            mo = media_iter()
+            mo.block_until_ready()
             media_times.append(time.perf_counter() - ti)
             log(f"media iter{i}: {media_times[-1]:.3f}s")
+        true_sync(mo)
+        media_total_s = time.perf_counter() - t_loop
         seg_s = BATCH / float(np.median(media_times))
         real_media = {
             "segments_per_sec": round(seg_s, 3),
+            "segments_per_sec_sustained": round(
+                BATCH * n_media / media_total_s, 3
+            ),
             "media_seconds_per_sec": round(seg_s * AUDIO_SECONDS, 1),
             "decode_fps_host": round(float(np.median(decode_fps)), 0),
             "host_cores": os.cpu_count(),
@@ -467,20 +492,32 @@ def main() -> None:
         clips_dev = jnp.stack([jax.device_put(c) for c in clip_list])
         clips_dev.block_until_ready()
 
-        def run_resident():
-            tr, fw, _ = detect(j_sub(clips_dev))
-            lip96 = j_sample(clips_dev, *j_coords(tr, fw))
+        def run_resident(salt=np.uint8(255)):
+            # per-iter salt (one corner pixel) keeps successive calls
+            # distinct computations — repeated IDENTICAL RPCs can be
+            # served from cache by the tunnel (ENGINEERING_NOTES recipe)
+            c = clips_dev.at[0, 0, 0, 0].set(salt)
+            tr, fw, _ = detect(j_sub(c))
+            lip96 = j_sample(c, *j_coords(tr, fw))
             return decode_tokens(encode(variables, audio, lip96))
 
-        run_resident().block_until_ready()  # compiles the non-donating path
+        true_sync(run_resident())  # compiles the non-donating path
         series = []
+        t_loop = time.perf_counter()
+        ro = None
         for i in range(max(20, iters)):
             t0 = time.perf_counter()
-            run_resident().block_until_ready()
+            ro = run_resident(np.uint8(i % 251))
+            ro.block_until_ready()
             series.append(time.perf_counter() - t0)
             log(f"resident iter{i}: {series[-1]:.3f}s")
+        true_sync(ro)
+        resident_total_s = time.perf_counter() - t_loop
         device_series = {
             "segments_per_sec": round(BATCH / float(np.median(series)), 3),
+            "segments_per_sec_sustained": round(
+                BATCH * len(series) / resident_total_s, 3
+            ),
             "iter_median_s": round(float(np.median(series)), 4),
             "iter_mean_s": round(float(np.mean(series)), 4),
             "iter_p90_s": round(float(np.percentile(series, 90)), 4),
@@ -522,10 +559,28 @@ def main() -> None:
             "iter_mean_s": round(float(np.mean(times)), 4),
             "iter_p90_s": round(float(np.percentile(times, 90)), 4),
             "iters": len(iter_times),
+            "basis": "median_iter",
         }
+        if steady_total_s is not None:
+            sustained = BATCH * len(times) / steady_total_s
+            stats["segments_per_sec_sustained"] = round(sustained, 3)
+            stats["loop_total_s"] = round(steady_total_s, 3)
+            # the loop total is anchored by d2h pulls (true_sync) at both
+            # ends; if it exceeds the summed per-iter times by >30% the
+            # per-iter block_until_ready under-measured (dispatch-ack
+            # backend) and the anchored number is the only sound one
+            if steady_total_s > 1.3 * float(times.sum()):
+                segments_per_sec = sustained
+                stats["basis"] = "d2h_anchored_total"
     else:  # media-only child: the media loop IS the measurement
-        segments_per_sec = real_media["segments_per_sec"] if real_media else 0.0
         stats = {"iters": 0}
+        segments_per_sec = 0.0
+        if real_media:
+            segments_per_sec = real_media["segments_per_sec"]
+            sustained = real_media["segments_per_sec_sustained"]
+            if sustained < 0.77 * segments_per_sec:
+                segments_per_sec = sustained
+                stats["basis"] = "d2h_anchored_total"
     result = {
         "metric": "ami_av_segments_per_sec_per_chip",
         "value": round(segments_per_sec, 3),
