@@ -206,13 +206,23 @@ class Whisper(nn.Module):
         deterministic: bool = True,
         freeze_video_bn_stats: bool = False,
         track_norm: bool = False,
+        video_feature_scale: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         """Reference contract: ``model.encoder(x, video, training=,
         padding_mask=, track_norm=)`` (whisper_flamingo_ft_ami.py:527,569).
         With ``track_norm=True`` the per-stream feature L2 norms are
         recorded via ``self.sow('intermediates', ...)`` — the functional
         equivalent of the reference's norm tracking — retrievable with
-        ``mutable=['intermediates']`` at apply time."""
+        ``mutable=['intermediates']`` at apply time.
+
+        ``video_feature_scale`` (scalar, traced) multiplies the projected
+        video features ``x_v``. The train-time AV-mode mixing uses 0.0 here
+        for its audio-only draws: scaling the *features* keeps the decoder
+        blind to video while the trunk still sees a real-statistics batch —
+        zeroing the raw pixels instead makes every BatchNorm batch
+        zero-variance, and BN's backward multiplies by 1/sqrt(eps) per
+        layer (measured: grad-norm ~4e4 on the tiny stack, NaN within a
+        few Adam steps)."""
         features = self.encoder(mel, deterministic=deterministic)
         if track_norm:
             self.sow("intermediates", "audio_feature_norm",
@@ -227,6 +237,8 @@ class Whisper(nn.Module):
             else:
                 v = video  # already-extracted video features [B, T, video_state]
             x_v = self.video_projection(v.astype(_dtype(self.cfg)))
+            if video_feature_scale is not None:
+                x_v = x_v * jnp.asarray(video_feature_scale, x_v.dtype)
             if track_norm:
                 self.sow("intermediates", "video_feature_norm",
                          jnp.linalg.norm(x_v.astype(jnp.float32)))
@@ -278,10 +290,12 @@ class Whisper(nn.Module):
         video_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         freeze_video_bn_stats: bool = False,
+        video_feature_scale: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         features, x_v = self.encode(
             mel, video, video_mask=video_mask, deterministic=deterministic,
             freeze_video_bn_stats=freeze_video_bn_stats,
+            video_feature_scale=video_feature_scale,
         )
         logits, _ = self.decode(tokens, features, xv=x_v, deterministic=deterministic)
         return logits

@@ -17,7 +17,8 @@ from avsl_tpu.models.avhubert import cross_entropy_loss
 
 def flamingo_loss_fn(model, train: bool = True, freeze_video_bn_stats: bool = False,
                      spec_augment: Optional[str] = None,
-                     prob_av: float = 1.0, prob_a: float = 0.0):
+                     prob_av: float = 1.0, prob_a: float = 0.0,
+                     moe_aux_coef: float = 0.01):
     """CE loss for Whisper(+Flamingo): encoder(mel, video) -> decoder(...).
 
     ``freeze_video_bn_stats`` mirrors the reference's
@@ -30,9 +31,20 @@ def flamingo_loss_fn(model, train: bool = True, freeze_video_bn_stats: bool = Fa
     mixing (``whisper.load_model(..., prob_av, prob_a)`` contract,
     whisper_flamingo_ft_ami.py:337-348; YAML keys ``prob_use_av`` /
     ``prob_use_a``). Per training step one mode is drawn: with probability
-    ``prob_av`` both modalities are used as-is; with ``prob_a`` the video
-    stream is zeroed (audio-only); with the remainder the mel is zeroed
-    (video-only). Zero-multipliers keep shapes static — no retracing."""
+    ``prob_av`` both modalities are used as-is; with ``prob_a`` the
+    *projected video features* are zeroed (audio-only — zeroing raw pixels
+    instead puts a zero-variance batch through the video trunk's
+    BatchNorms, whose backward scales by 1/sqrt(eps) per layer; measured
+    grad explosion -> NaN within a few mixed-mode Adam steps); with the
+    remainder the mel is zeroed (video-only — the Whisper encoder is
+    LayerNorm-only, so a zero mel is numerically safe).
+    Zero-multipliers keep shapes static — no retracing.
+
+    The ``intermediates`` collection is always collected so a MoE AV trunk
+    (``AVHuBERTConfig.n_experts > 0`` inside the video encoder) gets its
+    Switch balance loss added (``moe_aux_coef``); with a dense trunk
+    :func:`avsl_tpu.models.moe.moe_aux_loss` returns 0 and nothing
+    changes."""
 
     def loss_fn(params, batch_stats, batch, rng):
         variables = {"params": params["params"] if "params" in params else params}
@@ -40,7 +52,7 @@ def flamingo_loss_fn(model, train: bool = True, freeze_video_bn_stats: bool = Fa
             variables["batch_stats"] = batch_stats
         rngs = {"dropout": rng} if train else None
         update_stats = train and batch_stats is not None and not freeze_video_bn_stats
-        mutable = ["batch_stats"] if update_stats else False
+        mutable = (["batch_stats"] if update_stats else []) + ["intermediates"]
 
         mel = batch["input_ids"]
         if train and spec_augment in ("ls-basic", "ls-double"):
@@ -58,12 +70,13 @@ def flamingo_loss_fn(model, train: bool = True, freeze_video_bn_stats: bool = Fa
             ).transpose(0, 2, 1)
 
         video = batch.get("video")
+        video_scale = None
         if train and video is not None and (prob_av < 1.0 or prob_a > 0.0):
             rng, mode_key = jax.random.split(rng)
             u = jax.random.uniform(mode_key, ())
-            keep_video = jnp.where(u < prob_av + prob_a, u < prob_av, 1.0)
+            audio_only = (u >= prob_av) & (u < prob_av + prob_a)
+            video_scale = jnp.where(audio_only, 0.0, 1.0)
             keep_audio = (u < prob_av + prob_a).astype(mel.dtype)
-            video = video * keep_video.astype(video.dtype)
             mel = mel * keep_audio
 
         out = model.apply(
@@ -72,18 +85,25 @@ def flamingo_loss_fn(model, train: bool = True, freeze_video_bn_stats: bool = Fa
             batch["dec_input_ids"],
             video=video,
             video_mask=batch.get("video_mask"),
+            video_feature_scale=video_scale,
             deterministic=not train,
             freeze_video_bn_stats=freeze_video_bn_stats,
             rngs=rngs,
             mutable=mutable,
         )
-        if mutable:
-            logits, updates = out
-            new_stats = updates.get("batch_stats")
-        else:
-            logits, new_stats = out, batch_stats
+        logits, updates = out
+        new_stats = updates.get("batch_stats", batch_stats)
         loss = cross_entropy_loss(logits, batch["labels"], label_smoothing=0.0)
-        return loss, ({}, new_stats)
+        metrics = {}
+        inter = updates.get("intermediates")
+        if inter:
+            from avsl_tpu.models.moe import moe_aux_loss
+
+            aux = moe_aux_loss(inter)
+            if train:  # eval loss stays pure CE (comparable across configs)
+                loss = loss + moe_aux_coef * aux
+            metrics["moe_aux"] = aux
+        return loss, (metrics, new_stats)
 
     return loss_fn
 
@@ -136,7 +156,8 @@ def avhubert_seq2seq_loss_fn(model, train: bool = True, label_smoothing: Optiona
             from avsl_tpu.models.moe import moe_aux_loss
 
             aux = moe_aux_loss(updates.get("intermediates", {}))
-            loss = loss + moe_aux_coef * aux
+            if train:  # eval loss stays pure CE (comparable across configs)
+                loss = loss + moe_aux_coef * aux
             metrics["moe_aux"] = aux
         return loss, (metrics, new_stats)
 
@@ -195,7 +216,8 @@ def avhubert_ctc_loss_fn(model, train: bool = True, moe_aux_coef: float = 0.01):
             from avsl_tpu.models.moe import moe_aux_loss
 
             aux = moe_aux_loss(updates.get("intermediates", {}))
-            loss = loss + moe_aux_coef * aux
+            if train:  # eval loss stays pure CTC (comparable across configs)
+                loss = loss + moe_aux_coef * aux
             metrics["moe_aux"] = aux
         return loss, (metrics, new_stats)
 

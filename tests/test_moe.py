@@ -145,6 +145,65 @@ def test_expert_partitioning_rules(eight_devices):
     assert spec_for("x/mlp/w_in", (3, 16, 32), mesh3) == P(None, None, "model")
 
 
+def test_flamingo_loss_collects_moe_aux_from_video_trunk():
+    """A MoE AV trunk inside the Whisper-Flamingo flagship feeds its
+    Switch balance loss through flamingo_loss_fn (sown intermediates are
+    collected across the encode boundary); a dense trunk reports none."""
+    import flax.linen as nn
+    import optax
+
+    from avsl_tpu.core.config import AVHuBERTConfig, WhisperConfig
+    from avsl_tpu.models import Whisper
+    from avsl_tpu.models.avhubert import AVHuBERTModel
+    from avsl_tpu.train.loop import TrainState, make_train_step
+    from avsl_tpu.train.objectives import flamingo_loss_fn
+
+    def build(n_experts):
+        av_cfg = AVHuBERTConfig.tiny_test(
+            dtype="float32", use_audio=False, modality_fuse="add",
+            n_experts=n_experts,
+        )
+
+        class VideoEncoder(nn.Module):
+            @nn.compact
+            def __call__(self, video, mask=None, deterministic=True,
+                         use_running_average=None):
+                return AVHuBERTModel(av_cfg, name="av_hubert")(
+                    video=video, padding_mask=mask,
+                    deterministic=deterministic,
+                    use_running_average=use_running_average,
+                )
+
+        w_cfg = WhisperConfig.tiny_test(
+            add_gated_x_attn=1, video_state=av_cfg.hidden_size,
+            dtype="float32",
+        )
+        return Whisper(w_cfg, video_model=VideoEncoder()), w_cfg
+
+    rng = np.random.default_rng(0)
+    results = {}
+    for n_experts in (2, 0):
+        model, w_cfg = build(n_experts)
+        mel = jnp.asarray(rng.normal(size=(2, w_cfg.n_mels, 64)), jnp.float32)
+        video = jnp.asarray(rng.normal(size=(2, 8, 24, 24, 1)), jnp.float32)
+        dec = jnp.asarray(rng.integers(0, 200, (2, 5)), jnp.int32)
+        labels = jnp.concatenate([dec[:, 1:], jnp.full((2, 1), 3)], axis=1)
+        batch = {"input_ids": mel, "dec_input_ids": dec, "labels": labels,
+                 "video": video}
+        variables = model.init(jax.random.PRNGKey(0), mel, dec, video=video)
+        tx = optax.adam(1e-3)
+        step = make_train_step(flamingo_loss_fn(model, train=True), tx,
+                               donate=False)
+        state = TrainState.create(
+            variables["params"], tx, batch_stats=variables.get("batch_stats")
+        )
+        _, m = step(state, batch)
+        results[n_experts] = m
+        assert np.isfinite(float(m["loss"]))
+    assert float(results[2]["moe_aux"]) > 0.5
+    assert "moe_aux" not in results[0]
+
+
 def test_avhubert_ft_cli_moe_ep(eight_devices):
     """The ep axis is user-reachable: --n_experts + --experts_parallel on
     the AV-HuBERT fine-tune CLI trains a MoE encoder on a (data, expert)
