@@ -370,6 +370,19 @@ class AVHuBERTConfig:
     # Heads / vocab
     final_dim: int = 256
     untie_final_proj: bool = True
+    # Pretraining head (masked-cluster prediction). These mirror the
+    # fairseq AVHubertConfig fields the reference's checkpoints were
+    # trained with (visible in its run logs,
+    # output/test_model/test_avhubert_whisper_flamingo.out: logit_temp
+    # 0.1, sim_type cosine, skip_masked/skip_nomask false) but are NOT in
+    # the reference repo's own config class — the pretraining criterion
+    # itself lives in the external fairseq package. Re-implemented here
+    # (models/pretrain.py) so users without fairseq checkpoints can
+    # pretrain from scratch.
+    logit_temp: float = 0.1
+    sim_type: str = "cosine"  # "cosine" | "dot"
+    skip_masked: bool = False
+    skip_nomask: bool = False
     tie_word_embeddings: bool = True
     vocab_size: int = 10000
     bos_token_id: int = 0

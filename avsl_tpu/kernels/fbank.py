@@ -143,6 +143,65 @@ def frame_normalize(feats: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return (feats - mean) / (std + eps)
 
 
+def mfcc(
+    audio: Union[np.ndarray, jnp.ndarray],
+    samplerate: int = SAMPLE_RATE,
+    numcep: int = 13,
+    nfilt: int = 26,
+    nfft: int = NFFT,
+    ceplifter: int = 22,
+) -> jnp.ndarray:
+    """MFCCs (python_speech_features conventions, ``appendEnergy=False``):
+    DCT-II (ortho) of the log filterbank energies, first ``numcep``
+    coefficients, sinusoidal cepstral liftering. ``[T, numcep]`` (or
+    batched). These are the HuBERT iteration-1 clustering features
+    (39-dim with deltas via :func:`add_deltas`); built on the
+    golden-tested :func:`logfbank` path.
+    """
+    feats = logfbank(audio, samplerate=samplerate, nfilt=nfilt, nfft=nfft)
+    squeeze = feats.ndim == 2
+    if squeeze:
+        feats = feats[None]
+    # DCT-II with 'ortho' norm as a [nfilt, numcep] matrix (static, host)
+    n = np.arange(nfilt)
+    k = np.arange(numcep)
+    dct = 2.0 * np.cos(np.pi * k[None, :] * (2 * n[:, None] + 1) / (2 * nfilt))
+    scale = np.full((1, numcep), np.sqrt(1.0 / (2 * nfilt)))
+    scale[0, 0] = np.sqrt(1.0 / (4 * nfilt))
+    dct = jnp.asarray(dct * scale, jnp.float32)
+    out = jnp.einsum("btf,fc->btc", feats, dct, preferred_element_type=jnp.float32)
+    if ceplifter > 0:
+        lift = 1.0 + (ceplifter / 2.0) * jnp.sin(
+            jnp.pi * jnp.arange(numcep) / ceplifter
+        )
+        out = out * lift[None, None, :]
+    return out[0] if squeeze else out
+
+
+def add_deltas(feats: jnp.ndarray, window: int = 2) -> jnp.ndarray:
+    """Append delta and delta-delta features along the last axis
+    ([..., T, F] -> [..., T, 3F]); standard regression deltas over a
+    ``window``-frame context with edge replication (the torchaudio /
+    Kaldi ``compute_deltas`` convention used by the HuBERT k-means
+    recipe's 39-dim MFCC features)."""
+
+    def _delta(x):
+        denom = 2.0 * sum(i * i for i in range(1, window + 1))
+        pad = [(0, 0)] * (x.ndim - 2) + [(window, window), (0, 0)]
+        xp = jnp.pad(x, pad, mode="edge")
+        t = x.shape[-2]
+        acc = jnp.zeros_like(x)
+        for i in range(1, window + 1):
+            plus = jax.lax.dynamic_slice_in_dim(xp, window + i, t, axis=-2)
+            minus = jax.lax.dynamic_slice_in_dim(xp, window - i, t, axis=-2)
+            acc = acc + i * (plus - minus)
+        return acc / denom
+
+    d = _delta(feats)
+    dd = _delta(d)
+    return jnp.concatenate([feats, d, dd], axis=-1)
+
+
 def avhubert_audio_features(
     audio: Union[np.ndarray, jnp.ndarray],
     samplerate: int = SAMPLE_RATE,

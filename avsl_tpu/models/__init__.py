@@ -13,6 +13,10 @@ from avsl_tpu.models.avhubert import (  # noqa: F401
     AVHuBERTForCTC,
     AVHuBERTForSpeech2Text,
 )
+from avsl_tpu.models.pretrain import (  # noqa: F401
+    AVHuBERTForPretraining,
+    pretrain_loss,
+)
 from avsl_tpu.models.moe import (  # noqa: F401
     MoEFFN,
     make_ep_mesh,

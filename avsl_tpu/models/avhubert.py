@@ -436,6 +436,12 @@ class AVHuBERTEncoderWrapper(nn.Module):
         t = min(feat_a.shape[1], feat_v.shape[1])
         fused = self._fuse(feat_a[:, :t], feat_v[:, :t])
 
+        # pre-LayerNorm extracted features, exposed for the pretraining
+        # feature penalty (fairseq hubert's ``features_pen`` is computed on
+        # the pre-layer_norm forward_features output); collected only when
+        # apply() is called with mutable=["intermediates"].
+        self.sow("intermediates", "extracted_features", fused)
+
         fused = self.fuse_ln(fused)
         x = self.post_extract_proj(fused)
 
@@ -483,10 +489,13 @@ class AVHuBERTModel(nn.Module):
         apply_time_mask: bool = False,
         deterministic: bool = True,
         use_running_average: Optional[bool] = None,
+        feature_mask: Optional[jnp.ndarray] = None,
+        channel_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        feature_mask = None
-        channel_mask = None
-        if apply_time_mask and not deterministic:
+        # externally-supplied masks (the pretraining head draws its own so
+        # the loss can see which positions were masked) take precedence
+        # over internal generation
+        if feature_mask is None and channel_mask is None and apply_time_mask and not deterministic:
             src = audio if audio is not None else video
             t = src.shape[1]
             feature_mask = span_mask(

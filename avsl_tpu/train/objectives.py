@@ -15,6 +15,22 @@ import jax.numpy as jnp
 from avsl_tpu.models.avhubert import cross_entropy_loss
 
 
+def _has_moe_aux(intermediates) -> bool:
+    """True if the collection contains a sown ``moe_aux`` anywhere — the
+    encoder wrapper also sows ``extracted_features`` (pretraining feature
+    penalty), so a non-empty collection no longer implies MoE routers."""
+    from collections.abc import Mapping
+
+    def _walk(node):
+        if isinstance(node, Mapping):
+            return any(
+                k == "moe_aux" or _walk(v) for k, v in node.items()
+            )
+        return False
+
+    return _walk(intermediates)
+
+
 def flamingo_loss_fn(model, train: bool = True, freeze_video_bn_stats: bool = False,
                      spec_augment: Optional[str] = None,
                      prob_av: float = 1.0, prob_a: float = 0.0,
@@ -96,7 +112,7 @@ def flamingo_loss_fn(model, train: bool = True, freeze_video_bn_stats: bool = Fa
         loss = cross_entropy_loss(logits, batch["labels"], label_smoothing=0.0)
         metrics = {}
         inter = updates.get("intermediates")
-        if inter:
+        if inter and _has_moe_aux(inter):
             from avsl_tpu.models.moe import moe_aux_loss
 
             aux = moe_aux_loss(inter)
@@ -217,6 +233,68 @@ def avhubert_ctc_loss_fn(model, train: bool = True, moe_aux_coef: float = 0.01):
 
             aux = moe_aux_loss(updates.get("intermediates", {}))
             if train:  # eval loss stays pure CTC (comparable across configs)
+                loss = loss + moe_aux_coef * aux
+            metrics["moe_aux"] = aux
+        return loss, (metrics, new_stats)
+
+    return loss_fn
+
+
+def avhubert_pretrain_loss_fn(model, train: bool = True,
+                              masked_weight: float = 1.0,
+                              nomask_weight: float = 1.0,
+                              feature_pen_weight: float = 10.0,
+                              moe_aux_coef: float = 0.01):
+    """Masked-cluster prediction loss for AVHuBERTForPretraining.
+
+    Batch keys: ``audio``/``video``, ``targets`` [B, T] (or [B, T, G])
+    per-frame cluster ids, optional ``padding_mask`` [B, T] (1 = valid).
+    fairseq HubertCriterion semantics: ``pred_masked_weight`` /
+    ``pred_nomask_weight`` weighting, L2 feature penalty on the
+    pre-projection fused features (``loss_weights=[10]`` default), the
+    ``skip_masked``/``skip_nomask`` gates living on the model config.
+    """
+    from avsl_tpu.models.pretrain import extracted_features_from, pretrain_loss
+
+    moe_on = getattr(model.cfg, "n_experts", 0) > 0
+
+    def loss_fn(params, batch_stats, batch, rng):
+        variables = {"params": params["params"] if "params" in params else params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        r1, r2, r3 = jax.random.split(rng, 3)
+        # the mask stream is needed in eval too (validation of a
+        # pretraining run measures MASKED prediction, like fairseq's)
+        rngs = {"dropout": r1, "modality": r2, "mask": r3} if train else {"mask": r3}
+        mutable = ["intermediates"] + (
+            ["batch_stats"] if (train and batch_stats is not None) else []
+        )
+        out, updates = model.apply(
+            variables,
+            audio=batch.get("audio"),
+            video=batch.get("video"),
+            targets=batch["targets"],
+            padding_mask=batch.get("padding_mask"),
+            audio_present=batch.get("audio_present"),
+            video_present=batch.get("video_present"),
+            deterministic=not train,
+            rngs=rngs,
+            mutable=mutable,
+        )
+        new_stats = updates.get("batch_stats", batch_stats)
+        loss, metrics = pretrain_loss(
+            out,
+            model.cfg,
+            masked_weight=masked_weight,
+            nomask_weight=nomask_weight,
+            feature_pen=extracted_features_from(updates.get("intermediates", {})),
+            feature_pen_weight=feature_pen_weight,
+        )
+        if moe_on:
+            from avsl_tpu.models.moe import moe_aux_loss
+
+            aux = moe_aux_loss(updates.get("intermediates", {}))
+            if train:
                 loss = loss + moe_aux_coef * aux
             metrics["moe_aux"] = aux
         return loss, (metrics, new_stats)

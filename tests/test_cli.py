@@ -227,3 +227,24 @@ def test_preprocess_new_modes_cli(tmp_path, capsys):
     assert mstats["audio_ok"] == 2
     assert mstats["per_event_type"] == {"hesitation": 1, "laughter": 1}
     assert (tmp_path / "marker_out" / "marker_dataset_stats.json").exists()
+
+
+def test_pretrain_smoke(tmp_path, monkeypatch):
+    """Full pretraining recipe end-to-end: synthetic corpus -> k-means
+    codebook (saved/reloadable npz) -> masked-cluster training -> eval
+    accuracies + checkpoint."""
+    monkeypatch.chdir(tmp_path)
+    from avsl_tpu.cli import pretrain
+
+    km = str(tmp_path / "km.npz")
+    result = pretrain.main(
+        ["--smoke", "--km_model", km, "--checkpoint_dir", "ckpt"]
+    )
+    assert result["steps"] == 6
+    assert result["last_loss"] < result["first_loss"]
+    assert np.isfinite(result["eval_acc_masked"])
+    assert os.path.exists(km)
+    assert os.path.isdir("ckpt")
+    # reusing the saved codebook reproduces the same targets/losses
+    again = pretrain.main(["--smoke", "--km_model", km])
+    assert abs(again["first_loss"] - result["first_loss"]) < 1e-3
