@@ -99,6 +99,12 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--iterations", type=int, default=1,
+                   help="HuBERT-style pretraining iterations: after each, "
+                        "re-cluster on layer features and retrain fresh")
+    p.add_argument("--relabel_layer", type=int, default=None,
+                   help="1-indexed encoder layer tapped for iteration-2+ "
+                        "clustering features (default: middle layer)")
     p.add_argument("--checkpoint_dir", default=None)
     p.add_argument("--n_experts", type=int, default=0)
     p.add_argument("--moe_top_k", type=int, default=2)
@@ -162,6 +168,8 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         deterministic=True,
     )
 
+    relabel_layer = args.relabel_layer or max(1, cfg.num_hidden_layers // 2)
+
     tx = optax.chain(
         optax.clip_by_global_norm(10.0),
         optax.adamw(
@@ -188,12 +196,6 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     step = make_train_step(
         loss_fn, tx, mesh=mesh, donate=False, partitioned_state=mesh is not None
     )
-    state = TrainState.create(
-        variables["params"], tx, batch_stats=variables.get("batch_stats")
-    )
-    if mesh is not None:
-        state = shard_state(state, mesh)
-        n_sharded = len(describe_shardings(state.params, mesh))
 
     import contextlib
 
@@ -201,24 +203,81 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         activation_sharding_scope(mesh) if mesh is not None
         else contextlib.nullcontext()
     )
-    it = batches(0)
-    epoch = 0
-    losses: List[float] = []
-    with scope:
-        for _ in range(args.steps):
-            try:
-                batch = next(it)
-            except StopIteration:
-                epoch += 1
-                it = batches(epoch)
-                batch = next(it)
-            state, metrics = step(state, batch)
-            losses.append(float(metrics["loss"]))
 
-    eval_fn = avhubert_pretrain_loss_fn(model, train=False)
-    eval_loss, (m, _) = eval_fn(
-        state.params, state.batch_stats, probe, jax.random.PRNGKey(42)
-    )
+    iterations = []
+    for iteration in range(max(1, args.iterations)):
+        # HuBERT recipe: each iteration trains a FRESH model on the
+        # current targets (iteration 1: MFCC-space k-means; 2+: k-means
+        # over the previous model's layer features)
+        if iteration > 0:
+            variables = model.init(
+                {"params": jax.random.PRNGKey(iteration),
+                 "mask": jax.random.PRNGKey(100 + iteration)},
+                audio=probe["audio"], video=probe["video"],
+                targets=probe["targets"], padding_mask=probe["padding_mask"],
+                deterministic=True,
+            )
+        state = TrainState.create(
+            variables["params"], tx, batch_stats=variables.get("batch_stats")
+        )
+        if mesh is not None:
+            state = shard_state(state, mesh)
+            n_sharded = len(describe_shardings(state.params, mesh))
+
+        it = batches(0)
+        epoch = 0
+        losses: List[float] = []
+        with scope:
+            for _ in range(args.steps):
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    epoch += 1
+                    it = batches(epoch)
+                    batch = next(it)
+                state, metrics = step(state, batch)
+                losses.append(float(metrics["loss"]))
+
+        eval_fn = avhubert_pretrain_loss_fn(model, train=False)
+        eval_loss, (m, _) = eval_fn(
+            state.params, state.batch_stats, probe, jax.random.PRNGKey(42)
+        )
+        iterations.append({
+            "first_loss": losses[0],
+            "last_loss": losses[-1],
+            "eval_loss": float(eval_loss),
+            "eval_acc_masked": float(m["acc_m"]),
+            "eval_acc_unmasked": float(m["acc_u"]),
+        })
+
+        if iteration + 1 < args.iterations:
+            # re-cluster on layer features (iteration 2+ targets)
+            from avsl_tpu.data.clustering import KMeansQuantizer as _KQ
+            from avsl_tpu.models.pretrain import extract_layer_features
+
+            var = {"params": state.params}
+            if state.batch_stats is not None:
+                var["batch_stats"] = state.batch_stats
+            feats_rows = []
+            for i in range(0, len(rows), args.batch_size):
+                chunk = rows[i : i + args.batch_size]
+                b = collate_pretrain(
+                    chunk, [np.zeros(len(r["audio_feats"]), np.int32)
+                            for r in chunk]
+                )
+                feats = np.asarray(extract_layer_features(
+                    model, var, relabel_layer,
+                    audio=b["audio"], video=b["video"],
+                    padding_mask=b["padding_mask"],
+                ))
+                for j, r in enumerate(chunk):
+                    feats_rows.append(feats[j, : len(r["audio_feats"])])
+            quant = _KQ().fit(
+                np.concatenate(feats_rows), k=args.num_clusters,
+                n_iters=15, seed=iteration,
+            )
+            targets = [quant(f) for f in feats_rows]
+
     if args.checkpoint_dir:
         from avsl_tpu.train.checkpoints import save_checkpoint
 
@@ -227,11 +286,9 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     result = {
         "steps": args.steps,
         "num_clusters": int(quant.n_clusters),
-        "first_loss": losses[0],
-        "last_loss": losses[-1],
-        "eval_loss": float(eval_loss),
-        "eval_acc_masked": float(m["acc_m"]),
-        "eval_acc_unmasked": float(m["acc_u"]),
+        "iterations": iterations,
+        "relabel_layer": relabel_layer if args.iterations > 1 else None,
+        **iterations[-1],
     }
     if mesh is not None:
         result["mesh"] = {k: int(v) for k, v in mesh.shape.items()}

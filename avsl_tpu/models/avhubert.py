@@ -260,6 +260,7 @@ class AVHuBERTTransformerEncoder(nn.Module):
         x: jnp.ndarray,
         padding_mask: Optional[jnp.ndarray] = None,  # [B, T] True = valid
         deterministic: bool = True,
+        output_layer: Optional[int] = None,  # 1-indexed tap, skips ln_post
     ) -> jnp.ndarray:
         cfg = self.cfg
         if padding_mask is not None:
@@ -308,6 +309,11 @@ class AVHuBERTTransformerEncoder(nn.Module):
             else:
                 x = out
             x = constrain_activation(x, DATA_AXIS, MODEL_AXIS, None)
+            if output_layer is not None and i + 1 == output_layer:
+                # fairseq extract_features(output_layer=k) semantics:
+                # layer_results[k-1], WITHOUT the final LayerNorm — the
+                # feature tap HuBERT iteration-2+ clustering reads.
+                return x
 
         if cfg.layer_norm_first:
             x = LayerNormF32(param_dtype=jnp.dtype(cfg.param_dtype), name="ln_post")(x)
@@ -405,6 +411,7 @@ class AVHuBERTEncoderWrapper(nn.Module):
         channel_mask: Optional[jnp.ndarray] = None,  # [B,C] True = zero channel
         deterministic: bool = True,
         use_running_average: Optional[bool] = None,
+        output_layer: Optional[int] = None,
     ) -> jnp.ndarray:
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
@@ -458,7 +465,10 @@ class AVHuBERTEncoderWrapper(nn.Module):
         x = self.input_dropout(x, deterministic=deterministic)
         if padding_mask is not None:
             padding_mask = padding_mask[:, :t]
-        return self.transformer(x, padding_mask, deterministic=deterministic)
+        return self.transformer(
+            x, padding_mask, deterministic=deterministic,
+            output_layer=output_layer,
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -491,6 +501,7 @@ class AVHuBERTModel(nn.Module):
         use_running_average: Optional[bool] = None,
         feature_mask: Optional[jnp.ndarray] = None,
         channel_mask: Optional[jnp.ndarray] = None,
+        output_layer: Optional[int] = None,
     ) -> jnp.ndarray:
         # externally-supplied masks (the pretraining head draws its own so
         # the loss can see which positions were masked) take precedence
@@ -533,10 +544,14 @@ class AVHuBERTModel(nn.Module):
             channel_mask=channel_mask,
             deterministic=deterministic,
             use_running_average=use_running_average,
+            output_layer=output_layer,
         )
 
     # fairseq-compat aliases (reference av_hubert_model.py:234-398 exposes
-    # extract_features / extract_finetune for downstream consumers)
+    # extract_features / extract_finetune for downstream consumers;
+    # ``output_layer`` (1-indexed, skips the final LayerNorm) is the
+    # fairseq extract_features feature tap that HuBERT iteration-2+
+    # clustering reads)
     def extract_features(self, audio=None, video=None, padding_mask=None,
                          **kw) -> jnp.ndarray:
         return self(audio=audio, video=video, padding_mask=padding_mask,

@@ -242,6 +242,31 @@ def pretrain_loss(
     return loss, metrics
 
 
+def extract_layer_features(
+    model: "AVHuBERTForPretraining",
+    variables: dict,
+    layer: int,
+    audio: Optional[jnp.ndarray] = None,
+    video: Optional[jnp.ndarray] = None,
+    padding_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Unmasked layer-``layer`` hidden states ``[B, T, D]`` from a
+    (partially) pretrained model — the HuBERT iteration-2+ recipe's
+    clustering features (fairseq ``dump_hubert_feature.py``:
+    ``extract_features(..., output_layer=k)``, 1-indexed, no final LN)."""
+    var = {"params": variables["params"] if "params" in variables else variables}
+    if isinstance(variables, dict) and "batch_stats" in variables:
+        var["batch_stats"] = variables["batch_stats"]
+
+    def _tap(m):
+        return m.avhubert(
+            audio=audio, video=video, padding_mask=padding_mask,
+            deterministic=True, output_layer=layer,
+        )
+
+    return model.apply(var, method=_tap)
+
+
 def extracted_features_from(intermediates: dict) -> Optional[jnp.ndarray]:
     """Pull the encoder wrapper's sown pre-projection fused features out of
     an ``intermediates`` collection (first occurrence), or None."""

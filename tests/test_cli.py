@@ -248,3 +248,17 @@ def test_pretrain_smoke(tmp_path, monkeypatch):
     # reusing the saved codebook reproduces the same targets/losses
     again = pretrain.main(["--smoke", "--km_model", km])
     assert abs(again["first_loss"] - result["first_loss"]) < 1e-3
+
+
+def test_pretrain_iteration2(tmp_path, monkeypatch):
+    """HuBERT iteration-2: a second pretraining round on k-means targets
+    re-clustered from the iteration-1 model's layer features."""
+    monkeypatch.chdir(tmp_path)
+    from avsl_tpu.cli import pretrain
+
+    result = pretrain.main(["--smoke", "--iterations", "2", "--steps", "4"])
+    assert len(result["iterations"]) == 2
+    assert result["relabel_layer"] == 1
+    for it in result["iterations"]:
+        assert np.isfinite(it["last_loss"])
+        assert it["last_loss"] < it["first_loss"]

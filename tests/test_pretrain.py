@@ -249,3 +249,41 @@ def test_pretrained_encoder_loads_into_finetune_heads():
     for piece in parts:
         node = node[piece]
     np.testing.assert_array_equal(np.asarray(node), pre_flat[k0])
+
+
+def test_output_layer_tap_semantics():
+    """fairseq extract_features(output_layer=k): 1-indexed intermediate
+    tap, same shape as the full pass, per-layer distinct, and skipping the
+    final LayerNorm (layer_norm_first stacks)."""
+    from avsl_tpu.models.avhubert import AVHuBERTModel
+
+    cfg = _audio_cfg()
+    m = AVHuBERTModel(cfg)
+    aud = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 16, cfg.audio_feat_dim)),
+        jnp.float32,
+    )
+    v = m.init(jax.random.PRNGKey(0), audio=aud)
+    full = np.asarray(m.apply(v, audio=aud, deterministic=True))
+    l1 = np.asarray(m.apply(v, audio=aud, deterministic=True, output_layer=1))
+    l2 = np.asarray(m.apply(v, audio=aud, deterministic=True, output_layer=2))
+    assert full.shape == l1.shape == l2.shape
+    assert not np.allclose(l1, l2)
+    assert not np.allclose(l2, full)  # tap skips ln_post
+    # extract_features alias exposes the same tap
+    alias = np.asarray(m.apply(v, audio=aud, method=m.extract_features,
+                               output_layer=1))
+    np.testing.assert_allclose(alias, l1, rtol=1e-6)
+
+
+def test_extract_layer_features_helper():
+    cfg = _audio_cfg()
+    model, variables, audio, targets = _init_and_forward(cfg)
+    from avsl_tpu.models.pretrain import extract_layer_features
+
+    feats = extract_layer_features(model, variables, 1, audio=audio)
+    assert feats.shape == (B, T, cfg.hidden_size)
+    assert np.isfinite(np.asarray(feats)).all()
+    # deterministic + unmasked: two calls agree
+    feats2 = extract_layer_features(model, variables, 1, audio=audio)
+    np.testing.assert_array_equal(np.asarray(feats), np.asarray(feats2))
