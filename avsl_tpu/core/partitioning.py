@@ -55,6 +55,13 @@ DEFAULT_RULES: List[Tuple[str, P]] = [
     # the logits for the loss
     (r"ctc_head/kernel$", P(None, MODEL_AXIS)),
     (r"ctc_head/bias$", P(MODEL_AXIS)),
+    # pretraining head (models/pretrain.py): projection column-parallel;
+    # the cluster codebook shards over classes like a vocab embedding —
+    # the [B,T,d]x[C,d] logit matmul then reduces per-shard and XLA
+    # all-gathers the class dim for the softmax
+    (r"final_proj/kernel$", P(None, MODEL_AXIS)),
+    (r"final_proj/bias$", P(MODEL_AXIS)),
+    (r"label_embs$", P(MODEL_AXIS, None)),
 ]
 
 
