@@ -14,6 +14,7 @@ from avsl_tpu.train.pp import (  # noqa: F401
 from avsl_tpu.train.checkpoints import (  # noqa: F401
     save_checkpoint,
     restore_checkpoint,
+    restore_sharded,
     latest_step,
     partial_load,
 )

@@ -61,6 +61,51 @@ def restore_checkpoint(directory: str, target: Any, step: Optional[int] = None) 
     return restored
 
 
+def restore_sharded(
+    directory: str,
+    target: Any,
+    mesh,
+    rules=None,
+    step: Optional[int] = None,
+) -> Any:
+    """Restore a TrainState directly INTO the partitioned layout of ``mesh``.
+
+    The plain :func:`restore_checkpoint` materializes every leaf with
+    default (single-device / fully-replicated) sharding — correct, but on
+    a multi-chip mesh it makes every host read every byte and then pays a
+    second device_put to shard. Here each leaf's target sharding (from the
+    same ``core.partitioning`` rule table the train step uses) is attached
+    to the abstract tree, so Orbax reads each shard straight into place.
+
+    This also implements **resharding on restore**: the saving run's mesh
+    topology is irrelevant — a checkpoint written from a dp=4 x tp=2 run
+    restores cleanly onto dp=2 x tp=4 (or any other layout), because the
+    on-disk representation is the logical array and the shardings come
+    from ``mesh``, not from the writer. This is the elastic-topology
+    story the reference's Lightning ckpts (rank-0 full state_dicts,
+    whisper_flamingo_ft_ami.py:1000-1020) cannot express.
+    """
+    from avsl_tpu.core.partitioning import DEFAULT_RULES, state_shardings
+
+    shardings = state_shardings(target, mesh, DEFAULT_RULES if rules is None else rules)
+    mgr = _manager(directory)
+    if step is None:
+        step = mgr.latest_step()
+    if step is None:
+        mgr.close()
+        raise FileNotFoundError(f"No checkpoint found under {directory}")
+
+    def _abstract(x, s):
+        if hasattr(x, "shape") and hasattr(x, "dtype"):
+            return jax.ShapeDtypeStruct(np.shape(x), x.dtype, sharding=s)
+        return x  # python scalars (opt counts etc.): restored by value
+
+    abstract = jax.tree_util.tree_map(_abstract, target, shardings)
+    restored = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+    mgr.close()
+    return restored
+
+
 def _flatten(params: Any) -> Dict[str, Any]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:

@@ -236,6 +236,45 @@ def test_checkpoint_roundtrip(tmp_path, flamingo_setup):
     )
 
 
+def test_restore_sharded_reshards_onto_new_topology(tmp_path, eight_devices):
+    """restore_sharded reads a checkpoint straight into the mesh layout.
+
+    The writer's topology must not matter: save from a plain (replicated)
+    state, restore onto dp=4 x tp=2, then onto dp=2 x tp=4 — values
+    identical each time, and the TP-ruled leaves (q_proj/out_proj kernels
+    and their adam mirrors) actually land sharded over "model"."""
+    import optax
+    from avsl_tpu.train import TrainState, restore_sharded, save_checkpoint
+    from jax.sharding import PartitionSpec as P
+
+    params = {
+        "enc": {
+            "q_proj": {"kernel": jnp.arange(32.0).reshape(4, 8)},
+            "out_proj": {"kernel": jnp.arange(32.0).reshape(8, 4) * 2.0},
+            "ln": {"scale": jnp.ones((4,))},
+        }
+    }
+    state = TrainState.create(params, optax.adam(1e-3))
+    save_checkpoint(str(tmp_path / "ck"), state, step=3)
+
+    for mp in (2, 4):
+        mesh = make_mesh(8, model_parallel=mp)
+        restored = restore_sharded(str(tmp_path / "ck"), state, mesh)
+        np.testing.assert_array_equal(
+            np.asarray(restored.params["enc"]["q_proj"]["kernel"]),
+            np.asarray(params["enc"]["q_proj"]["kernel"]),
+        )
+        qk = restored.params["enc"]["q_proj"]["kernel"]
+        assert qk.sharding.spec == P(None, "model"), (mp, qk.sharding.spec)
+        ok = restored.params["enc"]["out_proj"]["kernel"]
+        assert ok.sharding.spec == P("model", None), (mp, ok.sharding.spec)
+        # adam mu mirrors the param path -> same rule hit
+        mu_qk = restored.opt_state[0].mu["enc"]["q_proj"]["kernel"]
+        assert mu_qk.sharding.spec == P(None, "model")
+        # each shard is a real slice, not a replicated copy
+        assert qk.addressable_shards[0].data.shape == (4, 8 // mp)
+
+
 def test_partial_load_triage(flamingo_setup):
     from avsl_tpu.train import partial_load
 
