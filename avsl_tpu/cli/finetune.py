@@ -206,9 +206,10 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     state = TrainState.create(params, tx, batch_stats=batch_stats)
 
     mesh = None
+    model_parallel = int(getattr(cfg, "model_parallel", 1) or 1)
     if len(jax.devices()) > 1:
         n = int(getattr(cfg, "num_devices", 0)) or len(jax.devices())
-        mesh = make_mesh(min(n, len(jax.devices())))
+        mesh = make_mesh(min(n, len(jax.devices())), model_parallel=model_parallel)
 
     loss_fn = flamingo_loss_fn(
         model, train=True,
@@ -240,6 +241,9 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         log_dir=os.path.join(cfg.log_output_dir, cfg.train_id),
         ckpt_dir=os.path.join(cfg.check_output_dir, cfg.train_id),
         grad_accum_steps=runner_accum,
+        # model_parallel > 1 shards params/opt-state per the Megatron rule
+        # table and resumes via restore_sharded (elastic topology)
+        partitioned_state=model_parallel > 1,
     )
     train_bs = int(cfg.batch_size) * (runner_accum if runner_accum > 1 else 1)
     # prefetch_batches > 0 uploads the next batch while the step runs

@@ -22,7 +22,12 @@ import numpy as np
 
 from avsl_tpu.decode.greedy import teacher_forced_predictions
 from avsl_tpu.decode.text_norm import normalize_text, wer_cer
-from avsl_tpu.train.checkpoints import latest_step, restore_checkpoint, save_checkpoint
+from avsl_tpu.train.checkpoints import (
+    latest_step,
+    restore_checkpoint,
+    restore_sharded,
+    save_checkpoint,
+)
 from avsl_tpu.train.loop import TrainState, make_train_step
 
 
@@ -118,10 +123,18 @@ class TrainerRunner:
         ckpt_dir: str = "checkpoints/run",
         grad_accum_steps: Optional[int] = None,
         predictions_fn=None,
+        partitioned_state: bool = False,
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.mesh = mesh
+        # tensor/expert-parallel state: the init state is device_put into
+        # the core.partitioning rule layout, the train step propagates
+        # those input shardings (no forced replication), and every
+        # checkpoint restore goes through restore_sharded so a resumed run
+        # lands directly in the mesh layout — including on a DIFFERENT
+        # topology than the one that saved (elastic resume).
+        self.partitioned = bool(partitioned_state) and mesh is not None
         # grad_accum_steps=1 + an optax.MultiSteps-wrapped tx accumulates
         # ACROSS successive batches (required for variable-size bucketed
         # batches); the default reshapes one big batch into micro-batches
@@ -132,8 +145,13 @@ class TrainerRunner:
             else int(getattr(cfg, "gradient_accumulation_steps", 1))
         )
         self.train_step = make_train_step(
-            loss_fn, tx, mesh=mesh, grad_accum_steps=self.accum, donate=False
+            loss_fn, tx, mesh=mesh, grad_accum_steps=self.accum, donate=False,
+            partitioned_state=self.partitioned,
         )
+        if self.partitioned:
+            from avsl_tpu.core.partitioning import shard_state
+
+            init_state = shard_state(init_state, mesh)
         # sequence parallelism: every train_step call (in particular the
         # FIRST, tracing one) runs inside the activation-sharding scope —
         # the scope is consulted at trace time and is not part of the jit
@@ -192,10 +210,15 @@ class TrainerRunner:
 
         return contextlib.nullcontext()
 
+    def _restore(self, directory: str, step: Optional[int]) -> TrainState:
+        if self.partitioned:
+            return restore_sharded(directory, self.state, self.mesh, step=step)
+        return restore_checkpoint(directory, self.state, step)
+
     def maybe_resume(self) -> int:
         step = latest_step(self.ckpt_dir)
         if step is not None and getattr(self.cfg, "resume_training", False):
-            self.state = restore_checkpoint(self.ckpt_dir, self.state, step)
+            self.state = self._restore(self.ckpt_dir, step)
             return step
         return 0
 
@@ -316,7 +339,7 @@ class TrainerRunner:
             # dir for the plain latest-step case
             for directory in (self._best_dir, self.ckpt_dir):
                 try:
-                    state = restore_checkpoint(directory, self.state, step)
+                    state = self._restore(directory, step)
                     break
                 except Exception:
                     continue

@@ -250,3 +250,75 @@ def test_preemption_checkpoint_and_resume(tmp_path):
     # the handler must have been removed after fit()
     import signal as _s
     assert _s.getsignal(_s.SIGTERM) in (_s.SIG_DFL, _s.default_int_handler)
+
+
+def test_runner_partitioned_state_trains_and_resumes_elastic(tmp_path, eight_devices):
+    """partitioned_state=True must (a) train numerically identically to the
+    replicated runner, (b) keep TP-ruled params actually sharded over the
+    "model" axis across steps, and (c) resume through restore_sharded onto a
+    DIFFERENT topology than the one that saved (elastic resume — the
+    capability the reference's rank-0 Lightning ckpts cannot express,
+    whisper_flamingo_ft_ami.py:1000-1020)."""
+    from avsl_tpu.core.mesh import make_mesh
+    from jax.sharding import PartitionSpec as P
+
+    def loss_fn(params, batch_stats, batch, rng):
+        pred = batch["x"] @ params["enc"]["q_proj"]["kernel"]
+        return jnp.mean((pred - batch["y"]) ** 2), ({}, batch_stats)
+
+    def make_state(tx):
+        k = jax.random.normal(jax.random.PRNGKey(0), (8, 8)) * 0.1
+        return TrainState.create({"enc": {"q_proj": {"kernel": k}}}, tx)
+
+    def batches(epoch=0):
+        rng = np.random.RandomState(17 + epoch)
+        def it():
+            for _ in range(10):
+                x = rng.randn(8, 8).astype(np.float32)
+                yield {"x": x, "y": (x @ np.eye(8, dtype=np.float32))}
+        return it()
+
+    class ResumeCfg(Cfg):
+        resume_training = True
+
+    dummy_eval = lambda s, b: jnp.zeros((1, 1, VOCAB))
+
+    # (a)+(b): partitioned dp=4 x tp=2 vs replicated, same data
+    tx = optax.adam(0.05)
+    part = TrainerRunner(
+        loss_fn, dummy_eval, tx, make_state(tx), FakeTokenizer(), Cfg(),
+        mesh=make_mesh(8, model_parallel=2), partitioned_state=True,
+        log_dir=str(tmp_path / "lp"), ckpt_dir=str(tmp_path / "ckpt"),
+    )
+    out = part.fit(batches, None, num_steps=3)
+    kernel = part.state.params["enc"]["q_proj"]["kernel"]
+    assert kernel.sharding.spec == P(None, "model")
+    assert kernel.addressable_shards[0].data.shape == (8, 4)
+
+    tx2 = optax.adam(0.05)
+    repl = TrainerRunner(
+        loss_fn, dummy_eval, tx2, make_state(tx2), FakeTokenizer(), Cfg(),
+        log_dir=str(tmp_path / "lr"), ckpt_dir=str(tmp_path / "ckpt_r"),
+    )
+    repl.fit(batches, None, num_steps=3)
+    np.testing.assert_allclose(
+        np.asarray(kernel),
+        np.asarray(repl.state.params["enc"]["q_proj"]["kernel"]),
+        rtol=2e-5, atol=2e-6,
+    )
+
+    # (c): resume the dp=4 x tp=2 checkpoint onto dp=2 x tp=4
+    tx3 = optax.adam(0.05)
+    resumed = TrainerRunner(
+        loss_fn, dummy_eval, tx3, make_state(tx3), FakeTokenizer(), ResumeCfg(),
+        mesh=make_mesh(8, model_parallel=4), partitioned_state=True,
+        log_dir=str(tmp_path / "le"), ckpt_dir=str(tmp_path / "ckpt"),
+    )
+    assert resumed.maybe_resume() == out["final_step"]
+    rk = resumed.state.params["enc"]["q_proj"]["kernel"]
+    assert rk.sharding.spec == P(None, "model")
+    assert rk.addressable_shards[0].data.shape == (8, 2)
+    np.testing.assert_array_equal(np.asarray(rk), np.asarray(kernel))
+    # adam state came back sharded too
+    mu = resumed.state.opt_state[0].mu["enc"]["q_proj"]["kernel"]
+    assert mu.sharding.spec == P(None, "model")
