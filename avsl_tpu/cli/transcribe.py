@@ -71,6 +71,11 @@ def main(argv: Optional[List[str]] = None) -> List[Dict[str, Any]]:
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--max_new_tokens", type=int, default=64)
     p.add_argument("--output", default=None)
+    p.add_argument(
+        "--quantize", default=None, choices=["int8"],
+        help="weight-only int8 serving: halves HBM-resident weight bytes "
+        "and the host->device upload (models/quant.py)",
+    )
     p.add_argument("--smoke", action="store_true")
     args = p.parse_args(argv)
 
@@ -123,6 +128,7 @@ def main(argv: Optional[List[str]] = None) -> List[Dict[str, Any]]:
         max_new_tokens=args.max_new_tokens,
         beam_size=args.beam,
         lang=cfg.lang,
+        quantize=args.quantize,
     )
     results = transcriber.transcribe(items)
     out = [

@@ -53,6 +53,7 @@ class StreamingTranscriber:
         prefetch: int = 2,
         raw_video_hw: Tuple[int, int] = (288, 352),
         raw_lip_mode: str = "host_refined",
+        quantize: Optional[str] = None,
     ):
         import jax
         import jax.numpy as jnp
@@ -60,6 +61,21 @@ class StreamingTranscriber:
         from avsl_tpu.decode import beam_search, greedy_decode
         from avsl_tpu.kernels import log_mel_spectrogram
 
+        # weight-only int8: the resident/uploaded weight form is int8 +
+        # per-channel scales; dequantization happens INSIDE the jitted
+        # program, so HBM holds half the bytes and the decode loop (which
+        # re-reads every decoder weight per token) streams int8
+        # (models/quant.py). None keeps the float weights as passed.
+        if quantize not in (None, "int8"):
+            raise ValueError(f"quantize {quantize!r} (expected None or 'int8')")
+        self.quantize = quantize
+        if quantize == "int8":
+            from avsl_tpu.models.quant import dequantize_tree, quantize_tree
+
+            variables = quantize_tree(variables)
+            self._dequantize = lambda v: dequantize_tree(v)
+        else:
+            self._dequantize = lambda v: v
         self.model = model
         self.variables = variables
         self.tokenizer = tokenizer
@@ -85,8 +101,11 @@ class StreamingTranscriber:
         sot = np.asarray(tokenizer.sot_sequence(lang), np.int32)
         self._prompt = np.tile(sot[None], (batch_size, 1))
 
+        qvariables = self.variables
+
         @jax.jit
         def run(audio, video, prompt):
+            variables = self._dequantize(qvariables)
             mel = log_mel_spectrogram(audio, n_mels=cfg.n_mels)
             feats, xv = model.apply(variables, mel, video, method=model.encode)
             cache = model.apply(
