@@ -193,7 +193,43 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         print(f"pt_ckpt: loaded {len(report['loaded'])} tensors, "
               f"missing {len(report['missing'])}, unexpected {len(report['unexpected'])}")
 
-    tx, _labels = select_optimizer(params, cfg, int(cfg.num_train_steps))
+    # LoRA regime (models/lora.py): train ONLY low-rank adapters on the
+    # targeted kernels; the base tree is a frozen closure constant of the
+    # loss. TrainState.params/opt-state/checkpoints are adapter-sized
+    # (~0.1-1% of the model). Composes with DP; under model_parallel>1
+    # the base rides as a replicated constant (adapters are too small to
+    # shard), so prefer lora_rank=0 for tensor-parallel runs.
+    lora_rank = int(getattr(cfg, "lora_rank", 0) or 0)
+    if lora_rank > 0:
+        from avsl_tpu.models import lora as lora_mod
+        from avsl_tpu.train.optim import lora_optimizer
+
+        lora_alpha = float(getattr(cfg, "lora_alpha", 16.0) or 16.0)
+        targets = (
+            tuple(cfg.lora_targets)
+            if getattr(cfg, "lora_targets", None)
+            else lora_mod.DEFAULT_TARGETS
+        )
+        base_params = params
+        adapters = lora_mod.init_lora(
+            jax.random.PRNGKey(1), params, lora_rank, targets
+        )
+        summary = lora_mod.lora_summary(params, adapters)
+        print(
+            f"lora: rank={lora_rank} alpha={lora_alpha} "
+            f"adapters={summary['n_adapters']} trainable="
+            f"{summary['lora_params']:,} "
+            f"({100 * summary['trainable_fraction']:.3f}% of base)"
+        )
+        tx, _labels = lora_optimizer(adapters, cfg, int(cfg.num_train_steps))
+        trainable = adapters
+        to_model_params = lambda p: lora_mod.merge_lora(  # noqa: E731
+            base_params, p, lora_alpha, lora_rank
+        )
+    else:
+        tx, _labels = select_optimizer(params, cfg, int(cfg.num_train_steps))
+        trainable = params
+        to_model_params = lambda p: p  # noqa: E731
     accum = max(int(cfg.gradient_accumulation_steps), 1)
     runner_accum = accum
     if use_bucketing and accum > 1:
@@ -203,7 +239,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
 
         tx = optax.MultiSteps(tx, every_k_schedule=accum)
         runner_accum = 1
-    state = TrainState.create(params, tx, batch_stats=batch_stats)
+    state = TrainState.create(trainable, tx, batch_stats=batch_stats)
 
     mesh = None
     model_parallel = int(getattr(cfg, "model_parallel", 1) or 1)
@@ -222,10 +258,13 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         prob_a=float(cfg.prob_use_a),
     )
     eval_loss = flamingo_loss_fn(model, train=False)
+    if lora_rank > 0:
+        loss_fn = lora_mod.lora_loss_fn(loss_fn, base_params, lora_alpha, lora_rank)
+        eval_loss = lora_mod.lora_loss_fn(eval_loss, base_params, lora_alpha, lora_rank)
 
     @jax.jit
     def eval_logits(state: TrainState, batch):
-        variables = {"params": state.params}
+        variables = {"params": to_model_params(state.params)}
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
         return model.apply(

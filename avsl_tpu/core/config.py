@@ -638,6 +638,13 @@ class FlamingoTrainConfig:
     sync_batchnorm: bool = True
     download_root: str = "models/whisper"
     enable_gradient_checkpointing: bool = True
+    # LoRA regime (beyond-parity; models/lora.py): rank 0 disables. When
+    # enabled, the optimizer/checkpoints carry ONLY the adapter tree and
+    # the freeze-regime selection above is bypassed (everything not
+    # adapted is frozen by construction).
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    lora_targets: Optional[List[str]] = None  # regexes; default q/v kernels
 
     @classmethod
     def from_yaml(cls, path: str) -> "FlamingoTrainConfig":

@@ -3,6 +3,8 @@ from avsl_tpu.train.optim import (  # noqa: F401
     whisper_optimizer,
     whisper_video_projection_optimizer,
     whisper_flamingo_projection_optimizer,
+    lora_optimizer,
+    select_optimizer,
     label_params,
 )
 from avsl_tpu.train.loop import TrainState, make_train_step, make_eval_step  # noqa: F401

@@ -118,6 +118,29 @@ def whisper_flamingo_projection_optimizer(params: Any, cfg, t_total: int):
     return _partitioned(_adamw(cfg, t_total), labels), labels
 
 
+def lora_optimizer(lora_params: Any, cfg, t_total: int):
+    """LoRA regime (models/lora.py): the optimizer sees ONLY the adapter
+    tree, so every adapter leaf trains and Adam mirrors exist only at
+    adapter size — freezing the base is structural, not a set_to_zero
+    mask. Weight decay is disabled (decaying A/B decays the *delta*
+    toward zero, which is the LoRA-paper convention for adapters)."""
+    sched = linear_warmup_decay(
+        float(cfg.learning_rate), int(cfg.warmup_steps), int(t_total)
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(getattr(cfg, "clip_norm", 1.0) or 1.0),
+        optax.adamw(
+            sched,
+            b1=0.9,
+            b2=getattr(cfg, "adam_beta2", 0.999),
+            eps=float(getattr(cfg, "adam_epsilon", 1e-8)),
+            weight_decay=0.0,
+        ),
+    )
+    labels = jax.tree_util.tree_map(lambda _: TRAIN, lora_params)
+    return tx, labels
+
+
 def select_optimizer(params: Any, cfg, t_total: int):
     """Regime selection mirroring configure_optimizers (reference :642-651)."""
     if getattr(cfg, "add_gated_x_attn", 0):
