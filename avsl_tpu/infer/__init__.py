@@ -1,1 +1,2 @@
 from avsl_tpu.infer.pipeline import StreamingTranscriber, TranscribeResult  # noqa: F401
+from avsl_tpu.infer.server import TranscriptionServer  # noqa: F401

@@ -262,6 +262,41 @@ class StreamingTranscriber:
 
     # -- public API ----------------------------------------------------
 
+    def transcribe_batch(self, items: Sequence[Dict[str, Any]]) -> List[TranscribeResult]:
+        """Synchronously transcribe ONE batch (<= batch_size items): host
+        prepare -> compiled program -> detokenize. The building block the
+        dynamic-batching server (infer/server.py) schedules; `transcribe`
+        adds producer-thread prefetch over many batches."""
+        if not items:
+            return []
+        if len(items) > self.batch_size:
+            raise ValueError(
+                f"{len(items)} items > batch_size {self.batch_size}"
+            )
+        chunk = list(items)
+        audio, video, raw, raw_mask, raw_frames, flags, n = self._prepare_batch(chunk)
+        if raw is not None:
+            import jax.numpy as jnp
+
+            lip = self._lip_from_raw(jnp.asarray(raw), jnp.asarray(raw_frames))
+            m = jnp.asarray(raw_mask)[:, None, None, None, None]
+            video = jnp.where(m, lip, jnp.asarray(video))
+        seqs = np.asarray(self._run(audio, video, self._prompt))
+        special = self.tokenizer.special_token_set
+        results: List[TranscribeResult] = []
+        for i in range(n):
+            toks = [int(x) for x in seqs[i]]
+            text_ids = [x for x in toks if x not in special]
+            results.append(
+                TranscribeResult(
+                    id=str(chunk[i].get("id", i)),
+                    text=self.tokenizer.decode(text_ids).strip(),
+                    tokens=toks,
+                    has_video=flags[i],
+                )
+            )
+        return results
+
     def transcribe(self, items: Sequence[Dict[str, Any]]) -> List[TranscribeResult]:
         """Items: dicts with 'id', 'audio' (path or array), optional
         'lip_video'/'video' path. Returns per-item results in order."""

@@ -22,3 +22,15 @@ from avsl_tpu.models.moe import (  # noqa: F401
     make_ep_mesh,
     moe_aux_loss,
 )
+from avsl_tpu.models.quant import (  # noqa: F401
+    QTensor,
+    quantize_tree,
+    dequantize_tree,
+    quantization_report,
+)
+from avsl_tpu.models.lora import (  # noqa: F401
+    init_lora,
+    merge_lora,
+    lora_loss_fn,
+    lora_summary,
+)
