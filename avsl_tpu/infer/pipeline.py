@@ -175,6 +175,15 @@ class StreamingTranscriber:
         audio = load_wav(item["audio"]) if isinstance(item["audio"], str) else item["audio"]
         audio = np.asarray(pad_or_trim(np.asarray(audio, np.float32), self.audio_max_length))
 
+        lf = item.get("lip_feats")
+        if lf is not None:  # precomputed features (long-form window slices)
+            feats = np.asarray(lf, np.float32)[: self.video_frames]
+            video = np.zeros(
+                (self.video_frames, self.crop, self.crop, 1), np.float32
+            )
+            video[: len(feats)] = feats
+            return audio, video, None, 0, True
+
         lip = item.get("lip_video")
         if lip and isinstance(lip, str) and os.path.exists(lip):
             try:
@@ -296,6 +305,31 @@ class StreamingTranscriber:
                 )
             )
         return results
+
+    def transcribe_long(self, items: Sequence[Dict[str, Any]]):
+        """Long-form: items of ARBITRARY duration (audio path/array +
+        optional 'lip_video'). Each item is split at minimum-energy cut
+        points into <= audio_max_length windows (infer/longform.py); the
+        windows of ALL items are flattened into the ordinary batched
+        `transcribe` call (full tile occupancy), then stitched back into
+        per-item `LongFormResult`s with per-window timestamps."""
+        from avsl_tpu.infer.longform import split_item, stitch
+
+        window_items: List[Dict[str, Any]] = []
+        bounds: List[int] = [0]
+        spans: List[List] = []
+        for item in items:
+            w, sp = split_item(
+                item, self.audio_max_length, self.video_frames, crop=self.crop
+            )
+            window_items.extend(w)
+            bounds.append(len(window_items))
+            spans.append(sp)
+        flat = self.transcribe(window_items)
+        return [
+            stitch(str(item.get("id", j)), flat[bounds[j]: bounds[j + 1]], spans[j])
+            for j, item in enumerate(items)
+        ]
 
     def transcribe(self, items: Sequence[Dict[str, Any]]) -> List[TranscribeResult]:
         """Items: dicts with 'id', 'audio' (path or array), optional

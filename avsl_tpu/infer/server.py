@@ -24,8 +24,12 @@ baked-in):
 
     POST /v1/transcribe   {"id": ..., "audio": <wav path>,
                            "audio_pcm_b64": <base64 float32 PCM@16k>,
-                           "lip_video": <mp4 path>, "video": <mp4 path>}
+                           "lip_video": <mp4 path>, "video": <mp4 path>,
+                           "long": <bool>}
       -> {"id", "text", "has_video", "latency_ms"}
+         (+ "segments": [{start_s, end_s, text}] when long=true:
+          arbitrary-duration media split at minimum-energy points, the
+          windows batched like any other requests — infer/longform.py)
     GET  /healthz         -> {"ok": true, ...}
     GET  /stats           -> latency percentiles + batch occupancy
 
@@ -158,6 +162,52 @@ class TranscriptionServer:
                     item = server._parse_item(req)
                 except Exception as e:  # malformed request
                     self._reply(400, {"error": str(e)})
+                    return
+                if req.get("long"):
+                    # long-form: split HERE (host-only work on the
+                    # handler thread), enqueue every window as an
+                    # ordinary request — windows of concurrent long
+                    # requests coalesce in the same batcher — then
+                    # stitch (infer/longform.py)
+                    from avsl_tpu.infer.longform import split_item, stitch
+
+                    try:
+                        tr = server.transcriber
+                        windows, spans = split_item(
+                            item, tr.audio_max_length, tr.video_frames,
+                            crop=tr.crop,
+                        )
+                    except Exception as e:
+                        self._reply(400, {"error": str(e)})
+                        return
+                    pendings = [server.submit(w) for w in windows]
+                    t_left = 600.0
+                    for p in pendings:
+                        t0 = time.perf_counter()
+                        if not p.done.wait(timeout=max(t_left, 0.001)):
+                            self._reply(504, {"error": "timed out"})
+                            return
+                        t_left -= time.perf_counter() - t0
+                    errs = [p.error for p in pendings if p.error is not None]
+                    if errs:
+                        self._reply(500, {"error": errs[0]})
+                        return
+                    long_r = stitch(
+                        item.get("id", ""), [p.result for p in pendings], spans
+                    )
+                    self._reply(200, {
+                        "id": long_r.id,
+                        "text": long_r.text,
+                        "has_video": long_r.has_video,
+                        "segments": [
+                            {"start_s": s.start_s, "end_s": s.end_s,
+                             "text": s.text}
+                            for s in long_r.segments
+                        ],
+                        "latency_ms": round(
+                            max(p.latency_ms for p in pendings), 1
+                        ),
+                    })
                     return
                 pending = server.submit(item)
                 if not pending.done.wait(timeout=300.0):
