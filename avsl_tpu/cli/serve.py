@@ -45,6 +45,14 @@ def build_transcriber(args, cfg):
         **(dict(video=np.zeros((b, video_frames, 88, 88, 1), np.float32))
            if cfg.add_gated_x_attn else {}),
     )
+    mesh = None
+    if args.model_parallel > 1 or args.data_parallel > 1:
+        from avsl_tpu.core.mesh import make_mesh
+
+        mesh = make_mesh(
+            args.data_parallel * args.model_parallel,
+            model_parallel=args.model_parallel,
+        )
     if args.ckpt_dir and latest_step(args.ckpt_dir) is not None:
         tx, _ = select_optimizer(variables["params"], cfg, 1)
         state = TrainState.create(
@@ -63,6 +71,7 @@ def build_transcriber(args, cfg):
         beam_size=args.beam,
         lang=cfg.lang,
         quantize=args.quantize,
+        mesh=mesh,
     )
 
 
@@ -80,6 +89,10 @@ def main(argv: Optional[List[str]] = None):
     p.add_argument("--beam", type=int, default=1)
     p.add_argument("--max_wait_ms", type=float, default=30.0)
     p.add_argument("--quantize", default=None, choices=["int8"])
+    # multi-chip serving: weights tp-sharded (Megatron col/row rules),
+    # batch dp-sharded; mutually exclusive with --quantize
+    p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--data_parallel", type=int, default=1)
     p.add_argument("--smoke", action="store_true")
     args = p.parse_args(argv)
 

@@ -54,12 +54,43 @@ class StreamingTranscriber:
         raw_video_hw: Tuple[int, int] = (288, 352),
         raw_lip_mode: str = "host_refined",
         quantize: Optional[str] = None,
+        mesh: Optional[Any] = None,
     ):
         import jax
         import jax.numpy as jnp
 
         from avsl_tpu.decode import beam_search, greedy_decode
         from avsl_tpu.kernels import log_mel_spectrogram
+
+        # multi-chip serving: shard the weights over the mesh's model
+        # axis (Megatron col/row rules, core/partitioning.py) and the
+        # batch over its data axis. Decode is HBM-bandwidth bound (every
+        # decoder weight is re-read per token), so tp splits the per-chip
+        # weight traffic tp-ways — XLA inserts the all-reduces between
+        # column- and row-parallel matmuls, same rules as training.
+        self.mesh = mesh
+        if mesh is not None:
+            if quantize is not None:
+                raise ValueError(
+                    "quantize + mesh unsupported: int8 halves single-chip "
+                    "HBM traffic, tp splits it across chips — pick one "
+                    "(QTensor leaves would silently replicate under the "
+                    "kernel-path sharding rules)"
+                )
+            from avsl_tpu.core.mesh import DATA_AXIS
+            from avsl_tpu.core.partitioning import shard_state
+
+            n_data = mesh.shape.get(DATA_AXIS, 1)
+            if batch_size % max(n_data, 1):
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by the mesh "
+                    f"data axis ({n_data})"
+                )
+            variables = shard_state(variables, mesh)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._batch_sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+            self._repl_sharding = NamedSharding(mesh, PartitionSpec())
 
         # weight-only int8: the resident/uploaded weight form is int8 +
         # per-channel scales; dequantization happens INSIDE the jitted
@@ -159,6 +190,20 @@ class StreamingTranscriber:
             return jnp.where(t_idx < n_frames[:, None, None, None, None], lip, 0.0)
 
         self._lip_from_raw = lip_from_raw
+
+    def _dispatch(self, audio, video):
+        """Run the compiled program; under a mesh, commit the batch to the
+        data axis and the prompt replicated first (jit then compiles the
+        SPMD program against those placements)."""
+        if self.mesh is None:
+            return self._run(audio, video, self._prompt)
+        import jax
+
+        return self._run(
+            jax.device_put(audio, self._batch_sharding),
+            jax.device_put(video, self._batch_sharding),
+            jax.device_put(self._prompt, self._repl_sharding),
+        )
 
     # -- host side -----------------------------------------------------
 
@@ -290,7 +335,7 @@ class StreamingTranscriber:
             lip = self._lip_from_raw(jnp.asarray(raw), jnp.asarray(raw_frames))
             m = jnp.asarray(raw_mask)[:, None, None, None, None]
             video = jnp.where(m, lip, jnp.asarray(video))
-        seqs = np.asarray(self._run(audio, video, self._prompt))
+        seqs = np.asarray(self._dispatch(audio, video))
         special = self.tokenizer.special_token_set
         results: List[TranscribeResult] = []
         for i in range(n):
@@ -363,7 +408,7 @@ class StreamingTranscriber:
                 )
                 m = jnp.asarray(raw_mask)[:, None, None, None, None]
                 video = jnp.where(m, lip, jnp.asarray(video))
-            seqs = np.asarray(self._run(audio, video, self._prompt))
+            seqs = np.asarray(self._dispatch(audio, video))
             for i in range(n):
                 toks = [int(x) for x in seqs[i]]
                 text_ids = [x for x in toks if x not in special]

@@ -162,3 +162,67 @@ def test_corrupt_lip_clip_falls_back_to_raw(media, tmp_path):
     audio, lip, raw, nf, hv = tr_dev._load_item(item)
     assert lip is None and raw is not None and hv
     assert nf > 0 and raw.shape == (T_FRAMES, SRC_H, SRC_W)
+
+
+def test_transcriber_tp_mesh_matches_single_device(media):
+    """Multi-chip serving: weights sharded per the Megatron col/row rules
+    over a data=2 x model=4 mesh must decode the SAME tokens as the
+    unsharded program (XLA SPMD inserts the collectives; greedy argmax is
+    robust to reduction-order noise), and a minimum count of params must
+    actually land model-sharded so a silent rule mismatch can't pass."""
+    import jax.numpy as jnp
+
+    from avsl_tpu.core.mesh import make_mesh
+    from avsl_tpu.core.partitioning import describe_shardings
+
+    tokenizer = get_tokenizer(None, "en")
+    model, cfg = build_whisper_flamingo(
+        "test", vocab_size=tokenizer.vocab_size, dtype="float32"
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.n_mels, 100), jnp.float32),
+        jnp.asarray([[1]]),
+        video=jnp.zeros((1, T_FRAMES, 88, 88, 1), jnp.float32),
+    )
+    items = [
+        {"id": "av", "audio": media["wav"], "lip_video": media["lip"]},
+        {"id": "a", "audio": media["wav"]},
+    ]
+    kw = dict(
+        audio_max_length=16000, video_frames=T_FRAMES,
+        batch_size=2, max_new_tokens=5,
+    )
+    ref = StreamingTranscriber(model, variables, tokenizer, **kw).transcribe(items)
+
+    mesh = make_mesh(8, model_parallel=4)
+    sharded = describe_shardings(variables["params"], mesh)
+    assert len(sharded) >= 20, f"only {len(sharded)} params sharded"
+    tr = StreamingTranscriber(model, variables, tokenizer, mesh=mesh, **kw)
+    out = tr.transcribe(items)
+    assert [r.tokens for r in out] == [r.tokens for r in ref]
+    assert [r.text for r in out] == [r.text for r in ref]
+
+
+def test_transcriber_mesh_rejects_quantize_and_bad_batch(media):
+    import jax.numpy as jnp
+
+    from avsl_tpu.core.mesh import make_mesh
+
+    tokenizer = get_tokenizer(None, "en")
+    model, cfg = build_whisper_flamingo(
+        "test", vocab_size=tokenizer.vocab_size, dtype="float32"
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.n_mels, 100), jnp.float32),
+        jnp.asarray([[1]]),
+        video=jnp.zeros((1, T_FRAMES, 88, 88, 1), jnp.float32),
+    )
+    mesh = make_mesh(8, model_parallel=4)
+    with pytest.raises(ValueError, match="quantize"):
+        StreamingTranscriber(model, variables, tokenizer, mesh=mesh,
+                             quantize="int8", batch_size=2)
+    with pytest.raises(ValueError, match="divisible"):
+        StreamingTranscriber(model, variables, tokenizer, mesh=mesh,
+                             batch_size=3)
