@@ -132,7 +132,9 @@ def main(argv: Optional[List[str]] = None) -> List[Dict[str, Any]]:
     )
     results = transcriber.transcribe(items)
     out = [
-        {"id": r.id, "text": r.text, "has_video": r.has_video} for r in results
+        {"id": r.id, "text": r.text, "has_video": r.has_video,
+         "avg_logprob": r.avg_logprob}
+        for r in results
     ]
     if args.output:
         with open(args.output, "w") as f:

@@ -7,6 +7,7 @@ from avsl_tpu.decode.greedy import (  # noqa: F401
     mask_after_eot,
     teacher_forced_predictions,
     greedy_decode,
+    greedy_decode_scored,
 )
 from avsl_tpu.decode.beam import beam_search  # noqa: F401
 from avsl_tpu.decode.ctc import (  # noqa: F401

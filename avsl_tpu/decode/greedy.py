@@ -64,3 +64,44 @@ def greedy_decode(
         body, (first, finished0, cache), None, length=max_new_tokens - 1
     )
     return jnp.concatenate([first[:, None], rest.T], axis=1)
+
+
+def greedy_decode_scored(
+    step_fn: StepFn,
+    cache,
+    init_tokens: jnp.ndarray,
+    max_new_tokens: int,
+    eot_id: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`greedy_decode` that also returns per-sequence confidence:
+    the mean token log-probability over the generated tokens up to and
+    including the first EOT (padding after EOT contributes nothing) —
+    the greedy counterpart of beam_search's length-normalized score.
+    Serving uses it to flag low-confidence segments (hallucination-prone
+    windows score low). Returns (tokens [B, max_new_tokens], avg_logprob
+    [B] float32)."""
+    logits, cache = step_fn(init_tokens, cache)
+    lp0 = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
+    first = jnp.argmax(lp0, axis=-1)  # [B]
+    s0 = jnp.take_along_axis(lp0, first[:, None], axis=-1)[:, 0]
+    finished0 = first == eot_id
+
+    def body(carry, _):
+        tok, finished, cache = carry
+        logits, cache = step_fn(tok[:, None], cache)
+        lp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
+        nxt = jnp.argmax(lp, axis=-1)
+        s = jnp.take_along_axis(lp, nxt[:, None], axis=-1)[:, 0]
+        nxt = jnp.where(finished, eot_id, nxt)
+        s = jnp.where(finished, 0.0, s)
+        live = jnp.where(finished, 0.0, 1.0)
+        finished = finished | (nxt == eot_id)
+        return (nxt, finished, cache), (nxt, s, live)
+
+    (_, _, _), (rest, ss, live) = jax.lax.scan(
+        body, (first, finished0, cache), None, length=max_new_tokens - 1
+    )
+    tokens = jnp.concatenate([first[:, None], rest.T], axis=1)
+    total = s0 + jnp.sum(ss, axis=0)
+    count = 1.0 + jnp.sum(live, axis=0)
+    return tokens, total / count

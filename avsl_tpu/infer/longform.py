@@ -42,6 +42,9 @@ class LongSegment:
     start_s: float
     end_s: float
     text: str
+    # per-window decode confidence (mean token logprob / beam score) —
+    # filter hallucination-prone windows without re-decoding
+    avg_logprob: float = 0.0
 
 
 @dataclass
@@ -158,7 +161,8 @@ def stitch(
     """Window results (in order) -> one LongFormResult: texts joined with
     single spaces, per-window timestamps preserved as segments."""
     segments = [
-        LongSegment(start_s=round(s, 3), end_s=round(e, 3), text=r.text)
+        LongSegment(start_s=round(s, 3), end_s=round(e, 3), text=r.text,
+                    avg_logprob=getattr(r, "avg_logprob", 0.0))
         for r, (s, e) in zip(window_results, spans_s)
     ]
     text = " ".join(t for t in (seg.text for seg in segments) if t)

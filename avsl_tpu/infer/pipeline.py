@@ -27,6 +27,9 @@ class TranscribeResult:
     text: str
     tokens: List[int]
     has_video: bool
+    # mean token log-probability of the generated sequence (greedy) or
+    # the beam's length-normalized score — serving's low-confidence flag
+    avg_logprob: float = 0.0
 
 
 class StreamingTranscriber:
@@ -59,7 +62,7 @@ class StreamingTranscriber:
         import jax
         import jax.numpy as jnp
 
-        from avsl_tpu.decode import beam_search, greedy_decode
+        from avsl_tpu.decode import beam_search, greedy_decode_scored
         from avsl_tpu.kernels import log_mel_spectrogram
 
         # multi-chip serving: shard the weights over the mesh's model
@@ -150,12 +153,11 @@ class StreamingTranscriber:
                 )
 
             if beam_size > 1:
-                seqs, _ = beam_search(
+                return beam_search(
                     step, cache, jnp.asarray(prompt), beam_size,
                     max_new_tokens, tokenizer.eot,
                 )
-                return seqs
-            return greedy_decode(
+            return greedy_decode_scored(
                 step, cache, jnp.asarray(prompt), max_new_tokens, tokenizer.eot
             )
 
@@ -335,7 +337,8 @@ class StreamingTranscriber:
             lip = self._lip_from_raw(jnp.asarray(raw), jnp.asarray(raw_frames))
             m = jnp.asarray(raw_mask)[:, None, None, None, None]
             video = jnp.where(m, lip, jnp.asarray(video))
-        seqs = np.asarray(self._dispatch(audio, video))
+        seqs, scores = self._dispatch(audio, video)
+        seqs, scores = np.asarray(seqs), np.asarray(scores)
         special = self.tokenizer.special_token_set
         results: List[TranscribeResult] = []
         for i in range(n):
@@ -347,6 +350,7 @@ class StreamingTranscriber:
                     text=self.tokenizer.decode(text_ids).strip(),
                     tokens=toks,
                     has_video=flags[i],
+                    avg_logprob=round(float(scores[i]), 4),
                 )
             )
         return results
@@ -408,7 +412,8 @@ class StreamingTranscriber:
                 )
                 m = jnp.asarray(raw_mask)[:, None, None, None, None]
                 video = jnp.where(m, lip, jnp.asarray(video))
-            seqs = np.asarray(self._dispatch(audio, video))
+            seqs, scores = self._dispatch(audio, video)
+            seqs, scores = np.asarray(seqs), np.asarray(scores)
             for i in range(n):
                 toks = [int(x) for x in seqs[i]]
                 text_ids = [x for x in toks if x not in special]
@@ -418,6 +423,7 @@ class StreamingTranscriber:
                         text=self.tokenizer.decode(text_ids).strip(),
                         tokens=toks,
                         has_video=flags[i],
+                        avg_logprob=round(float(scores[i]), 4),
                     )
                 )
         t.join()

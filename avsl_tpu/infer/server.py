@@ -201,7 +201,7 @@ class TranscriptionServer:
                         "has_video": long_r.has_video,
                         "segments": [
                             {"start_s": s.start_s, "end_s": s.end_s,
-                             "text": s.text}
+                             "text": s.text, "avg_logprob": s.avg_logprob}
                             for s in long_r.segments
                         ],
                         "latency_ms": round(
@@ -221,6 +221,7 @@ class TranscriptionServer:
                     "id": r.id,
                     "text": r.text,
                     "has_video": r.has_video,
+                    "avg_logprob": r.avg_logprob,
                     "latency_ms": round(pending.latency_ms, 1),
                 })
 

@@ -274,3 +274,44 @@ def test_ctc_prefix_beam_keeps_blank_under_pruning():
     # ~10% of [a]'s mass here; without blank in the candidate set the
     # returned score misses them by >0.09 nats
     assert abs(lp - exact_mass) < 0.03, (lp, exact_mass)
+
+
+def test_greedy_decode_scored_matches_greedy_with_exact_scores():
+    """greedy_decode_scored returns the SAME tokens as greedy_decode plus
+    the mean token log-probability over live steps: EOT itself is scored,
+    everything after it contributes nothing (serving's confidence flag)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from avsl_tpu.decode import greedy_decode, greedy_decode_scored
+
+    V, B, eot = 6, 2, 0
+    steps = np.full((4, B, V), -10.0, np.float32)
+    steps[0, 0, 3] = 5.0   # b0: emits 3
+    steps[0, 1, 0] = 5.0   # b1: EOT immediately
+    steps[1, 0, 4] = 2.0   # b0: emits 4
+    steps[1, 1, 2] = 9.0   # b1 is finished; must be ignored
+    steps[2, 0, 0] = 1.0   # b0: EOT
+    steps[2, 1, 1] = 1.0
+    steps[3, :, 5] = 1.0
+    steps_arr = jnp.asarray(steps)
+
+    def step_fn(tok, i):
+        return jnp.take(steps_arr, jnp.minimum(i, 3), axis=0)[:, None, :], i + 1
+
+    prompt = jnp.ones((B, 1), jnp.int32)
+    toks, scores = greedy_decode_scored(step_fn, 0, prompt, 4, eot)
+    toks_ref = greedy_decode(step_fn, 0, prompt, 4, eot)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks_ref))
+    np.testing.assert_array_equal(np.asarray(toks), [[3, 4, 0, 0], [0, 0, 0, 0]])
+
+    def lp(i, b, t):
+        row = steps[i, b] - steps[i, b].max()
+        return row[t] - np.log(np.exp(row).sum())
+
+    expect = [
+        (lp(0, 0, 3) + lp(1, 0, 4) + lp(2, 0, 0)) / 3.0,  # incl. its EOT
+        lp(0, 1, 0),                                       # one live token
+    ]
+    np.testing.assert_allclose(np.asarray(scores), expect, rtol=1e-5)
+    assert float(scores[0]) < 0 and float(scores[1]) < 0

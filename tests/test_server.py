@@ -75,6 +75,7 @@ def test_healthz_and_single_request(server):
     assert isinstance(out["text"], str)
     assert out["has_video"] is False
     assert out["latency_ms"] > 0
+    assert isinstance(out["avg_logprob"], float) and out["avg_logprob"] <= 0
 
 
 def test_concurrent_requests_are_batched(server):
