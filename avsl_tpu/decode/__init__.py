@@ -14,6 +14,8 @@ from avsl_tpu.decode.ctc import (  # noqa: F401
     ctc_best_path,
     ctc_best_path_scores,
     ctc_decode_to_text,
+    ctc_forced_align,
     ctc_prefix_beam_search,
     ctc_prefix_beam_search_batch,
+    word_alignments,
 )

@@ -158,3 +158,113 @@ def ctc_decode_to_text(
         tokenizer.decode([t for t in seq if t not in special])
         for seq in ctc_best_path(logits, blank_id, logit_pad)
     ]
+
+
+def ctc_forced_align(
+    log_probs: np.ndarray,  # [T, V] log-softmax frame posteriors
+    targets: Sequence[int],
+    blank_id: int = 0,
+) -> Tuple[List[Tuple[int, int]], float]:
+    """Viterbi forced alignment of a known transcript to CTC frames.
+
+    The reference has no alignment capability at all; this recovers
+    per-token time spans from the AV-HuBERT CTC head — re-segmenting
+    long AMI recordings, word-level subtitle timing, and locating
+    `<laugh>` events, all without an external aligner.
+
+    Standard CTC topology: the extended state sequence interleaves
+    blanks (`b t1 b t2 b ... b`); transitions are stay / advance-1 /
+    advance-2 (the skip allowed only onto a non-blank that differs from
+    the token two states back). DP is vectorized over states (host
+    numpy, O(T·S) like the prefix beam).
+
+    Returns (spans, score): ``spans[i] = (start_frame, end_frame)`` —
+    end exclusive — for ``targets[i]``, and the best path's total log
+    probability (brute-force verified in tests/test_decode.py).
+    """
+    lp = np.asarray(log_probs, np.float64)
+    T = lp.shape[0]
+    tgt = [int(t) for t in targets]
+    L = len(tgt)
+    if L == 0:
+        return [], float(lp[:, blank_id].sum())
+    ext = np.empty(2 * L + 1, np.int64)
+    ext[0::2] = blank_id
+    ext[1::2] = tgt
+    S = ext.size
+    if T < L:
+        raise ValueError(f"{T} frames cannot emit {L} target tokens")
+
+    NEG = -1e30
+    # skip allowed into state s when ext[s] is a label differing from ext[s-2]
+    can_skip = np.zeros(S, bool)
+    can_skip[2:] = (ext[2:] != blank_id) & (ext[2:] != ext[:-2])
+
+    dp = np.full(S, NEG)
+    dp[0] = lp[0, ext[0]]
+    if S > 1:
+        dp[1] = lp[0, ext[1]]
+    bp = np.zeros((T, S), np.int8)
+    for t in range(1, T):
+        stay = dp
+        adv1 = np.concatenate(([NEG], dp[:-1]))
+        adv2 = np.where(can_skip, np.concatenate(([NEG, NEG], dp[:-2])), NEG)
+        stacked = np.stack([stay, adv1, adv2])  # [3, S]
+        k = np.argmax(stacked, axis=0)
+        bp[t] = k
+        dp = stacked[k, np.arange(S)] + lp[t, ext]
+
+    s = S - 1 if (S == 1 or dp[S - 1] >= dp[S - 2]) else S - 2
+    score = float(dp[s])
+    states = np.empty(T, np.int64)
+    for t in range(T - 1, -1, -1):
+        states[t] = s
+        s -= bp[t, s]
+
+    spans: List[Optional[List[int]]] = [None] * L
+    for t, st in enumerate(states.tolist()):
+        if st % 2 == 1:
+            i = st // 2
+            if spans[i] is None:
+                spans[i] = [t, t + 1]
+            else:
+                spans[i][1] = t + 1
+    assert all(sp is not None for sp in spans)
+    return [tuple(sp) for sp in spans], score
+
+
+def word_alignments(
+    tokens: Sequence[int],
+    spans: Sequence[Tuple[int, int]],
+    tokenizer,
+    frame_rate_hz: float = 25.0,
+    special_ids: Optional[set] = None,
+) -> List[dict]:
+    """Token spans -> word-level timestamps.
+
+    Byte-level BPE marks word starts with a leading space on the
+    decoded piece; consecutive pieces without one extend the current
+    word. Returns ``[{"word", "start_s", "end_s"}]`` in order
+    (``frame_rate_hz``: CTC frame rate — 25 Hz for the video-locked
+    AV-HuBERT encoder features)."""
+    special = special_ids if special_ids is not None else getattr(
+        tokenizer, "special_token_set", set()
+    )
+    words: List[dict] = []
+    for tok, (f0, f1) in zip(tokens, spans):
+        if tok in special:
+            continue
+        piece = tokenizer.decode([int(tok)])
+        if not piece:
+            continue
+        new_word = piece.startswith(" ") or not words
+        if new_word:
+            words.append({
+                "word": piece.strip(),
+                "start_s": round(f0 / frame_rate_hz, 3),
+                "end_s": round(f1 / frame_rate_hz, 3),
+            })
+        else:
+            words[-1]["word"] += piece
+            words[-1]["end_s"] = round(f1 / frame_rate_hz, 3)
+    return [w for w in words if w["word"]]

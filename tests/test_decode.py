@@ -315,3 +315,137 @@ def test_greedy_decode_scored_matches_greedy_with_exact_scores():
     ]
     np.testing.assert_allclose(np.asarray(scores), expect, rtol=1e-5)
     assert float(scores[0]) < 0 and float(scores[1]) < 0
+
+
+def test_ctc_forced_align_brute_force():
+    """The Viterbi score must equal the max over ALL length-T paths that
+    collapse to the targets, and the recovered spans must match that
+    best path's emission frames."""
+    import itertools
+
+    import numpy as np
+
+    from avsl_tpu.decode import ctc_forced_align
+
+    rng = np.random.default_rng(3)
+    V, T, blank = 4, 6, 0
+    for targets in ([1, 2], [2, 2], [3, 1, 3]):
+        logits = rng.normal(size=(T, V))
+        lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+
+        def collapse(path):
+            toks, prev = [], -1
+            for p in path:
+                if p != prev and p != blank:
+                    toks.append(p)
+                prev = p
+            return toks
+
+        best, best_path = -np.inf, None
+        for path in itertools.product(range(V), repeat=T):
+            if collapse(path) == targets:
+                s = sum(lp[t, p] for t, p in enumerate(path))
+                if s > best:
+                    best, best_path = s, path
+        spans, score = ctc_forced_align(lp, targets, blank_id=blank)
+        assert abs(score - best) < 1e-9, (score, best, targets)
+        # spans must be ordered, non-overlapping, and inside [0, T)
+        prev_end = 0
+        for (f0, f1) in spans:
+            assert 0 <= f0 < f1 <= T and f0 >= prev_end
+            prev_end = f1
+
+
+def test_ctc_forced_align_recovers_designed_spans():
+    import numpy as np
+
+    from avsl_tpu.decode import ctc_forced_align
+
+    V, T, blank = 5, 20, 0
+    design = {1: (3, 7), 2: (10, 12), 3: (15, 18)}  # token -> frame span
+    lp = np.full((T, V), -12.0)
+    lp[:, blank] = -0.01
+    for tok, (f0, f1) in design.items():
+        lp[f0:f1, tok] = -0.01
+        lp[f0:f1, blank] = -12.0
+    spans, _ = ctc_forced_align(lp, [1, 2, 3], blank_id=blank)
+    assert spans == [design[1], design[2], design[3]]
+
+
+def test_ctc_forced_align_edges():
+    import numpy as np
+    import pytest
+
+    from avsl_tpu.decode import ctc_forced_align
+
+    lp = np.log(np.full((4, 3), 1 / 3))
+    spans, score = ctc_forced_align(lp, [], blank_id=0)
+    assert spans == [] and abs(score - 4 * np.log(1 / 3)) < 1e-9
+    with pytest.raises(ValueError):
+        ctc_forced_align(lp[:1], [1, 2], blank_id=0)
+
+
+def test_word_alignments_groups_bpe_pieces():
+    import numpy as np
+
+    from avsl_tpu.data.tokenizer import get_tokenizer
+    from avsl_tpu.decode import ctc_forced_align, word_alignments
+
+    tokenizer = get_tokenizer(None, "en")
+    text = " hello world"
+    toks = tokenizer.encode(text)
+    assert len(toks) >= 2
+    # synthetic CTC posteriors emitting each token over 4 frames with
+    # 2 blank frames between -> word timestamps at 25 Hz
+    blank = tokenizer.vocab_size  # one extra class as blank
+    V, per, gap = tokenizer.vocab_size + 1, 4, 2
+    T = len(toks) * (per + gap) + gap
+    lp = np.full((T, V), -15.0)
+    lp[:, blank] = -0.01
+    f = gap
+    expect_frames = []
+    for tok in toks:
+        lp[f: f + per, tok] = -0.01
+        lp[f: f + per, blank] = -15.0
+        expect_frames.append((f, f + per))
+        f += per + gap
+    spans, _ = ctc_forced_align(lp, toks, blank_id=blank)
+    assert spans == expect_frames
+    words = word_alignments(toks, spans, tokenizer, frame_rate_hz=25.0)
+    assert [w["word"] for w in words] == ["hello", "world"]
+    assert words[0]["start_s"] == round(expect_frames[0][0] / 25.0, 3)
+    assert words[-1]["end_s"] >= words[-1]["start_s"] > words[0]["start_s"]
+
+
+def test_forced_align_through_avhubert_ctc_head():
+    """End-to-end plumbing: real AVHuBERTForCTC logits (random init) ->
+    log-softmax -> best-path transcript -> forced alignment of that
+    transcript back onto the same frames. The Viterbi score of the
+    best-path's own collapse must be >= any other valid path's by
+    construction, and every span must be ordered and in range."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from avsl_tpu.core.config import AVHuBERTConfig
+    from avsl_tpu.decode import ctc_best_path, ctc_forced_align
+    from avsl_tpu.models import AVHuBERTForCTC
+
+    cfg = AVHuBERTConfig.tiny_test(dtype="float32")
+    model = AVHuBERTForCTC(cfg)
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.normal(size=(1, 12, 104)), jnp.float32)
+    video = jnp.asarray(rng.normal(size=(1, 12, 88, 88, 1)) * 0.1, jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), audio=audio, video=video)
+    logits = np.asarray(model.apply(params, audio=audio, video=video))[0]
+    lp = logits - np.log(np.exp(logits - logits.max(-1, keepdims=True)).sum(
+        -1, keepdims=True)) - logits.max(-1, keepdims=True)
+    targets = ctc_best_path(logits[None], blank_id=cfg.pad_token_id)[0]
+    if not targets:  # random init may be all-blank; force a target
+        targets = [5]
+    spans, score = ctc_forced_align(lp, targets, blank_id=cfg.pad_token_id)
+    assert len(spans) == len(targets) and np.isfinite(score)
+    prev = 0
+    for f0, f1 in spans:
+        assert 0 <= f0 < f1 <= lp.shape[0] and f0 >= prev
+        prev = f1
