@@ -262,3 +262,40 @@ def test_pretrain_iteration2(tmp_path, monkeypatch):
     for it in result["iterations"]:
         assert np.isfinite(it["last_loss"])
         assert it["last_loss"] < it["first_loss"]
+
+
+def test_align_cli_smoke_and_csv(tmp_path):
+    """Forced-alignment CLI: --smoke end-to-end, then CSV mode over a
+    real wav with the tiny card (reference has no aligner)."""
+    import csv
+    import json
+
+    import numpy as np
+
+    from avsl_tpu.cli.align import main
+    from avsl_tpu.data.audio_segments import write_wav
+
+    out = main(["--smoke"])
+    assert out[0]["id"] == "smoke"
+    words = out[0]["words"]
+    assert [w["word"] for w in words] == ["hello", "world"]
+    assert all(w["end_s"] > w["start_s"] >= 0 for w in words)
+    assert words[0]["end_s"] <= words[1]["start_s"] + 1e-6
+
+    sr = 16000
+    wav = str(tmp_path / "a.wav")
+    write_wav(wav, (0.2 * np.sin(
+        2 * np.pi * 250 * np.arange(sr) / sr)).astype(np.float32))
+    csv_path = str(tmp_path / "segs.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["id", "audio", "text"])
+        w.writeheader()
+        w.writerow({"id": "s1", "audio": wav, "text": " one two"})
+        w.writerow({"id": "s2", "audio": wav, "text": " three"})
+    out_path = str(tmp_path / "aligned.json")
+    results = main(["--csv", csv_path, "--tiny", "--output", out_path])
+    assert [r["id"] for r in results] == ["s1", "s2"]
+    assert [w["word"] for w in results[0]["words"]] == ["one", "two"]
+    assert [w["word"] for w in results[1]["words"]] == ["three"]
+    with open(out_path) as f:
+        assert json.load(f) == results
