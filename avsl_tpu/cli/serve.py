@@ -71,6 +71,10 @@ def build_transcriber(args, cfg):
         beam_size=args.beam,
         lang=cfg.lang,
         quantize=args.quantize,
+        temperature_fallback=tuple(
+            float(t) for t in args.temperature_fallback.split(",") if t
+        ),
+        logprob_threshold=args.logprob_threshold,
         mesh=mesh,
     )
 
@@ -89,6 +93,9 @@ def main(argv: Optional[List[str]] = None):
     p.add_argument("--beam", type=int, default=1)
     p.add_argument("--max_wait_ms", type=float, default=30.0)
     p.add_argument("--quantize", default=None, choices=["int8"])
+    p.add_argument("--temperature_fallback", default="",
+                   help="comma list, e.g. 0.2,0.4")
+    p.add_argument("--logprob_threshold", type=float, default=-1.0)
     # multi-chip serving: weights tp-sharded (Megatron col/row rules),
     # batch dp-sharded; mutually exclusive with --quantize
     p.add_argument("--model_parallel", type=int, default=1)

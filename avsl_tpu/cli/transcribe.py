@@ -76,6 +76,9 @@ def main(argv: Optional[List[str]] = None) -> List[Dict[str, Any]]:
         help="weight-only int8 serving: halves HBM-resident weight bytes "
         "and the host->device upload (models/quant.py)",
     )
+    p.add_argument("--temperature_fallback", default="",
+                   help="comma list, e.g. 0.2,0.4")
+    p.add_argument("--logprob_threshold", type=float, default=-1.0)
     p.add_argument("--smoke", action="store_true")
     args = p.parse_args(argv)
 
@@ -129,6 +132,10 @@ def main(argv: Optional[List[str]] = None) -> List[Dict[str, Any]]:
         beam_size=args.beam,
         lang=cfg.lang,
         quantize=args.quantize,
+        temperature_fallback=tuple(
+            float(t) for t in args.temperature_fallback.split(",") if t
+        ),
+        logprob_threshold=args.logprob_threshold,
     )
     results = transcriber.transcribe(items)
     out = [

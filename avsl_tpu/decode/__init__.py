@@ -2,12 +2,14 @@ from avsl_tpu.decode.text_norm import (  # noqa: F401
     normalize_text,
     wer_cer,
     edit_distance,
+    compression_ratio,
 )
 from avsl_tpu.decode.greedy import (  # noqa: F401
     mask_after_eot,
     teacher_forced_predictions,
     greedy_decode,
     greedy_decode_scored,
+    sampled_decode_scored,
 )
 from avsl_tpu.decode.beam import beam_search  # noqa: F401
 from avsl_tpu.decode.ctc import (  # noqa: F401

@@ -105,3 +105,50 @@ def greedy_decode_scored(
     total = s0 + jnp.sum(ss, axis=0)
     count = 1.0 + jnp.sum(live, axis=0)
     return tokens, total / count
+
+
+def sampled_decode_scored(
+    step_fn: StepFn,
+    cache,
+    init_tokens: jnp.ndarray,
+    max_new_tokens: int,
+    eot_id: int,
+    temperature,
+    rng: jax.Array,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Temperature sampling with the same contract as
+    :func:`greedy_decode_scored`. ``temperature`` is a traced scalar —
+    ONE compiled program serves every fallback temperature. Confidence
+    is scored on the UNtempered distribution (the sampled token's true
+    log-probability), matching how the fallback loop compares retries
+    against the greedy pass."""
+    logits, cache = step_fn(init_tokens, cache)
+    t = jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-6)
+
+    def pick(logits_last, key):
+        lp = jax.nn.log_softmax(logits_last.astype(jnp.float32), axis=-1)
+        tok = jax.random.categorical(key, logits_last.astype(jnp.float32) / t)
+        return tok, jnp.take_along_axis(lp, tok[:, None], axis=-1)[:, 0]
+
+    k0, rng = jax.random.split(rng)
+    first, s0 = pick(logits[:, -1], k0)
+    finished0 = first == eot_id
+
+    def body(carry, key):
+        tok, finished, cache = carry
+        logits, cache = step_fn(tok[:, None], cache)
+        nxt, s = pick(logits[:, -1], key)
+        nxt = jnp.where(finished, eot_id, nxt)
+        s = jnp.where(finished, 0.0, s)
+        live = jnp.where(finished, 0.0, 1.0)
+        finished = finished | (nxt == eot_id)
+        return (nxt, finished, cache), (nxt, s, live)
+
+    keys = jax.random.split(rng, max_new_tokens - 1)
+    (_, _, _), (rest, ss, live) = jax.lax.scan(
+        body, (first, finished0, cache), keys
+    )
+    tokens = jnp.concatenate([first[:, None], rest.T], axis=1)
+    total = s0 + jnp.sum(ss, axis=0)
+    count = 1.0 + jnp.sum(live, axis=0)
+    return tokens, total / count

@@ -99,3 +99,16 @@ def wer_cer(
     wer = word_edits / word_total if word_total else 0.0
     cer = char_edits / char_total if char_total else 0.0
     return wer, cer
+
+
+def compression_ratio(text: str) -> float:
+    """len(utf-8) / len(zlib-compressed): the Whisper-serving repetition
+    detector — looping/hallucinated output compresses far better than
+    speech, so a high ratio flags a bad decode. ~1.0-2.0 for normal
+    text; > ~2.4 is the customary retry trigger."""
+    import zlib
+
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))

@@ -58,12 +58,34 @@ class StreamingTranscriber:
         raw_lip_mode: str = "host_refined",
         quantize: Optional[str] = None,
         mesh: Optional[Any] = None,
+        temperature_fallback: Sequence[float] = (),
+        logprob_threshold: float = -1.0,
+        compression_ratio_threshold: float = 2.4,
     ):
         import jax
         import jax.numpy as jnp
 
-        from avsl_tpu.decode import beam_search, greedy_decode_scored
+        from avsl_tpu.decode import (
+            beam_search,
+            greedy_decode_scored,
+            sampled_decode_scored,
+        )
         from avsl_tpu.kernels import log_mel_spectrogram
+
+        # Whisper-serving quality loop: retry low-confidence / repetitive
+        # decodes at increasing temperatures. TPU-shaped: ONE extra
+        # compiled program (temperature is a traced scalar), re-launched
+        # whole-batch at most len(temperature_fallback) times; per-item
+        # adoption happens on the host.
+        self.temperature_fallback = tuple(float(t) for t in temperature_fallback)
+        self.logprob_threshold = float(logprob_threshold)
+        self.compression_ratio_threshold = float(compression_ratio_threshold)
+        if self.temperature_fallback and beam_size > 1:
+            raise ValueError(
+                "temperature_fallback composes with greedy decode only "
+                "(the beam already explores alternatives)"
+            )
+        self._fallback_calls = 0
 
         # multi-chip serving: shard the weights over the mesh's model
         # axis (Megatron col/row rules, core/partitioning.py) and the
@@ -163,6 +185,28 @@ class StreamingTranscriber:
 
         self._run = run
 
+        @jax.jit
+        def run_sampled(audio, video, prompt, temperature, rng):
+            variables = self._dequantize(qvariables)
+            mel = log_mel_spectrogram(audio, n_mels=cfg.n_mels)
+            feats, xv = model.apply(variables, mel, video, method=model.encode)
+            cache = model.apply(
+                variables, feats, xv, max_new_tokens + prompt.shape[1] + 2,
+                method=model.init_decode_cache,
+            )
+
+            def step(tok, c):
+                return model.apply(
+                    variables, tok, None, None, c, method=model.decode
+                )
+
+            return sampled_decode_scored(
+                step, cache, jnp.asarray(prompt), max_new_tokens,
+                tokenizer.eot, temperature, rng,
+            )
+
+        self._run_sampled = run_sampled
+
         # raw-closeup support: items carrying 'video' (an unprocessed
         # closeup mp4) instead of 'lip_video' go through the on-device
         # staged lip frontend (detection -> trajectory -> closed-form warp
@@ -193,19 +237,67 @@ class StreamingTranscriber:
 
         self._lip_from_raw = lip_from_raw
 
-    def _dispatch(self, audio, video):
-        """Run the compiled program; under a mesh, commit the batch to the
-        data axis and the prompt replicated first (jit then compiles the
-        SPMD program against those placements)."""
+    def _place(self, audio, video):
+        """Under a mesh, commit the batch to the data axis and the prompt
+        replicated (jit then compiles the SPMD program against those
+        placements); single-device passes through."""
         if self.mesh is None:
-            return self._run(audio, video, self._prompt)
+            return audio, video, self._prompt
         import jax
 
-        return self._run(
+        return (
             jax.device_put(audio, self._batch_sharding),
             jax.device_put(video, self._batch_sharding),
             jax.device_put(self._prompt, self._repl_sharding),
         )
+
+    def _retry_mask(self, seqs: np.ndarray, scores: np.ndarray) -> np.ndarray:
+        """Per-item quality gate: confidence below logprob_threshold or
+        compressible (repetitive) text above compression_ratio_threshold."""
+        from avsl_tpu.decode import compression_ratio
+
+        special = self.tokenizer.special_token_set
+        need = scores < self.logprob_threshold
+        for i in range(seqs.shape[0]):
+            if need[i]:
+                continue
+            text = self.tokenizer.decode(
+                [int(x) for x in seqs[i] if int(x) not in special]
+            )
+            if compression_ratio(text) > self.compression_ratio_threshold:
+                need[i] = True
+        return need
+
+    def _dispatch(self, audio, video):
+        """Run the compiled program; with temperature_fallback set, retry
+        failing items (whole-batch relaunches of ONE sampled program with
+        temperature as a traced scalar), adopting a retry per item when it
+        passes the gate — or, at the final temperature, when it scores
+        better than what we have."""
+        placed = self._place(audio, video)
+        seqs, scores = self._run(*placed)
+        if not self.temperature_fallback:
+            return seqs, scores
+        import jax
+
+        seqs, scores = np.asarray(seqs), np.asarray(scores)
+        need = self._retry_mask(seqs, scores)
+        self._fallback_calls += 1
+        last = len(self.temperature_fallback) - 1
+        for k, temp in enumerate(self.temperature_fallback):
+            if not need.any():
+                break
+            rng = jax.random.fold_in(
+                jax.random.PRNGKey(1234), self._fallback_calls * 31 + k
+            )
+            s2, sc2 = self._run_sampled(*placed, temp, rng)
+            s2, sc2 = np.asarray(s2), np.asarray(sc2)
+            passes = ~self._retry_mask(s2, sc2)
+            adopt = need & (passes | ((k == last) & (sc2 > scores)))
+            seqs = np.where(adopt[:, None], s2, seqs)
+            scores = np.where(adopt, sc2, scores)
+            need = need & ~(adopt & passes)
+        return seqs, scores
 
     # -- host side -----------------------------------------------------
 

@@ -449,3 +449,47 @@ def test_forced_align_through_avhubert_ctc_head():
     for f0, f1 in spans:
         assert 0 <= f0 < f1 <= lp.shape[0] and f0 >= prev
         prev = f1
+
+
+def test_sampled_decode_limits_to_greedy_at_low_temperature():
+    """temperature -> 0 makes categorical sampling pick the argmax, so
+    sampled_decode_scored must reproduce greedy_decode_scored exactly
+    (tokens AND scores — both scored on the untempered distribution);
+    at temperature 1 a fixed rng is deterministic."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from avsl_tpu.decode import greedy_decode_scored, sampled_decode_scored
+
+    rng = np.random.default_rng(7)
+    V, B, T, eot = 8, 3, 5, 0
+    steps = jnp.asarray(rng.normal(size=(T, B, V)) * 4.0, jnp.float32)
+
+    def step_fn(tok, i):
+        return jnp.take(steps, jnp.minimum(i, T - 1), axis=0)[:, None, :], i + 1
+
+    prompt = jnp.ones((B, 1), jnp.int32)
+    g_toks, g_scores = greedy_decode_scored(step_fn, 0, prompt, T, eot)
+    key = jax.random.PRNGKey(0)
+    s_toks, s_scores = sampled_decode_scored(
+        step_fn, 0, prompt, T, eot, 1e-6, key
+    )
+    np.testing.assert_array_equal(np.asarray(s_toks), np.asarray(g_toks))
+    np.testing.assert_allclose(
+        np.asarray(s_scores), np.asarray(g_scores), rtol=1e-6
+    )
+
+    a1 = sampled_decode_scored(step_fn, 0, prompt, T, eot, 1.0, key)
+    a2 = sampled_decode_scored(step_fn, 0, prompt, T, eot, 1.0, key)
+    np.testing.assert_array_equal(np.asarray(a1[0]), np.asarray(a2[0]))
+
+
+def test_compression_ratio_flags_repetition():
+    from avsl_tpu.decode import compression_ratio
+
+    looping = "so so so so so so so so so so so so so so so so"
+    normal = "the quick brown fox jumps over the lazy dog tonight"
+    assert compression_ratio(looping) > compression_ratio(normal)
+    assert compression_ratio(looping) > 2.4
+    assert compression_ratio("") == 0.0

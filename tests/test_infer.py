@@ -226,3 +226,53 @@ def test_transcriber_mesh_rejects_quantize_and_bad_batch(media):
     with pytest.raises(ValueError, match="divisible"):
         StreamingTranscriber(model, variables, tokenizer, mesh=mesh,
                              batch_size=3)
+
+
+def test_temperature_fallback_retries_low_confidence(media):
+    """With logprob_threshold=0 every greedy decode 'fails' (logprobs are
+    < 0 by definition), so the fallback loop must launch the sampled
+    program and adopt the better-scoring result at the final temperature;
+    an impossible threshold must leave results byte-identical to the
+    plain transcriber."""
+    import jax.numpy as jnp
+
+    tokenizer = get_tokenizer(None, "en")
+    model, cfg = build_whisper_flamingo(
+        "test", vocab_size=tokenizer.vocab_size, dtype="float32"
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.n_mels, 100), jnp.float32),
+        jnp.asarray([[1]]),
+        video=jnp.zeros((1, T_FRAMES, 88, 88, 1), jnp.float32),
+    )
+    kw = dict(audio_max_length=16000, video_frames=T_FRAMES,
+              batch_size=2, max_new_tokens=4)
+    items = [{"id": "x", "audio": media["wav"]}]
+
+    plain = StreamingTranscriber(model, variables, tokenizer, **kw)
+    base = plain.transcribe(items)
+
+    off = StreamingTranscriber(
+        model, variables, tokenizer, **kw,
+        temperature_fallback=(0.7,), logprob_threshold=-1e9,
+    )
+    same = off.transcribe(items)
+    assert same[0].tokens == base[0].tokens
+    assert off._fallback_calls == 1  # gate evaluated, no retry adopted
+
+    hot = StreamingTranscriber(
+        model, variables, tokenizer, **kw,
+        temperature_fallback=(0.7,), logprob_threshold=0.0,
+    )
+    out = hot.transcribe(items)
+    assert hot._fallback_calls == 1
+    r = out[0]
+    assert isinstance(r.text, str) and np.isfinite(r.avg_logprob)
+    # final-temperature adoption keeps the better score: never worse
+    # than the greedy pass
+    assert r.avg_logprob >= base[0].avg_logprob - 1e-6
+
+    with pytest.raises(ValueError, match="beam"):
+        StreamingTranscriber(model, variables, tokenizer, **kw,
+                             beam_size=2, temperature_fallback=(0.5,))
