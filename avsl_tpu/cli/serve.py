@@ -75,6 +75,7 @@ def build_transcriber(args, cfg):
             float(t) for t in args.temperature_fallback.split(",") if t
         ),
         logprob_threshold=args.logprob_threshold,
+        word_timestamps=args.word_timestamps,
         mesh=mesh,
     )
 
@@ -96,6 +97,8 @@ def main(argv: Optional[List[str]] = None):
     p.add_argument("--temperature_fallback", default="",
                    help="comma list, e.g. 0.2,0.4")
     p.add_argument("--logprob_threshold", type=float, default=-1.0)
+    p.add_argument("--word_timestamps", action="store_true",
+                   help="attach cross-attention DTW word times to replies")
     # multi-chip serving: weights tp-sharded (Megatron col/row rules),
     # batch dp-sharded; mutually exclusive with --quantize
     p.add_argument("--model_parallel", type=int, default=1)

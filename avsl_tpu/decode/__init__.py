@@ -21,3 +21,8 @@ from avsl_tpu.decode.ctc import (  # noqa: F401
     ctc_prefix_beam_search_batch,
     word_alignments,
 )
+from avsl_tpu.decode.word_timestamps import (  # noqa: F401
+    attention_token_spans,
+    dtw_path,
+    whisper_word_timestamps,
+)

@@ -45,6 +45,9 @@ class LongSegment:
     # per-window decode confidence (mean token logprob / beam score) —
     # filter hallucination-prone windows without re-decoding
     avg_logprob: float = 0.0
+    # word timestamps in GLOBAL time (window offset applied) when the
+    # transcriber runs with word_timestamps=True
+    words: Optional[List[dict]] = None
 
 
 @dataclass
@@ -160,11 +163,19 @@ def stitch(
 ) -> LongFormResult:
     """Window results (in order) -> one LongFormResult: texts joined with
     single spaces, per-window timestamps preserved as segments."""
-    segments = [
-        LongSegment(start_s=round(s, 3), end_s=round(e, 3), text=r.text,
-                    avg_logprob=getattr(r, "avg_logprob", 0.0))
-        for r, (s, e) in zip(window_results, spans_s)
-    ]
+    segments = []
+    for r, (s, e) in zip(window_results, spans_s):
+        words = getattr(r, "words", None)
+        if words is not None:  # window-relative -> global time
+            words = [
+                {**w, "start_s": round(w["start_s"] + s, 3),
+                 "end_s": round(w["end_s"] + s, 3)}
+                for w in words
+            ]
+        segments.append(LongSegment(
+            start_s=round(s, 3), end_s=round(e, 3), text=r.text,
+            avg_logprob=getattr(r, "avg_logprob", 0.0), words=words,
+        ))
     text = " ".join(t for t in (seg.text for seg in segments) if t)
     return LongFormResult(
         id=item_id,

@@ -30,6 +30,9 @@ class TranscribeResult:
     # mean token log-probability of the generated sequence (greedy) or
     # the beam's length-normalized score — serving's low-confidence flag
     avg_logprob: float = 0.0
+    # word-level timestamps (cross-attention DTW) when the transcriber
+    # was built with word_timestamps=True: [{"word", "start_s", "end_s"}]
+    words: Optional[List[dict]] = None
 
 
 class StreamingTranscriber:
@@ -61,6 +64,7 @@ class StreamingTranscriber:
         temperature_fallback: Sequence[float] = (),
         logprob_threshold: float = -1.0,
         compression_ratio_threshold: float = 2.4,
+        word_timestamps: bool = False,
     ):
         import jax
         import jax.numpy as jnp
@@ -207,6 +211,26 @@ class StreamingTranscriber:
 
         self._run_sampled = run_sampled
 
+        # word timestamps (decode/word_timestamps.py): ONE teacher-forced
+        # alignment program over the decoded tokens; the attention layer
+        # materializes + sows cross-attn weights only because
+        # "intermediates" is mutable here — the decode programs above
+        # keep the fused path
+        self.word_timestamps = bool(word_timestamps)
+        if self.word_timestamps:
+
+            @jax.jit
+            def run_align(audio, video, tokens):
+                variables = self._dequantize(qvariables)
+                mel = log_mel_spectrogram(audio, n_mels=cfg.n_mels)
+                _, inter = model.apply(
+                    variables, mel, tokens, video=video,
+                    mutable=["intermediates"],
+                )
+                return inter["intermediates"]
+
+            self._run_align = run_align
+
         # raw-closeup support: items carrying 'video' (an unprocessed
         # closeup mp4) instead of 'lip_video' go through the on-device
         # staged lip frontend (detection -> trajectory -> closed-form warp
@@ -302,7 +326,8 @@ class StreamingTranscriber:
     # -- host side -----------------------------------------------------
 
     def _load_item(self, item: Dict[str, Any]):
-        """-> (audio, lip_feats | None, raw_clip | None, has_video).
+        """-> (audio, lip_feats | None, raw_clip | None, n_raw_frames,
+        has_video, n_audio_samples).
 
         ``lip_video``: an already-extracted 96x96 lip clip (reference
         runtime contract). ``video``: a RAW closeup — decoded to grayscale
@@ -312,6 +337,7 @@ class StreamingTranscriber:
         from avsl_tpu.kernels.logmel import pad_or_trim
 
         audio = load_wav(item["audio"]) if isinstance(item["audio"], str) else item["audio"]
+        n_samples = min(len(audio), self.audio_max_length)
         audio = np.asarray(pad_or_trim(np.asarray(audio, np.float32), self.audio_max_length))
 
         lf = item.get("lip_feats")
@@ -321,7 +347,7 @@ class StreamingTranscriber:
                 (self.video_frames, self.crop, self.crop, 1), np.float32
             )
             video[: len(feats)] = feats
-            return audio, video, None, 0, True
+            return audio, video, None, 0, True, n_samples
 
         lip = item.get("lip_video")
         if lip and isinstance(lip, str) and os.path.exists(lip):
@@ -332,7 +358,7 @@ class StreamingTranscriber:
                     (self.video_frames, self.crop, self.crop, 1), np.float32
                 )
                 video[: len(feats)] = feats
-                return audio, video, None, 0, True
+                return audio, video, None, 0, True, n_samples
             except Exception:
                 pass  # corrupt lip clip: fall through to the raw closeup
 
@@ -350,7 +376,7 @@ class StreamingTranscriber:
                             np.float32,
                         )
                         video[: len(feats)] = feats
-                        return audio, video, None, 0, True
+                        return audio, video, None, 0, True, n_samples
                     # detector found nothing: fall through to device crop
                 h, w = self.raw_video_hw
                 if frames.shape[1:] != (h, w):
@@ -361,10 +387,10 @@ class StreamingTranscriber:
                     )
                 clip = np.zeros((self.video_frames, h, w), np.uint8)
                 clip[: len(frames)] = frames.astype(np.uint8)
-                return audio, None, clip, len(frames), True
+                return audio, None, clip, len(frames), True, n_samples
             except Exception:
                 pass
-        return audio, None, None, 0, False
+        return audio, None, None, 0, False, n_samples
 
     def _host_refined_lip(self, frames: np.ndarray):
         """Training-parity lip crop: the offline preprocessing pipeline
@@ -394,9 +420,11 @@ class StreamingTranscriber:
         raw_mask = np.zeros((self.batch_size,), bool)
         raw_frames = np.zeros((self.batch_size,), np.int32)
         flags: List[bool] = []
+        n_samples = np.zeros((self.batch_size,), np.int64)
         for i, item in enumerate(items):
-            a, v, rc, nf, hv = self._load_item(item)
+            a, v, rc, nf, hv, ns = self._load_item(item)
             audio[i] = a
+            n_samples[i] = ns
             if v is not None:
                 video[i] = v
             if rc is not None:
@@ -406,7 +434,36 @@ class StreamingTranscriber:
                 raw_mask[i] = True
                 raw_frames[i] = nf
             flags.append(hv)
-        return audio, video, raw, raw_mask, raw_frames, flags, n
+        return audio, video, raw, raw_mask, raw_frames, flags, n, n_samples
+
+    def _word_timestamps(self, audio, video, seqs: np.ndarray,
+                         n_samples: np.ndarray) -> List[List[dict]]:
+        """Teacher-force the decoded sequences back through the model to
+        capture cross-attention, DTW-align, and group into words. The
+        encoder emits one frame per 20 ms (conv stride 2 over 10 ms mel
+        hops) -> frame_rate 50 Hz; per-item true frames crop the padding.
+        Trailing EOT padding rows are skipped by the word grouper."""
+        from avsl_tpu.decode.word_timestamps import (
+            attention_token_spans,
+            collect_cross_attention,
+        )
+        from avsl_tpu.decode.ctc import word_alignments
+
+        tokens = np.concatenate(
+            [self._prompt, np.asarray(seqs, np.int32)], axis=1
+        )
+        inter = self._run_align(audio, video, tokens)
+        per_item = collect_cross_attention(inter)
+        out: List[List[dict]] = []
+        for b in range(tokens.shape[0]):
+            nf = max(int(np.ceil(n_samples[b] / 320.0)), 1)
+            spans = attention_token_spans(per_item[b], nf)
+            out.append(word_alignments(
+                [int(t) for t in tokens[b]], spans, self.tokenizer,
+                frame_rate_hz=50.0,
+                special_ids=self.tokenizer.special_token_set,
+            ))
+        return out
 
     # -- public API ----------------------------------------------------
 
@@ -422,7 +479,7 @@ class StreamingTranscriber:
                 f"{len(items)} items > batch_size {self.batch_size}"
             )
         chunk = list(items)
-        audio, video, raw, raw_mask, raw_frames, flags, n = self._prepare_batch(chunk)
+        audio, video, raw, raw_mask, raw_frames, flags, n, n_samples = self._prepare_batch(chunk)
         if raw is not None:
             import jax.numpy as jnp
 
@@ -431,6 +488,8 @@ class StreamingTranscriber:
             video = jnp.where(m, lip, jnp.asarray(video))
         seqs, scores = self._dispatch(audio, video)
         seqs, scores = np.asarray(seqs), np.asarray(scores)
+        words = (self._word_timestamps(audio, video, seqs, n_samples)
+                 if self.word_timestamps else None)
         special = self.tokenizer.special_token_set
         results: List[TranscribeResult] = []
         for i in range(n):
@@ -443,6 +502,7 @@ class StreamingTranscriber:
                     tokens=toks,
                     has_video=flags[i],
                     avg_logprob=round(float(scores[i]), 4),
+                    words=None if words is None else words[i],
                 )
             )
         return results
@@ -495,7 +555,7 @@ class StreamingTranscriber:
             got = queue.get()
             if got is None:
                 break
-            chunk, (audio, video, raw, raw_mask, raw_frames, flags, n) = got
+            chunk, (audio, video, raw, raw_mask, raw_frames, flags, n, n_samples) = got
             if raw is not None:
                 import jax.numpy as jnp
 
@@ -506,6 +566,8 @@ class StreamingTranscriber:
                 video = jnp.where(m, lip, jnp.asarray(video))
             seqs, scores = self._dispatch(audio, video)
             seqs, scores = np.asarray(seqs), np.asarray(scores)
+            words = (self._word_timestamps(audio, video, seqs, n_samples)
+                     if self.word_timestamps else None)
             for i in range(n):
                 toks = [int(x) for x in seqs[i]]
                 text_ids = [x for x in toks if x not in special]
@@ -516,6 +578,7 @@ class StreamingTranscriber:
                         tokens=toks,
                         has_video=flags[i],
                         avg_logprob=round(float(scores[i]), 4),
+                        words=None if words is None else words[i],
                     )
                 )
         t.join()

@@ -201,7 +201,9 @@ class TranscriptionServer:
                         "has_video": long_r.has_video,
                         "segments": [
                             {"start_s": s.start_s, "end_s": s.end_s,
-                             "text": s.text, "avg_logprob": s.avg_logprob}
+                             "text": s.text, "avg_logprob": s.avg_logprob,
+                             **({"words": s.words}
+                                if s.words is not None else {})}
                             for s in long_r.segments
                         ],
                         "latency_ms": round(
@@ -217,13 +219,16 @@ class TranscriptionServer:
                     self._reply(500, {"error": pending.error})
                     return
                 r = pending.result
-                self._reply(200, {
+                payload = {
                     "id": r.id,
                     "text": r.text,
                     "has_video": r.has_video,
                     "avg_logprob": r.avg_logprob,
                     "latency_ms": round(pending.latency_ms, 1),
-                })
+                }
+                if r.words is not None:
+                    payload["words"] = r.words
+                self._reply(200, payload)
 
         self._http = ThreadingHTTPServer((host, port), Handler)
         self._http.daemon_threads = True

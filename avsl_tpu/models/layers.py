@@ -129,8 +129,11 @@ def dot_product_attention(
     v: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
     bias: Optional[jnp.ndarray] = None,
-) -> jnp.ndarray:
-    """[B,Q,H,D]x[B,K,H,D] -> [B,Q,H,D]; fp32 softmax; mask True=attend."""
+    return_weights: bool = False,
+):
+    """[B,Q,H,D]x[B,K,H,D] -> [B,Q,H,D]; fp32 softmax; mask True=attend.
+    ``return_weights`` also returns the fp32 [B,H,Q,K] softmax weights
+    (the alignment capture path, decode/word_timestamps.py)."""
     head_dim = q.shape[-1]
     scale = 1.0 / np.sqrt(head_dim)
     logits = jnp.einsum(
@@ -140,8 +143,14 @@ def dot_product_attention(
         logits = logits + bias.astype(jnp.float32)
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
-    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", weights, v, preferred_element_type=jnp.float32).astype(q.dtype)
+    weights_f32 = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    weights = weights_f32.astype(q.dtype)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", weights, v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
+    if return_weights:
+        return out, weights_f32
+    return out
 
 
 class MultiHeadAttention(nn.Module):
@@ -219,12 +228,25 @@ class MultiHeadAttention(nn.Module):
             src = x if kv_src is None else kv_src
             k = self._split(self.k_proj(src))
             v = self._split(self.v_proj(src))
-            if mask is None:
+            # alignment capture (decode/word_timestamps.py): materialize
+            # and sow cross-attention weights ONLY when the caller made
+            # "intermediates" mutable — production forwards keep the
+            # fused kernel and never build the [B,H,Q,K] matrix
+            sow_weights = (
+                kv_src is not None
+                and self.is_mutable_collection("intermediates")
+            )
+            if mask is None and not sow_weights:
                 # hot full-sequence path: fused (flash-style) Pallas kernel
                 # on TPU, einsum fallback elsewhere (kernels/attention.py)
                 from avsl_tpu.kernels.attention import fused_attention
 
                 out = fused_attention(q, k, v, lengths=kv_lengths, causal=causal)
+            elif sow_weights:
+                out, weights = dot_product_attention(
+                    q, k, v, mask, return_weights=True
+                )
+                self.sow("intermediates", "attn_weights", weights)
             else:
                 out = dot_product_attention(q, k, v, mask)
 

@@ -493,3 +493,97 @@ def test_compression_ratio_flags_repetition():
     assert compression_ratio(looping) > compression_ratio(normal)
     assert compression_ratio(looping) > 2.4
     assert compression_ratio("") == 0.0
+
+
+def test_dtw_path_recovers_planted_ridge():
+    """DTW through a cost matrix with a low-cost monotone ridge must
+    follow the ridge exactly; endpoints are pinned by construction."""
+    import numpy as np
+
+    from avsl_tpu.decode import dtw_path
+
+    Q, K = 5, 12
+    ridge = {0: (0, 3), 1: (3, 5), 2: (5, 9), 3: (9, 10), 4: (10, 12)}
+    cost = np.ones((Q, K))
+    for r, (a, b) in ridge.items():
+        cost[r, a:b] = 0.0
+    rows, cols = dtw_path(cost)
+    assert rows[0] == 0 and cols[0] == 0
+    assert rows[-1] == Q - 1 and cols[-1] == K - 1
+    assert (np.diff(rows) >= 0).all() and (np.diff(cols) >= 0).all()
+    total = cost[rows, cols].sum()
+    assert total == 0.0  # the ridge is followed with zero off-ridge cost
+
+
+def test_attention_token_spans_from_designed_attention():
+    import numpy as np
+
+    from avsl_tpu.decode import attention_token_spans
+
+    H, Q, K = 4, 4, 20
+    design = {0: (0, 5), 1: (5, 9), 2: (9, 15), 3: (15, 20)}
+    w = np.full((H, Q, K), 0.01)
+    for q, (a, b) in design.items():
+        w[:, q, a:b] = 1.0
+    spans = attention_token_spans(w, n_frames=K, median_width=1)
+    assert len(spans) == Q
+    for q, (a, b) in design.items():
+        f0, f1 = spans[q]
+        # DTW boundaries land within one frame of the designed blocks
+        assert abs(f0 - a) <= 1 and abs(f1 - b) <= 1, (q, spans[q], (a, b))
+
+
+def test_whisper_word_timestamps_end_to_end():
+    """Teacher-forced capture through the real tiny Whisper-Flamingo:
+    intermediates sown only when requested (production forward stays on
+    the fused path and returns identical logits), words come back in
+    order with non-decreasing times."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from avsl_tpu.data.tokenizer import get_tokenizer
+    from avsl_tpu.decode import whisper_word_timestamps
+    from avsl_tpu.decode.word_timestamps import collect_cross_attention
+    from avsl_tpu.models.factory import build_whisper_flamingo
+
+    tokenizer = get_tokenizer(None, "en")
+    model, cfg = build_whisper_flamingo(
+        "test", vocab_size=tokenizer.vocab_size, dtype="float32"
+    )
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.normal(size=(1, cfg.n_mels, 100)), jnp.float32)
+    video = jnp.asarray(rng.normal(size=(1, 10, 88, 88, 1)) * 0.1, jnp.float32)
+    text_ids = tokenizer.encode(" hello world")
+    toks = jnp.asarray([tokenizer.sot_sequence("en") + text_ids + [tokenizer.eot]])
+    variables = model.init(jax.random.PRNGKey(0), mel, toks, video=video)
+
+    # production forward: no intermediates requested -> fused path; the
+    # capture change must not alter logits
+    base = model.apply(variables, mel, toks, video=video)
+    logits, inter = model.apply(
+        variables, mel, toks, video=video, mutable=["intermediates"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(base), np.asarray(logits), rtol=2e-4, atol=2e-4
+    )
+    per_item = collect_cross_attention(inter["intermediates"])
+    n_layers, n_heads = cfg.n_text_layer, cfg.n_text_head
+    assert per_item.shape[:2] == (1, n_layers * n_heads)
+    # softmax rows sum to 1 over frames
+    np.testing.assert_allclose(per_item.sum(-1), 1.0, rtol=1e-4)
+
+    words = whisper_word_timestamps(
+        model, variables, mel, toks, tokenizer, video=video
+    )[0]
+    assert [w["word"] for w in words] == ["hello", "world"]
+    # DTW rows are visited monotonically: starts and ends are ordered
+    # (a vertical path step lets adjacent spans share one frame, so a
+    # strict end<=next-start need not hold)
+    assert 0 <= words[0]["start_s"] <= words[1]["start_s"]
+    assert words[0]["end_s"] <= words[1]["end_s"]
+    assert all(w["end_s"] > w["start_s"] for w in words)
+
+    with pytest.raises(ValueError, match="sown"):
+        collect_cross_attention({"decoder": {}})

@@ -147,7 +147,7 @@ def test_corrupt_lip_clip_falls_back_to_raw(media, tmp_path):
         batch_size=1, max_new_tokens=3,
         raw_video_hw=(SRC_H, SRC_W),
     )
-    audio, lip, raw, nf, hv = tr._load_item(item)
+    audio, lip, raw, nf, hv, ns = tr._load_item(item)
     assert hv, "raw closeup fallback dropped to audio-only"
     # host_refined (default): the raw closeup became a normalized lip clip
     assert lip is not None and raw is None
@@ -159,7 +159,7 @@ def test_corrupt_lip_clip_falls_back_to_raw(media, tmp_path):
         batch_size=1, max_new_tokens=3,
         raw_video_hw=(SRC_H, SRC_W), raw_lip_mode="device",
     )
-    audio, lip, raw, nf, hv = tr_dev._load_item(item)
+    audio, lip, raw, nf, hv, ns = tr_dev._load_item(item)
     assert lip is None and raw is not None and hv
     assert nf > 0 and raw.shape == (T_FRAMES, SRC_H, SRC_W)
 
@@ -276,3 +276,47 @@ def test_temperature_fallback_retries_low_confidence(media):
     with pytest.raises(ValueError, match="beam"):
         StreamingTranscriber(model, variables, tokenizer, **kw,
                              beam_size=2, temperature_fallback=(0.5,))
+
+
+def test_word_timestamps_through_transcriber_and_longform(media):
+    """word_timestamps=True: one extra teacher-forced alignment program
+    attaches word-level times to every result; long-form stitching
+    offsets them into global time."""
+    import jax.numpy as jnp
+
+    tokenizer = get_tokenizer(None, "en")
+    model, cfg = build_whisper_flamingo(
+        "test", vocab_size=tokenizer.vocab_size, dtype="float32"
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.n_mels, 100), jnp.float32),
+        jnp.asarray([[1]]),
+        video=jnp.zeros((1, T_FRAMES, 88, 88, 1), jnp.float32),
+    )
+    tr = StreamingTranscriber(
+        model, variables, tokenizer,
+        audio_max_length=16000, video_frames=T_FRAMES,
+        batch_size=2, max_new_tokens=4, word_timestamps=True,
+    )
+    out = tr.transcribe([{"id": "w", "audio": media["wav"]}])[0]
+    assert out.words is not None
+    dur = 1.0  # the fixture wav is 1 s -> 50 encoder frames
+    for w in out.words:
+        assert 0 <= w["start_s"] < w["end_s"] <= dur + 0.02
+        assert isinstance(w["word"], str) and w["word"]
+
+    # long-form: words shifted by each window's global start
+    rng = np.random.default_rng(0)
+    audio = np.concatenate([
+        0.3 * np.sin(2 * np.pi * 250 * np.arange(12000) / 16000),
+        0.001 * rng.standard_normal(6000),
+        0.3 * np.sin(2 * np.pi * 420 * np.arange(12000) / 16000),
+    ]).astype(np.float32)
+    res = tr.transcribe_long([{"id": "L", "audio": audio}])[0]
+    assert len(res.segments) >= 2
+    for seg in res.segments:
+        if not seg.words:
+            continue
+        for w in seg.words:
+            assert seg.start_s - 1e-6 <= w["start_s"] <= seg.end_s + 0.05
