@@ -20,3 +20,4 @@ from avsl_tpu.train.checkpoints import (  # noqa: F401
     latest_step,
     partial_load,
 )
+from avsl_tpu.train.ema import ema_update, tree_average, average_checkpoint_steps  # noqa: F401

@@ -47,6 +47,16 @@ def latest_step(directory: str) -> Optional[int]:
     return step
 
 
+def all_steps(directory: str) -> list:
+    """Sorted step numbers present under an orbax directory."""
+    if not _HAS_ORBAX or not os.path.isdir(directory):
+        return []
+    mgr = _manager(directory)
+    steps = sorted(mgr.all_steps())
+    mgr.close()
+    return steps
+
+
 def restore_checkpoint(directory: str, target: Any, step: Optional[int] = None) -> Any:
     """Restore into the structure of ``target`` (a matching TrainState)."""
     mgr = _manager(directory)

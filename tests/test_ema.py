@@ -1,0 +1,111 @@
+"""Parameter EMA + checkpoint averaging (train/ema.py, cli.avg_ckpt).
+
+The reference keeps only raw Lightning top-k checkpoints; these are the
+weight-averaging tools it lacks. Tests: exact EMA arithmetic, uniform
+soup math, orbax round-trip through the CLI, and step/opt-state
+provenance from the newest contributor.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from avsl_tpu.train.ema import average_checkpoint_steps, ema_update, tree_average
+
+
+def test_ema_update_exact():
+    ema = {"w": jnp.ones((3,)), "step": jnp.asarray(0, jnp.int32)}
+    new = {"w": jnp.full((3,), 3.0), "step": jnp.asarray(7, jnp.int32)}
+    out = ema_update(ema, new, decay=0.9)
+    np.testing.assert_allclose(np.asarray(out["w"]), 1.0 * 0.9 + 3.0 * 0.1)
+    assert int(out["step"]) == 7  # int leaves pass through from new
+
+
+def test_ema_converges_to_constant_target():
+    ema = {"w": jnp.zeros(())}
+    tgt = {"w": jnp.asarray(5.0)}
+    for _ in range(300):
+        ema = ema_update(ema, tgt, decay=0.95)
+    assert abs(float(ema["w"]) - 5.0) < 1e-4
+
+
+def test_tree_average_math_and_dtype():
+    trees = [
+        {"a": jnp.asarray([1.0, 2.0], jnp.bfloat16), "n": jnp.asarray(3)},
+        {"a": jnp.asarray([3.0, 6.0], jnp.bfloat16), "n": jnp.asarray(9)},
+    ]
+    avg = tree_average(trees)
+    np.testing.assert_allclose(
+        np.asarray(avg["a"], np.float32), [2.0, 4.0]
+    )
+    assert avg["a"].dtype == jnp.bfloat16  # accumulated f32, cast back
+    assert int(avg["n"]) == 3  # non-float: first tree
+    with pytest.raises(ValueError):
+        tree_average([])
+
+
+def test_average_checkpoint_steps_roundtrip(tmp_path):
+    from avsl_tpu.train.checkpoints import save_checkpoint
+    from avsl_tpu.train.loop import TrainState
+
+    def mk(val, step):
+        params = {"dense": {"kernel": jnp.full((4, 2), val)}}
+        st = TrainState.create(params, optax.adam(1e-3))
+        return st.replace(step=step)
+
+    d = str(tmp_path / "ckpt")
+    for val, step in [(1.0, 10), (2.0, 20), (6.0, 30)]:
+        save_checkpoint(d, mk(val, step), step=step)
+
+    template = mk(0.0, 0)
+    soup = average_checkpoint_steps(d, template)
+    np.testing.assert_allclose(
+        np.asarray(soup.params["dense"]["kernel"]), 3.0
+    )
+    assert int(soup.step) == 30  # provenance: newest contributor
+
+    soup2 = average_checkpoint_steps(d, template, steps=[10, 30])
+    np.testing.assert_allclose(
+        np.asarray(soup2.params["dense"]["kernel"]), 3.5
+    )
+    soup3 = average_checkpoint_steps(d, template, last_k=2)
+    np.testing.assert_allclose(
+        np.asarray(soup3.params["dense"]["kernel"]), 4.0
+    )
+    with pytest.raises(ValueError, match="not in"):
+        average_checkpoint_steps(d, template, steps=[10, 99])
+
+
+@pytest.mark.slow
+def test_avg_ckpt_cli_smoke(tmp_path):
+    """CLI end-to-end on the tiny flamingo state: save two perturbed
+    checkpoints with the CLI's own template builder, average, verify the
+    written soup restores to the exact mean."""
+    from avsl_tpu.cli.avg_ckpt import build_state, main
+    from avsl_tpu.core.config import FlamingoTrainConfig
+    from avsl_tpu.train.checkpoints import restore_checkpoint, save_checkpoint
+
+    cfg = FlamingoTrainConfig()
+    cfg.model_name = "test"
+    cfg.audio_max_length = 16000
+    base = build_state(cfg, smoke=True)
+    d = str(tmp_path / "ckpt")
+    for delta, step in [(0.0, 1), (0.5, 2)]:
+        st = base.replace(
+            params=jax.tree_util.tree_map(lambda x: x + delta, base.params),
+            step=step,
+        )
+        save_checkpoint(d, st, step=step)
+    out = str(tmp_path / "soup")
+    main(["--ckpt_dir", d, "--output", out, "--smoke"])
+    restored = restore_checkpoint(out, base, step=2)
+    expect = jax.tree_util.tree_map(lambda x: x + 0.25, base.params)
+    flat_r = jax.tree_util.tree_leaves(restored.params)
+    flat_e = jax.tree_util.tree_leaves(expect)
+    for r, e in zip(flat_r, flat_e):
+        np.testing.assert_allclose(
+            np.asarray(r, np.float32), np.asarray(e, np.float32),
+            rtol=1e-5, atol=1e-5,
+        )
