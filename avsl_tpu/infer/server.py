@@ -45,7 +45,7 @@ import threading
 import time
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from queue import Empty, Queue
+from queue import Empty, Full, Queue
 from typing import Any, Dict, List, Optional
 
 import numpy as np
@@ -68,6 +68,7 @@ class _Stats:
         self.occupancies: List[int] = []
         self.n_requests = 0
         self.n_errors = 0
+        self.n_rejected = 0
 
     def record_batch(self, occupancy: int, latencies_ms: List[float], errors: int = 0):
         with self.lock:
@@ -86,6 +87,7 @@ class _Stats:
             out = {
                 "n_requests": self.n_requests,
                 "n_errors": self.n_errors,
+                "n_rejected": self.n_rejected,
                 "n_batches": int(occ.size),
             }
             if lat.size:
@@ -118,11 +120,14 @@ class TranscriptionServer:
         host: str = "127.0.0.1",
         port: int = 0,
         max_wait_ms: float = 30.0,
+        max_queue: int = 256,
     ):
         self.transcriber = transcriber
         self.max_wait_ms = float(max_wait_ms)
         self.stats = _Stats()
-        self._queue: "Queue[_Pending]" = Queue()
+        # backpressure: a bounded queue sheds load with HTTP 429 instead
+        # of letting tail latency grow without bound under overload
+        self._queue: "Queue[_Pending]" = Queue(maxsize=max(int(max_queue), 1))
         self._stop = threading.Event()
         self._scheduler = threading.Thread(target=self._run_scheduler, daemon=True)
 
@@ -181,6 +186,11 @@ class TranscriptionServer:
                         self._reply(400, {"error": str(e)})
                         return
                     pendings = [server.submit(w) for w in windows]
+                    if any(p is None for p in pendings):
+                        # overload: some windows were shed; the accepted
+                        # ones still run but this request fails fast
+                        self._reply(429, {"error": "server overloaded"})
+                        return
                     t_left = 600.0
                     for p in pendings:
                         t0 = time.perf_counter()
@@ -212,6 +222,9 @@ class TranscriptionServer:
                     })
                     return
                 pending = server.submit(item)
+                if pending is None:
+                    self._reply(429, {"error": "server overloaded"})
+                    return
                 if not pending.done.wait(timeout=300.0):
                     self._reply(504, {"error": "timed out"})
                     return
@@ -257,10 +270,16 @@ class TranscriptionServer:
                 item[k] = str(req[k])
         return item
 
-    def submit(self, item: Dict[str, Any]) -> _Pending:
-        """Enqueue one request; wait on ``pending.done``."""
+    def submit(self, item: Dict[str, Any]) -> Optional[_Pending]:
+        """Enqueue one request; wait on ``pending.done``. Returns None
+        when the queue is full (callers answer 429)."""
         pending = _Pending(item=item)
-        self._queue.put(pending)
+        try:
+            self._queue.put_nowait(pending)
+        except Full:
+            with self.stats.lock:
+                self.stats.n_rejected += 1
+            return None
         return pending
 
     # -- scheduler ------------------------------------------------------

@@ -127,3 +127,48 @@ def test_cli_serve_smoke():
     srv = main(["--smoke", "--batch_size", "2", "--max_new_tokens", "2",
                 "--port", "0"])
     assert srv is not None
+
+
+def test_backpressure_sheds_load_with_429(server):
+    """A bounded queue rejects the overflow request with HTTP 429 while
+    queued work completes once the scheduler drains. Deterministic: the
+    scheduler thread is started only after the queue is full."""
+    import numpy as np
+    import urllib.error
+
+    from avsl_tpu.infer import TranscriptionServer
+
+    srv = TranscriptionServer(
+        server.transcriber, port=0, max_wait_ms=1.0, max_queue=1
+    )
+    srv._http_thread.start()  # HTTP up, scheduler NOT running
+    try:
+        first = {}
+
+        def fire_first():
+            first["resp"] = _post(srv, {
+                "id": "q1", "audio_pcm_b64": _pcm_b64(freq=260),
+            }, timeout=180)
+
+        t = threading.Thread(target=fire_first)
+        t.start()
+        # wait until q1 actually occupies the queue
+        for _ in range(100):
+            if srv._queue.full():
+                break
+            import time as _time
+
+            _time.sleep(0.02)
+        assert srv._queue.full()
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(srv, {"id": "q2", "audio_pcm_b64": _pcm_b64(freq=300)})
+        assert ei.value.code == 429
+        assert srv.stats.snapshot()["n_rejected"] == 1
+
+        srv._scheduler.start()  # drain: q1 must now complete normally
+        t.join(timeout=180)
+        status, out = first["resp"]
+        assert status == 200 and out["id"] == "q1"
+    finally:
+        srv.stop()
