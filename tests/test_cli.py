@@ -299,3 +299,48 @@ def test_align_cli_smoke_and_csv(tmp_path):
     assert [w["word"] for w in results[1]["words"]] == ["three"]
     with open(out_path) as f:
         assert json.load(f) == results
+
+
+def test_extract_cli_dumps_features(tmp_path):
+    """Feature-extraction CLI (fairseq dump_hubert_feature counterpart):
+    per-segment [T, hidden] .npy dumps, layer tap changes the features,
+    AV vs audio-only changes them too (fusion actually sees the video)."""
+    import csv
+    import json
+
+    import numpy as np
+
+    from avsl_tpu.cli.extract import main
+    from avsl_tpu.data.audio_segments import write_wav
+    from avsl_tpu.data.video_io import write_video_frames
+
+    sr = 16000
+    wav = str(tmp_path / "a.wav")
+    write_wav(wav, (0.2 * np.sin(
+        2 * np.pi * 250 * np.arange(sr) / sr)).astype(np.float32))
+    lip = str(tmp_path / "a-lip.mp4")
+    write_video_frames(
+        lip,
+        np.random.default_rng(0).integers(0, 255, (25, 96, 96)).astype(np.uint8),
+        fps=25,
+    )
+    csv_path = str(tmp_path / "segs.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["id", "audio", "video"])
+        w.writeheader()
+        w.writerow({"id": "av", "audio": wav, "video": lip})
+        w.writerow({"id": "a", "audio": wav, "video": ""})
+    out = str(tmp_path / "feats")
+    results = main(["--csv", csv_path, "--tiny", "--output", out])
+    assert [r["id"] for r in results] == ["av", "a"]
+    f_av = np.load(results[0]["path"])
+    f_a = np.load(results[1]["path"])
+    assert f_av.ndim == 2 and f_av.shape == f_a.shape
+    assert np.isfinite(f_av).all()
+    assert np.abs(f_av - f_a).max() > 0  # the video stream reached fusion
+
+    out2 = str(tmp_path / "feats_l1")
+    r2 = main(["--audio", wav, "--tiny", "--output", out2, "--layer", "1"])
+    f_l1 = np.load(r2[0]["path"])
+    assert f_l1.shape == f_a.shape
+    assert np.abs(f_l1 - f_a).max() > 0  # tap != final output
