@@ -320,3 +320,41 @@ def test_word_timestamps_through_transcriber_and_longform(media):
             continue
         for w in seg.words:
             assert seg.start_s - 1e-6 <= w["start_s"] <= seg.end_s + 0.05
+
+
+def test_serving_options_compose_on_a_mesh(media):
+    """word_timestamps + temperature_fallback + tp/dp mesh in ONE
+    transcriber: the alignment and sampled programs must compile and run
+    against sharded closure params (sharding bugs crash here, not in
+    production)."""
+    import jax.numpy as jnp
+
+    from avsl_tpu.core.mesh import make_mesh
+
+    tokenizer = get_tokenizer(None, "en")
+    model, cfg = build_whisper_flamingo(
+        "test", vocab_size=tokenizer.vocab_size, dtype="float32"
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.n_mels, 100), jnp.float32),
+        jnp.asarray([[1]]),
+        video=jnp.zeros((1, T_FRAMES, 88, 88, 1), jnp.float32),
+    )
+    tr = StreamingTranscriber(
+        model, variables, tokenizer,
+        audio_max_length=16000, video_frames=T_FRAMES,
+        batch_size=2, max_new_tokens=4,
+        mesh=make_mesh(8, model_parallel=4),
+        word_timestamps=True,
+        temperature_fallback=(0.8,), logprob_threshold=0.0,
+    )
+    out = tr.transcribe([
+        {"id": "av", "audio": media["wav"], "lip_video": media["lip"]},
+        {"id": "a", "audio": media["wav"]},
+    ])
+    assert len(out) == 2 and tr._fallback_calls >= 1
+    for r in out:
+        assert r.words is not None and np.isfinite(r.avg_logprob)
+        for w in r.words:
+            assert w["end_s"] > w["start_s"] >= 0

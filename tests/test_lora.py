@@ -148,3 +148,57 @@ def test_finetune_cli_lora_smoke(tmp_path):
     result = main([str(cfg_path), "--smoke"])
     assert result["final_step"] >= 6
     assert np.isfinite(result["best_wer"])
+
+
+@pytest.mark.slow
+def test_export_lora_cli_merges_exactly(tmp_path):
+    """export_lora: saved adapters + saved base -> merged checkpoint
+    that equals merge_lora computed directly."""
+    import optax
+
+    from avsl_tpu.cli.avg_ckpt import build_state
+    from avsl_tpu.cli.export_lora import main
+    from avsl_tpu.core.config import FlamingoTrainConfig
+    from avsl_tpu.train.checkpoints import restore_checkpoint, save_checkpoint
+    from avsl_tpu.train.loop import TrainState
+    from avsl_tpu.train.optim import lora_optimizer
+
+    cfg = FlamingoTrainConfig()
+    cfg.model_name = "test"
+    cfg.audio_max_length = 16000
+    cfg.lora_rank = 4
+    cfg.lora_alpha = 8.0
+
+    base = build_state(cfg, smoke=True)
+    base_dir = str(tmp_path / "base")
+    save_checkpoint(base_dir, base, step=0)
+
+    adapters = init_lora(jax.random.PRNGKey(1), base.params, 4)
+    adapters = jax.tree_util.tree_map(
+        lambda x: x + 0.03 * jax.random.normal(jax.random.PRNGKey(5), x.shape),
+        adapters,
+    )
+    tx, _ = lora_optimizer(adapters, cfg, 1)
+    a_dir = str(tmp_path / "adapters")
+    save_checkpoint(a_dir, TrainState.create(adapters, tx), step=7)
+
+    import yaml
+
+    cfg_path = str(tmp_path / "lora.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump({"lora_rank": 4, "lora_alpha": 8.0}, f)
+    out_dir = str(tmp_path / "merged")
+    main(["--config", cfg_path, "--adapter_ckpt", a_dir,
+          "--base_ckpt", base_dir, "--output", out_dir, "--smoke"])
+    # reload the export and compare against the in-memory merge; use an
+    # sgd-state template only for params (opt structure doesn't matter
+    # for serving loads which take params/batch_stats only)
+    restored = restore_checkpoint(out_dir, base, step=7)
+    expect = merge_lora(base.params, adapters, 8.0, 4)
+    for r, e in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(expect)):
+        np.testing.assert_allclose(
+            np.asarray(r, np.float32), np.asarray(e, np.float32),
+            rtol=1e-5, atol=1e-6,
+        )
+    assert int(restored.step) == 7
