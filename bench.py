@@ -657,5 +657,38 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def _backend_available(timeout_s: float) -> bool:
+    """Probe backend init in a SUBPROCESS with a hard timeout. Observed
+    tunnel outage mode (docs/ENGINEERING_NOTES.md): `jax.devices()` itself
+    hangs for minutes, then fails with `Unable to initialize backend
+    'axon'` — an in-process probe cannot be timed out, a child can."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        return r.returncode == 0 and "ok" in r.stdout
+    except Exception:
+        return False
+
+
 if __name__ == "__main__":
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat and plat != "cpu" and not _backend_available(
+        float(os.environ.get("AVSL_BENCH_BACKEND_TIMEOUT", "240"))
+    ):
+        # honest failure artifact instead of an indefinite hang: the
+        # driver records THIS line; value 0 marks the run invalid
+        print(json.dumps({
+            "metric": "segments_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "segments/s",
+            "vs_baseline": 0.0,
+            "error": "tpu_backend_unavailable: jax.devices() hung or "
+                     "failed in a probe subprocess (axon outage mode, "
+                     "docs/ENGINEERING_NOTES.md)",
+        }))
+        sys.exit(0)
     main()
