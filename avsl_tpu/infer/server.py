@@ -343,6 +343,15 @@ class TranscriptionServer:
         return self
 
     def serve_forever(self):
+        # SIGTERM (the orchestrator's stop signal) drains like Ctrl-C:
+        # in-flight batches finish, waiters get their replies, then the
+        # scheduler and HTTP threads join
+        import signal
+
+        try:
+            signal.signal(signal.SIGTERM, lambda *_: self._stop.set())
+        except ValueError:  # not the main thread (tests)
+            pass
         self.start()
         try:
             while not self._stop.is_set():

@@ -172,3 +172,35 @@ def test_backpressure_sheds_load_with_429(server):
         assert status == 200 and out["id"] == "q1"
     finally:
         srv.stop()
+
+
+def test_batch_failure_isolates_and_daemon_survives(server):
+    """A transcriber exception fails that batch's requests with HTTP 500;
+    the scheduler and compiled program stay up and the next request
+    succeeds (the daemon's error-isolation contract)."""
+    import urllib.error
+
+    tr = server.transcriber
+    original = tr.transcribe_batch
+    state = {"raised": False}
+
+    def boom(items):
+        if not state["raised"]:
+            state["raised"] = True
+            raise RuntimeError("injected device failure")
+        return original(items)
+
+    tr.transcribe_batch = boom
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(server, {"id": "f1", "audio_pcm_b64": _pcm_b64(freq=310)})
+        assert ei.value.code == 500
+        assert "injected device failure" in ei.value.read().decode()
+
+        status, out = _post(
+            server, {"id": "f2", "audio_pcm_b64": _pcm_b64(freq=320)}
+        )
+        assert status == 200 and out["id"] == "f2"
+        assert server.stats.snapshot()["n_errors"] >= 1
+    finally:
+        tr.transcribe_batch = original
