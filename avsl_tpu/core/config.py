@@ -645,6 +645,10 @@ class FlamingoTrainConfig:
     lora_rank: int = 0
     lora_alpha: float = 16.0
     lora_targets: Optional[List[str]] = None  # regexes; default q/v kernels
+    # parameter EMA (beyond-parity; train/ema.py): 0 disables. When set,
+    # validation and the pinned best checkpoint use the averaged weights;
+    # rolling checkpoints keep the raw iterate for exact resume.
+    ema_decay: float = 0.0
 
     @classmethod
     def from_yaml(cls, path: str) -> "FlamingoTrainConfig":

@@ -167,6 +167,23 @@ class TrainerRunner:
         # Pass decode.ctc_best_path (wrapped) for the CTC head.
         self.predictions_fn = predictions_fn
         self.state = init_state
+        # parameter EMA (cfg.ema_decay > 0, train/ema.py): validation and
+        # the pinned best checkpoint use the averaged weights — typically
+        # better than the raw iterate late in training — while the
+        # ROLLING checkpoints keep the raw state so resume continues the
+        # true trajectory. On resume the EMA restarts from the restored
+        # raw params (the EMA tree itself is not checkpointed).
+        self.ema_decay = float(getattr(cfg, "ema_decay", 0.0) or 0.0)
+        self._ema_params = None
+        if self.ema_decay > 0.0:
+            import jax as _jax
+
+            from avsl_tpu.train.ema import ema_update
+
+            self._ema_params = init_state.params
+            self._ema_step = _jax.jit(
+                lambda e, p: ema_update(e, p, self.ema_decay)
+            )
         self.logger = MetricLogger(log_dir)
         self.ckpt_dir = os.path.abspath(ckpt_dir)
         self._best_dir = os.path.join(self.ckpt_dir, "best")
@@ -215,10 +232,15 @@ class TrainerRunner:
             return restore_sharded(directory, self.state, self.mesh, step=step)
         return restore_checkpoint(directory, self.state, step)
 
+    def _reset_ema(self):
+        if self._ema_params is not None:
+            self._ema_params = self.state.params
+
     def maybe_resume(self) -> int:
         step = latest_step(self.ckpt_dir)
         if step is not None and getattr(self.cfg, "resume_training", False):
             self.state = self._restore(self.ckpt_dir, step)
+            self._reset_ema()
             return step
         return 0
 
@@ -277,6 +299,10 @@ class TrainerRunner:
                 self.state, metrics = self.train_step(
                     self.state, self._reshape_accum(batch)
                 )
+            if self._ema_params is not None:
+                self._ema_params = self._ema_step(
+                    self._ema_params, self.state.params
+                )
             step += 1
             if step % 10 == 0 or step == num_steps:
                 logd = {f"train/{k}": float(v) for k, v in metrics.items()}
@@ -285,8 +311,12 @@ class TrainerRunner:
                 self.logger.log(step, logd)
                 history.append((step, float(metrics["loss"])))
             if val_batches is not None and step % validate_every == 0:
+                eval_state = (
+                    self.state if self._ema_params is None
+                    else self.state.replace(params=self._ema_params)
+                )
                 m = evaluate_wer(
-                    lambda b: self.eval_logits_fn(self.state, b),
+                    lambda b: self.eval_logits_fn(eval_state, b),
                     val_batches(), self.tokenizer,
                     predictions_fn=self.predictions_fn,
                 )
@@ -300,8 +330,10 @@ class TrainerRunner:
                     # pin the best step in its own directory: the rolling
                     # ckpt_dir keeps only max_to_keep steps, so by the
                     # time early stopping fires the best step would have
-                    # been garbage-collected from it
-                    save_checkpoint(self._best_dir, self.state, step)
+                    # been garbage-collected from it. With EMA active the
+                    # pinned artifact carries the EVALUATED (averaged)
+                    # weights — what you serve is what you validated.
+                    save_checkpoint(self._best_dir, eval_state, step)
                     self._evals_since_best = 0
                 else:
                     self._evals_since_best += 1

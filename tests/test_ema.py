@@ -109,3 +109,73 @@ def test_avg_ckpt_cli_smoke(tmp_path):
             np.asarray(r, np.float32), np.asarray(e, np.float32),
             rtol=1e-5, atol=1e-5,
         )
+
+
+def test_runner_validates_and_pins_best_with_ema(tmp_path):
+    """With cfg.ema_decay set: (a) validation sees the EMA weights (raw
+    params have left the good region, the lagging EMA has not -> WER
+    stays 0), (b) the pinned best checkpoint carries the EMA tree while
+    the rolling checkpoint keeps the raw iterate."""
+    from avsl_tpu.train.checkpoints import restore_checkpoint
+    from avsl_tpu.train.loop import TrainState
+    from avsl_tpu.train.runner import TrainerRunner
+
+    class Tok:
+        eot = 9
+        special_token_set = {9}
+
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    class Cfg:
+        gradient_accumulation_steps = 1
+        early_stop_patience = 0
+        resume_training = False
+        ema_decay = 0.98
+
+    VOCAB = 10
+
+    def loss_fn(params, batch_stats, batch, rng):
+        # pulls w toward 1.0 quickly (adam, lr 0.2)
+        return jnp.mean((params["w"] - batch["x"]) ** 2), ({}, batch_stats)
+
+    def eval_logits(state, batch):
+        # good predictions only while the EVALUATED weights stay near 0:
+        # the raw iterate crosses 0.5 in a few steps, the EMA must not
+        labels = batch["labels"]
+        good = jax.nn.one_hot(labels, VOCAB) * 10.0
+        bad = jax.nn.one_hot((labels + 3) % 8, VOCAB) * 10.0
+        return jnp.where(state.params["w"] < 0.5, good, bad)
+
+    tx = optax.adam(0.2)
+    state = TrainState.create({"w": jnp.zeros(())}, tx)
+    runner = TrainerRunner(
+        loss_fn, eval_logits, tx, state, Tok(), Cfg(),
+        log_dir=str(tmp_path / "logs"), ckpt_dir=str(tmp_path / "ckpt"),
+    )
+
+    def train_batches(epoch=0):
+        def it():
+            for _ in range(100):
+                yield {"x": np.ones((4,), np.float32)}
+        return it()
+
+    def val_batches():
+        return iter([{"labels": np.asarray([[1, 2, 3, 9]]),
+                      "x": np.ones((1,), np.float32)}])
+
+    result = runner.fit(
+        train_batches=train_batches, val_batches=val_batches,
+        num_steps=8, validate_every=8,
+    )
+    raw_w = float(runner.state.params["w"])
+    ema_w = float(runner._ema_params["w"])
+    assert raw_w > 0.5 and ema_w < 0.5, (raw_w, ema_w)
+    assert result["best_wer"] == 0.0  # validation saw the EMA weights
+
+    best = restore_checkpoint(
+        str(tmp_path / "ckpt" / "best"), runner.state, step=8
+    )
+    np.testing.assert_allclose(float(best.params["w"]), ema_w, rtol=1e-6)
+    rolling = restore_checkpoint(str(tmp_path / "ckpt"), runner.state, step=8)
+    np.testing.assert_allclose(float(rolling.params["w"]), raw_w, rtol=1e-6)
