@@ -14,7 +14,10 @@ re-segmentation, subtitle timing, `<laugh>` localization.
 TPU shape discipline: items are padded to frame buckets (multiples of
 ``--bucket``) so the jitted forward compiles once per bucket, not once
 per utterance length; the pad frames are excluded from the alignment on
-the host (the DP runs on true frames only).
+the host (the DP runs on true frames only). Infeasible rows (more
+emission slots than frames) are reported per-row, never aborting the
+batch. Checkpoint restore is optimizer-agnostic
+(checkpoints.restore_params_only).
 """
 
 from __future__ import annotations
@@ -22,23 +25,6 @@ from __future__ import annotations
 import argparse
 import json
 from typing import Any, Dict, List, Optional
-
-
-def _rows_from_args(args) -> List[Dict[str, Any]]:
-    if args.csv:
-        import csv as _csv
-
-        with open(args.csv, newline="") as f:
-            rows = list(_csv.DictReader(f))
-        for i, r in enumerate(rows):
-            r.setdefault("id", str(i))
-        return rows
-    if not (args.audio and args.text is not None):
-        raise SystemExit("need --audio + --text, or --csv")
-    row: Dict[str, Any] = {"id": args.id, "audio": args.audio, "text": args.text}
-    if args.video:
-        row["video"] = args.video
-    return [row]
 
 
 def main(argv: Optional[List[str]] = None) -> List[Dict[str, Any]]:
@@ -61,12 +47,17 @@ def main(argv: Optional[List[str]] = None) -> List[Dict[str, Any]]:
     args = p.parse_args(argv)
 
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
+    from avsl_tpu.cli._avh_common import (
+        load_row_features,
+        maybe_restore_variables,
+        rows_from_args,
+    )
     from avsl_tpu.core.config import AVHuBERTConfig
     from avsl_tpu.data.tokenizer import get_tokenizer
     from avsl_tpu.decode import ctc_forced_align, word_alignments
-    from avsl_tpu.kernels.fbank import avhubert_audio_features
     from avsl_tpu.models import AVHuBERTForCTC
 
     tokenizer = get_tokenizer(None, "en")
@@ -86,14 +77,12 @@ def main(argv: Optional[List[str]] = None) -> List[Dict[str, Any]]:
             "text": " hello world",
         }]
     else:
-        rows = _rows_from_args(args)
+        rows = rows_from_args(args)
+        if args.text is not None and not args.csv:
+            rows[0]["text"] = args.text
 
     model = AVHuBERTForCTC(cfg)
-    crop = 88
     params = None
-
-    # one jitted forward per frame bucket; logit_pad masks the tail
-    import jax.numpy as jnp
 
     @jax.jit
     def forward(variables, feats_a, feats_v):
@@ -105,53 +94,17 @@ def main(argv: Optional[List[str]] = None) -> List[Dict[str, Any]]:
 
     results: List[Dict[str, Any]] = []
     for row in rows:
-        from avsl_tpu.data.audio_segments import load_wav
-
-        audio = row["audio"]
-        audio = load_wav(audio) if isinstance(audio, str) else np.asarray(
-            audio, np.float32
-        )
-        feats_a = np.asarray(avhubert_audio_features(audio))
-        path = row.get("video")
-        if path:
-            from avsl_tpu.data.video_io import load_video_feats
-
-            feats_v = load_video_feats(path, image_crop_size=crop)
-            t = min(len(feats_a), len(feats_v))
-            feats_a, feats_v = feats_a[:t], feats_v[:t]
-        else:
-            feats_v = np.zeros((len(feats_a), crop, crop, 1), np.float32)
-        t = len(feats_a)
-        tb = max(((t + args.bucket - 1) // args.bucket) * args.bucket,
-                 args.bucket)
-        pad_a = np.zeros((1, tb, feats_a.shape[-1]), np.float32)
-        pad_a[0, :t] = feats_a
-        pad_v = np.zeros((1, tb, crop, crop, 1), np.float32)
-        pad_v[0, :t] = feats_v
-
+        if not row.get("text"):
+            results.append({"id": row.get("id", "?"),
+                            "error": "missing transcript text"})
+            continue
+        pad_a, pad_v, t = load_row_features(row, args.bucket)
         if params is None:
             params = model.init(
                 jax.random.PRNGKey(0),
                 audio=jnp.asarray(pad_a), video=jnp.asarray(pad_v),
             )
-            if args.ckpt_dir:
-                from avsl_tpu.train.checkpoints import (
-                    latest_step,
-                    restore_checkpoint,
-                )
-
-                if latest_step(args.ckpt_dir) is not None:
-                    from avsl_tpu.train.loop import TrainState
-                    import optax
-
-                    state = TrainState.create(
-                        params["params"], optax.sgd(0.0),
-                        batch_stats=params.get("batch_stats"),
-                    )
-                    state = restore_checkpoint(args.ckpt_dir, state)
-                    params = {"params": state.params}
-                    if state.batch_stats is not None:
-                        params["batch_stats"] = state.batch_stats
+            params = maybe_restore_variables(args.ckpt_dir, params)
 
         logits = np.asarray(forward(params, pad_a, pad_v))[0, :t]
         tokens = tokenizer.encode(row["text"])
@@ -160,7 +113,7 @@ def main(argv: Optional[List[str]] = None) -> List[Dict[str, Any]]:
             spans, score = ctc_forced_align(
                 lp, tokens, blank_id=cfg.pad_token_id
             )
-        except ValueError as e:  # more tokens than frames
+        except ValueError as e:  # infeasible: too many tokens for frames
             results.append({"id": row["id"], "error": str(e)})
             continue
         words = word_alignments(

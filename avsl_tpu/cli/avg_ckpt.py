@@ -62,7 +62,7 @@ def main(argv: Optional[List[str]] = None):
     args = p.parse_args(argv)
 
     from avsl_tpu.core.config import FlamingoTrainConfig
-    from avsl_tpu.train.checkpoints import all_steps, save_checkpoint
+    from avsl_tpu.train.checkpoints import save_checkpoint
     from avsl_tpu.train.ema import average_checkpoint_steps
 
     cfg = (FlamingoTrainConfig.from_yaml(args.config) if args.config
@@ -74,15 +74,12 @@ def main(argv: Optional[List[str]] = None):
     template = build_state(cfg, smoke=args.smoke)
     steps = ([int(s) for s in args.steps.split(",") if s]
              if args.steps else None)
-    soup = average_checkpoint_steps(
+    soup, used = average_checkpoint_steps(
         args.ckpt_dir, template, steps=steps, last_k=args.last_k
     )
-    used = steps if steps is not None else all_steps(args.ckpt_dir)[
-        -(args.last_k or len(all_steps(args.ckpt_dir))):
-    ]
     out_step = max(used)
     save_checkpoint(args.output, soup, step=out_step)
-    print(f"averaged steps {sorted(used)} -> {args.output} @ step {out_step}")
+    print(f"averaged steps {used} -> {args.output} @ step {out_step}")
     return soup
 
 

@@ -55,7 +55,11 @@ def main(argv: Optional[List[str]] = None):
                else lora_mod.DEFAULT_TARGETS)
 
     base_state = build_state(cfg, smoke=args.smoke)
-    if args.base_ckpt and latest_step(args.base_ckpt) is not None:
+    if args.base_ckpt:
+        if latest_step(args.base_ckpt) is None:
+            # never fall back silently to random base weights — the
+            # merged artifact would be servable-looking garbage
+            raise SystemExit(f"no base checkpoint under {args.base_ckpt!r}")
         base_state = restore_checkpoint(args.base_ckpt, base_state)
 
     adapters = lora_mod.init_lora(

@@ -14,9 +14,10 @@ probing. ``--layer K`` taps transformer layer K (1-indexed, skips the
 final LayerNorm — fairseq ``extract_features(output_layer=k)``
 semantics, models/avhubert.py); default taps the full encoder output.
 
-TPU shape discipline: frame counts are bucketed (``--bucket``) so the
-jitted forward compiles once per bucket; padding is stripped on the host
-before writing.
+Host prep and the optimizer-agnostic checkpoint restore are shared with
+``cli.align`` (cli/_avh_common.py). Frame counts are bucketed
+(``--bucket``) so the jitted forward compiles once per bucket; padding
+is stripped on the host before writing.
 """
 
 from __future__ import annotations
@@ -46,24 +47,15 @@ def main(argv: Optional[List[str]] = None) -> List[Dict[str, Any]]:
     import jax.numpy as jnp
     import numpy as np
 
+    from avsl_tpu.cli._avh_common import (
+        load_row_features,
+        maybe_restore_variables,
+        rows_from_args,
+    )
     from avsl_tpu.core.config import AVHuBERTConfig
-    from avsl_tpu.data.audio_segments import load_wav
-    from avsl_tpu.kernels.fbank import avhubert_audio_features
     from avsl_tpu.models import AVHuBERTModel
 
-    if args.csv:
-        import csv as _csv
-
-        with open(args.csv, newline="") as f:
-            rows = list(_csv.DictReader(f))
-        for i, r in enumerate(rows):
-            r.setdefault("id", str(i))
-    elif args.audio:
-        rows = [{"id": args.id, "audio": args.audio,
-                 **({"video": args.video} if args.video else {})}]
-    else:
-        raise SystemExit("need --audio or --csv")
-
+    rows = rows_from_args(args)
     if args.tiny:
         cfg = AVHuBERTConfig.tiny_test()
     elif args.config:
@@ -71,7 +63,6 @@ def main(argv: Optional[List[str]] = None) -> List[Dict[str, Any]]:
     else:
         cfg = AVHuBERTConfig()
     model = AVHuBERTModel(cfg)
-    crop = 88
     params = None
 
     @jax.jit
@@ -84,52 +75,13 @@ def main(argv: Optional[List[str]] = None) -> List[Dict[str, Any]]:
     os.makedirs(args.output, exist_ok=True)
     results: List[Dict[str, Any]] = []
     for row in rows:
-        audio = row["audio"]
-        audio = load_wav(audio) if isinstance(audio, str) else np.asarray(
-            audio, np.float32
-        )
-        feats_a = np.asarray(avhubert_audio_features(audio))
-        path = row.get("video")
-        if path:
-            from avsl_tpu.data.video_io import load_video_feats
-
-            feats_v = load_video_feats(path, image_crop_size=crop)
-            t = min(len(feats_a), len(feats_v))
-            feats_a, feats_v = feats_a[:t], feats_v[:t]
-        else:
-            feats_v = np.zeros((len(feats_a), crop, crop, 1), np.float32)
-        t = len(feats_a)
-        tb = max(((t + args.bucket - 1) // args.bucket) * args.bucket,
-                 args.bucket)
-        pad_a = np.zeros((1, tb, feats_a.shape[-1]), np.float32)
-        pad_a[0, :t] = feats_a
-        pad_v = np.zeros((1, tb, crop, crop, 1), np.float32)
-        pad_v[0, :t] = feats_v
-
+        pad_a, pad_v, t = load_row_features(row, args.bucket)
         if params is None:
             params = model.init(
                 jax.random.PRNGKey(0),
                 audio=jnp.asarray(pad_a), video=jnp.asarray(pad_v),
             )
-            if args.ckpt_dir:
-                from avsl_tpu.train.checkpoints import (
-                    latest_step,
-                    restore_checkpoint,
-                )
-
-                if latest_step(args.ckpt_dir) is not None:
-                    import optax
-
-                    from avsl_tpu.train.loop import TrainState
-
-                    state = TrainState.create(
-                        params["params"], optax.sgd(0.0),
-                        batch_stats=params.get("batch_stats"),
-                    )
-                    state = restore_checkpoint(args.ckpt_dir, state)
-                    params = {"params": state.params}
-                    if state.batch_stats is not None:
-                        params["batch_stats"] = state.batch_stats
+            params = maybe_restore_variables(args.ckpt_dir, params)
 
         feats = np.asarray(forward(params, pad_a, pad_v))[0, :t]
         out_path = os.path.join(args.output, f"{row['id']}.npy")

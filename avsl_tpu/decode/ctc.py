@@ -192,8 +192,16 @@ def ctc_forced_align(
     ext[0::2] = blank_id
     ext[1::2] = tgt
     S = ext.size
-    if T < L:
-        raise ValueError(f"{T} frames cannot emit {L} target tokens")
+    # CTC feasibility: every token needs a frame PLUS a mandatory blank
+    # between each adjacent repeated pair (the skip transition is
+    # forbidden there) — `T >= L` alone under-counts and the DP would
+    # backtrace through an all -1e30 table into nonsense spans
+    need = L + sum(1 for a, b in zip(tgt, tgt[1:]) if a == b)
+    if T < need:
+        raise ValueError(
+            f"{T} frames cannot emit {L} target tokens "
+            f"({need} emission slots incl. repeat-separating blanks)"
+        )
 
     NEG = -1e30
     # skip allowed into state s when ext[s] is a label differing from ext[s-2]

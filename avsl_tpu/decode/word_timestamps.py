@@ -152,12 +152,20 @@ def whisper_word_timestamps(
     B, _, Q, K = per_item.shape
     out: List[List[dict]] = []
     special = tokenizer.special_token_set
+    eot = int(tokenizer.eot)
     for b in range(B):
         nf = K if n_frames is None else int(n_frames[b])
-        spans = attention_token_spans(per_item[b], nf, median_width)
         toks = [int(t) for t in tokens[b]]
+        # crop at the first EOT (inclusive: it absorbs trailing frames as
+        # the DTW terminal) — padded EOT rows beyond it would otherwise
+        # steal the last word's end frames, since the monotone path must
+        # finish on the LAST row at the last frame
+        q_end = (toks.index(eot) + 1) if eot in toks else len(toks)
+        spans = attention_token_spans(
+            per_item[b][:, :q_end, :], nf, median_width
+        )
         out.append(word_alignments(
-            toks, spans, tokenizer,
+            toks[:q_end], spans, tokenizer,
             frame_rate_hz=frame_rate_hz, special_ids=special,
         ))
     return out

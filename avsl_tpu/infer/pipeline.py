@@ -455,11 +455,18 @@ class StreamingTranscriber:
         inter = self._run_align(audio, video, tokens)
         per_item = collect_cross_attention(inter)
         out: List[List[dict]] = []
+        eot = int(self.tokenizer.eot)
         for b in range(tokens.shape[0]):
             nf = max(int(np.ceil(n_samples[b] / 320.0)), 1)
-            spans = attention_token_spans(per_item[b], nf)
+            toks = [int(t) for t in tokens[b]]
+            # crop at the first EOT (inclusive): the padded EOT rows
+            # after it would otherwise absorb the trailing frames (the
+            # DTW path must end on the last row) and squeeze the last
+            # word's end time
+            q_end = (toks.index(eot) + 1) if eot in toks else len(toks)
+            spans = attention_token_spans(per_item[b][:, :q_end, :], nf)
             out.append(word_alignments(
-                [int(t) for t in tokens[b]], spans, self.tokenizer,
+                toks[:q_end], spans, self.tokenizer,
                 frame_rate_hz=50.0,
                 special_ids=self.tokenizer.special_token_set,
             ))
@@ -542,9 +549,15 @@ class StreamingTranscriber:
         queue: Queue = Queue(maxsize=self.prefetch)
 
         def producer():
-            for chunk in batches:
-                queue.put((chunk, self._prepare_batch(chunk)))
-            queue.put(None)
+            # any load failure must reach the consumer — a swallowed
+            # exception here would never enqueue the sentinel and the
+            # consumer would block on queue.get() forever
+            try:
+                for chunk in batches:
+                    queue.put((chunk, self._prepare_batch(chunk)))
+                queue.put(None)
+            except Exception as e:  # surfaced + re-raised by the consumer
+                queue.put(("__producer_error__", e))
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -555,6 +568,9 @@ class StreamingTranscriber:
             got = queue.get()
             if got is None:
                 break
+            if isinstance(got, tuple) and got[0] == "__producer_error__":
+                t.join()
+                raise got[1]
             chunk, (audio, video, raw, raw_mask, raw_frames, flags, n, n_samples) = got
             if raw is not None:
                 import jax.numpy as jnp

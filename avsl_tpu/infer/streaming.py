@@ -164,7 +164,13 @@ class StreamingSession:
         while True:
             self._skip_leading_silence()
             end = self._endpoint()
-            if end is None and len(self._buf) >= self.max_samples:
+            if (end is None or end > self.max_samples) and (
+                len(self._buf) >= self.max_samples
+            ):
+                # an utterance longer than the model window (or one big
+                # chunk containing it) must force-cut INSIDE the window —
+                # otherwise pad_or_trim would silently drop speech while
+                # the segment claims the full span
                 end = self._force_cut_point()
             if end is None or end == 0:
                 break

@@ -158,3 +158,24 @@ def partial_load(
     if strict and (report["missing"] or report["unexpected"] or report["shape_mismatch"]):
         raise ValueError(f"Strict load failed: {report}")
     return new_params, report
+
+
+def restore_params_only(directory: str, step: Optional[int] = None):
+    """Restore ONLY model variables (params [+ batch_stats]) from a
+    TrainState checkpoint WITHOUT knowing its optimizer structure.
+
+    Inference/tooling CLIs (align, extract) must load checkpoints written
+    by trainers whose optimizer (adamw / multi_transform / MultiSteps
+    wrappings) they cannot reconstruct; an argument-free orbax restore
+    returns the raw saved tree, from which the variables are lifted.
+    Returns ``{"params": ..., ["batch_stats": ...]}`` or None when the
+    directory has no checkpoint."""
+    if latest_step(directory) is None:
+        return None
+    mgr = _manager(directory)
+    raw = mgr.restore(mgr.latest_step() if step is None else step)
+    mgr.close()
+    out = {"params": raw["params"]}
+    if raw.get("batch_stats") is not None:
+        out["batch_stats"] = raw["batch_stats"]
+    return out

@@ -61,10 +61,11 @@ def average_checkpoint_steps(
     last_k: Optional[int] = None,
 ) -> Any:
     """Load ``steps`` (or the newest ``last_k``) checkpoints from an
-    orbax directory and return a state whose params (and batch_stats,
-    when present) are the uniform average; opt_state/step come from the
-    NEWEST contributing checkpoint so training could even resume from
-    the soup."""
+    orbax directory and return ``(state, used_steps)``: a state whose
+    params (and batch_stats, when present) are the uniform average, and
+    the sorted step list that actually contributed (callers report it
+    rather than re-deriving the selection). opt_state/step come from the
+    NEWEST contributor so training could even resume from the soup."""
     from avsl_tpu.train.checkpoints import all_steps, restore_checkpoint
 
     available = all_steps(directory)
@@ -77,9 +78,9 @@ def average_checkpoint_steps(
     if missing:
         raise ValueError(f"steps {missing} not in {available}")
 
+    used = sorted(steps)
     states: List[Any] = [
-        restore_checkpoint(directory, state_template, step=s)
-        for s in sorted(steps)
+        restore_checkpoint(directory, state_template, step=s) for s in used
     ]
     newest = states[-1]
     avg_params = tree_average([s.params for s in states])
@@ -88,4 +89,4 @@ def average_checkpoint_steps(
         out = out.replace(
             batch_stats=tree_average([s.batch_stats for s in states])
         )
-    return out
+    return out, used

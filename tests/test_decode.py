@@ -587,3 +587,20 @@ def test_whisper_word_timestamps_end_to_end():
 
     with pytest.raises(ValueError, match="sown"):
         collect_cross_attention({"decoder": {}})
+
+
+def test_ctc_forced_align_repeat_feasibility():
+    """targets=[a,a] need >= 3 frames (a, mandatory blank, a): T=2 must
+    raise ValueError, never backtrace through an infeasible table."""
+    import numpy as np
+    import pytest
+
+    from avsl_tpu.decode import ctc_forced_align
+
+    lp = np.log(np.full((2, 4), 0.25))
+    with pytest.raises(ValueError, match="emission slots"):
+        ctc_forced_align(lp, [1, 1], blank_id=0)
+    # and exactly-feasible works
+    lp3 = np.log(np.full((3, 4), 0.25))
+    spans, _ = ctc_forced_align(lp3, [1, 1], blank_id=0)
+    assert spans == [(0, 1), (2, 3)]

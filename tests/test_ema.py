@@ -60,17 +60,18 @@ def test_average_checkpoint_steps_roundtrip(tmp_path):
         save_checkpoint(d, mk(val, step), step=step)
 
     template = mk(0.0, 0)
-    soup = average_checkpoint_steps(d, template)
+    soup, used = average_checkpoint_steps(d, template)
     np.testing.assert_allclose(
         np.asarray(soup.params["dense"]["kernel"]), 3.0
     )
     assert int(soup.step) == 30  # provenance: newest contributor
+    assert used == [10, 20, 30]
 
-    soup2 = average_checkpoint_steps(d, template, steps=[10, 30])
+    soup2, _ = average_checkpoint_steps(d, template, steps=[10, 30])
     np.testing.assert_allclose(
         np.asarray(soup2.params["dense"]["kernel"]), 3.5
     )
-    soup3 = average_checkpoint_steps(d, template, last_k=2)
+    soup3, used3 = average_checkpoint_steps(d, template, last_k=2)
     np.testing.assert_allclose(
         np.asarray(soup3.params["dense"]["kernel"]), 4.0
     )
@@ -179,3 +180,21 @@ def test_runner_validates_and_pins_best_with_ema(tmp_path):
     np.testing.assert_allclose(float(best.params["w"]), ema_w, rtol=1e-6)
     rolling = restore_checkpoint(str(tmp_path / "ckpt"), runner.state, step=8)
     np.testing.assert_allclose(float(rolling.params["w"]), raw_w, rtol=1e-6)
+
+
+def test_restore_params_only_ignores_optimizer_structure(tmp_path):
+    """Tooling CLIs restore checkpoints written with arbitrary optimizers
+    (adamw here) without reconstructing the opt_state tree."""
+    from avsl_tpu.train.checkpoints import restore_params_only, save_checkpoint
+    from avsl_tpu.train.loop import TrainState
+
+    params = {"dense": {"kernel": jnp.full((3, 2), 2.5)}}
+    st = TrainState.create(params, optax.adamw(1e-3))
+    d = str(tmp_path / "ck")
+    save_checkpoint(d, st, step=4)
+    out = restore_params_only(d)
+    np.testing.assert_allclose(
+        np.asarray(out["params"]["dense"]["kernel"]), 2.5
+    )
+    assert "opt_state" not in out
+    assert restore_params_only(str(tmp_path / "nothing")) is None

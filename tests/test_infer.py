@@ -358,3 +358,28 @@ def test_serving_options_compose_on_a_mesh(media):
         assert r.words is not None and np.isfinite(r.avg_logprob)
         for w in r.words:
             assert w["end_s"] > w["start_s"] >= 0
+
+
+def test_transcribe_surfaces_producer_errors(media):
+    """A missing audio file must raise in the caller, not hang the
+    consumer waiting on a sentinel the dead producer never enqueued."""
+    import jax.numpy as jnp
+
+    tokenizer = get_tokenizer(None, "en")
+    model, cfg = build_whisper_flamingo(
+        "test", vocab_size=tokenizer.vocab_size, dtype="float32"
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.n_mels, 100), jnp.float32),
+        jnp.asarray([[1]]),
+        video=jnp.zeros((1, T_FRAMES, 88, 88, 1), jnp.float32),
+    )
+    tr = StreamingTranscriber(
+        model, variables, tokenizer,
+        audio_max_length=16000, video_frames=T_FRAMES,
+        batch_size=2, max_new_tokens=3,
+    )
+    with pytest.raises(Exception) as ei:
+        tr.transcribe([{"id": "gone", "audio": "/definitely/missing.wav"}])
+    assert "missing.wav" in str(ei.value)

@@ -106,3 +106,20 @@ def test_flush_finalizes_open_utterance_and_closes(transcriber):
     assert abs(segs[0].end_s - 0.5) < 0.06
     with pytest.raises(RuntimeError):
         sess.feed(_tone(0.1))
+
+
+def test_one_oversized_chunk_never_exceeds_window(transcriber):
+    """A single chunk longer than audio_max_length with a trailing pause:
+    the naive endpoint would exceed the window and pad_or_trim would
+    silently drop speech — every segment must stay <= the window."""
+    from avsl_tpu.infer.streaming import StreamingSession
+
+    sess = StreamingSession(transcriber)
+    audio = np.concatenate([_tone(2.2, 330), _silence(0.6)])
+    segs = sess.feed(audio)
+    segs.extend(sess.flush())
+    assert len(segs) >= 3  # 2.2 s of speech through a 1 s window
+    for s in segs:
+        assert (s.end_s - s.start_s) <= transcriber.audio_max_length / SR + 1e-6
+    # the endpointer consumes half the min-silence gap with the utterance
+    assert 2.2 - 0.06 <= segs[-1].end_s <= 2.2 + 0.35 / 2 + 0.06
