@@ -1,0 +1,93 @@
+"""Shared Whisper-Flamingo transcriber construction for the serving CLIs
+(cli.serve, cli.transcribe): tokenizer + model build, probe init,
+checkpoint restore (refusing to serve random weights on an empty
+--ckpt_dir), optional tp/dp mesh, and the StreamingTranscriber with all
+serving options plumbed. One implementation so the two CLIs cannot
+drift."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+
+def build_transcriber(args, cfg):
+    import jax
+    import numpy as np
+
+    from avsl_tpu.data.tokenizer import get_tokenizer
+    from avsl_tpu.infer import StreamingTranscriber
+    from avsl_tpu.models.factory import build_whisper_flamingo
+    from avsl_tpu.train.checkpoints import latest_step, restore_checkpoint
+    from avsl_tpu.train.loop import TrainState
+    from avsl_tpu.train.optim import select_optimizer
+
+    smoke = bool(getattr(args, "smoke", False))
+    tokenizer = get_tokenizer(getattr(cfg, "download_root", None), cfg.lang)
+    vocab = tokenizer.add_tokens(["<laugh>"])
+    model, w_cfg = build_whisper_flamingo(
+        cfg.model_name, vocab_size=vocab,
+        add_gated_x_attn=cfg.add_gated_x_attn,
+        use_av_hubert_encoder=cfg.use_av_hubert_encoder,
+        dtype="float32" if smoke else "bfloat16",
+    )
+    b = args.batch_size
+    video_frames = min(int(round(cfg.audio_max_length / 16000 * 25)), 250)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        np.zeros((b, w_cfg.n_mels, cfg.audio_max_length // 160), np.float32),
+        np.zeros((b, 4), np.int32),
+        **(dict(video=np.zeros((b, video_frames, 88, 88, 1), np.float32))
+           if cfg.add_gated_x_attn else {}),
+    )
+    mesh = None
+    mp = int(getattr(args, "model_parallel", 1) or 1)
+    dp = int(getattr(args, "data_parallel", 1) or 1)
+    if mp > 1 or dp > 1:
+        from avsl_tpu.core.mesh import make_mesh
+
+        mesh = make_mesh(dp * mp, model_parallel=mp)
+    if args.ckpt_dir:
+        if latest_step(args.ckpt_dir) is None:
+            # never serve randomly initialized weights on a typo'd or
+            # empty checkpoint directory — garbage transcripts with a
+            # healthy-looking daemon is the worst failure mode
+            raise SystemExit(f"no checkpoint under {args.ckpt_dir!r}")
+        tx, _ = select_optimizer(variables["params"], cfg, 1)
+        state = TrainState.create(
+            variables["params"], tx, batch_stats=variables.get("batch_stats")
+        )
+        state = restore_checkpoint(args.ckpt_dir, state)
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+    return StreamingTranscriber(
+        model, variables, tokenizer,
+        audio_max_length=int(cfg.audio_max_length),
+        video_frames=video_frames,
+        batch_size=b,
+        max_new_tokens=args.max_new_tokens,
+        beam_size=args.beam,
+        lang=cfg.lang,
+        quantize=args.quantize,
+        temperature_fallback=tuple(
+            float(t) for t in getattr(args, "temperature_fallback", "").split(",")
+            if t
+        ),
+        logprob_threshold=getattr(args, "logprob_threshold", -1.0),
+        word_timestamps=bool(getattr(args, "word_timestamps", False)),
+        mesh=mesh,
+    )
+
+
+def csv_cell(row: dict, *keys) -> Optional[str]:
+    """First non-empty string cell among ``keys``. pandas represents
+    missing cells as float NaN, so a plain ``row.get(k, fallback)`` never
+    falls through — this treats NaN/empty as absent."""
+    for k in keys:
+        v = row.get(k)
+        if v is None or (isinstance(v, float) and v != v):
+            continue
+        v = str(v).strip()
+        if v and v.lower() != "nan":
+            return v
+    return None

@@ -16,68 +16,7 @@ import json
 from typing import List, Optional
 
 
-def build_transcriber(args, cfg):
-    """Model + weights + StreamingTranscriber, shared with cli.transcribe."""
-    import jax
-    import numpy as np
-
-    from avsl_tpu.data.tokenizer import get_tokenizer
-    from avsl_tpu.infer import StreamingTranscriber
-    from avsl_tpu.models.factory import build_whisper_flamingo
-    from avsl_tpu.train.checkpoints import latest_step, restore_checkpoint
-    from avsl_tpu.train.loop import TrainState
-    from avsl_tpu.train.optim import select_optimizer
-
-    tokenizer = get_tokenizer(getattr(cfg, "download_root", None), cfg.lang)
-    vocab = tokenizer.add_tokens(["<laugh>"])
-    model, w_cfg = build_whisper_flamingo(
-        cfg.model_name, vocab_size=vocab,
-        add_gated_x_attn=cfg.add_gated_x_attn,
-        use_av_hubert_encoder=cfg.use_av_hubert_encoder,
-        dtype="float32" if args.smoke else "bfloat16",
-    )
-    b = args.batch_size
-    video_frames = min(int(round(cfg.audio_max_length / 16000 * 25)), 250)
-    variables = jax.jit(model.init)(
-        jax.random.PRNGKey(0),
-        np.zeros((b, w_cfg.n_mels, cfg.audio_max_length // 160), np.float32),
-        np.zeros((b, 4), np.int32),
-        **(dict(video=np.zeros((b, video_frames, 88, 88, 1), np.float32))
-           if cfg.add_gated_x_attn else {}),
-    )
-    mesh = None
-    if args.model_parallel > 1 or args.data_parallel > 1:
-        from avsl_tpu.core.mesh import make_mesh
-
-        mesh = make_mesh(
-            args.data_parallel * args.model_parallel,
-            model_parallel=args.model_parallel,
-        )
-    if args.ckpt_dir and latest_step(args.ckpt_dir) is not None:
-        tx, _ = select_optimizer(variables["params"], cfg, 1)
-        state = TrainState.create(
-            variables["params"], tx, batch_stats=variables.get("batch_stats")
-        )
-        state = restore_checkpoint(args.ckpt_dir, state)
-        variables = {"params": state.params}
-        if state.batch_stats is not None:
-            variables["batch_stats"] = state.batch_stats
-    return StreamingTranscriber(
-        model, variables, tokenizer,
-        audio_max_length=int(cfg.audio_max_length),
-        video_frames=video_frames,
-        batch_size=b,
-        max_new_tokens=args.max_new_tokens,
-        beam_size=args.beam,
-        lang=cfg.lang,
-        quantize=args.quantize,
-        temperature_fallback=tuple(
-            float(t) for t in args.temperature_fallback.split(",") if t
-        ),
-        logprob_threshold=args.logprob_threshold,
-        word_timestamps=args.word_timestamps,
-        mesh=mesh,
-    )
+from avsl_tpu.cli._serving_common import build_transcriber  # noqa: F401,E402
 
 
 def main(argv: Optional[List[str]] = None):

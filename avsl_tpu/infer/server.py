@@ -367,3 +367,13 @@ class TranscriptionServer:
         self._http.server_close()
         if self._scheduler.is_alive():
             self._scheduler.join(timeout=5.0)
+        # fail-fast anything still queued: their handler threads are
+        # blocked on pending.done and would otherwise wait out the full
+        # request timeout after the scheduler has already exited
+        while True:
+            try:
+                p = self._queue.get_nowait()
+            except Empty:
+                break
+            p.error = "server stopped"
+            p.done.set()

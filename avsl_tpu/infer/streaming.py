@@ -9,12 +9,25 @@ long-form splitter), and hands each finalized utterance to the ordinary
 fixed-batch transcriber.
 
 TPU shape: the device never sees partial utterances — endpointing is
-pure host arithmetic, and finalized utterances are ordinary batch items
-(sessions of many concurrent streams share the compiled program through
-the same dynamic batcher as everything else). No incremental encoder
-state, by design: Whisper-style encoders want the whole utterance, and
-an utterance is bounded by ``audio_max_length`` anyway (a too-long one
-is force-cut at its quietest recent frame, exactly like long-form).
+pure host arithmetic, and finalized utterances are ordinary batch items.
+By default a session calls ``transcriber.transcribe_batch`` directly
+(fine for ONE live stream; occupancy 1). To run MANY concurrent streams,
+pass ``transcribe_fn`` routing through a ``TranscriptionServer``'s
+batcher — that keeps a single scheduler thread as the only device client
+and coalesces utterances from different streams into full batches::
+
+    def via_server(items):
+        pendings = [server.submit(it) for it in items]
+        for p in pendings:
+            p.done.wait(300)
+        return [p.result for p in pendings]
+
+    sess = StreamingSession(tr, transcribe_fn=via_server)
+
+No incremental encoder state, by design: Whisper-style encoders want the
+whole utterance, and an utterance is bounded by ``audio_max_length``
+anyway (a too-long one is force-cut at its quietest recent frame,
+exactly like long-form).
 """
 
 from __future__ import annotations
@@ -49,8 +62,17 @@ class StreamingSession:
         sample_rate: int = 16000,
         frame_ms: float = 25.0,
         stream_id: str = "stream",
+        transcribe_fn=None,
     ):
         self.t = transcriber
+        # pluggable utterance sink: default is a direct 1-item batch on
+        # the transcriber (single-stream use); multi-stream deployments
+        # pass a fn that submits through the server's dynamic batcher so
+        # one scheduler thread stays the only device client
+        self._transcribe = (
+            transcribe_fn if transcribe_fn is not None
+            else transcriber.transcribe_batch
+        )
         self.sr = int(sample_rate)
         self.frame = max(int(self.sr * frame_ms / 1000.0), 1)
         self.silence_rms = float(silence_rms)
@@ -130,7 +152,7 @@ class StreamingSession:
         start_global = self._origin
         self._buf = self._buf[end:]
         self._origin += end
-        r = self.t.transcribe_batch([{
+        r = self._transcribe([{
             "id": f"{self.stream_id}#s{self._n_segments}", "audio": utt,
         }])[0]
         self._n_segments += 1

@@ -94,6 +94,20 @@ def evaluate_wer(
             tokens = np.asarray(
                 teacher_forced_predictions(logits, tokenizer.eot)
             )
+            # true validation loss: teacher-forced CE over the non-pad
+            # label positions (labels < 0 are padding). Only meaningful
+            # on the seq2seq path where logits align with labels.
+            lab = np.asarray(batch["labels"])
+            lg = np.asarray(logits, np.float32)
+            if lg.ndim == 3 and lg.shape[:2] == lab.shape:
+                m = lab >= 0
+                if m.any():
+                    row = lg - lg.max(-1, keepdims=True)
+                    lse = row - np.log(np.exp(row).sum(-1, keepdims=True))
+                    ll = np.take_along_axis(
+                        lse, np.maximum(lab, 0)[..., None], -1
+                    )[..., 0]
+                    losses.append(float(-(ll * m).sum() / m.sum()))
         labels = np.asarray(batch["labels"])
         for o_row, l_row in zip(tokens, labels):
             o_ids = [int(t) for t in o_row if int(t) >= 0 and int(t) not in special]
@@ -102,9 +116,13 @@ def evaluate_wer(
             refs.append(normalize_text(tokenizer.decode(l_ids)))
     pairs = [(h, r) for h, r in zip(hyps, refs) if h.strip() or r.strip()]
     if not pairs:
-        return {f"{prefix}/wer_av": 1.0, f"{prefix}/cer_av": 1.0}
-    wer, cer = wer_cer([h for h, _ in pairs], [r for _, r in pairs])
-    return {f"{prefix}/wer_av": wer, f"{prefix}/cer_av": cer}
+        out = {f"{prefix}/wer_av": 1.0, f"{prefix}/cer_av": 1.0}
+    else:
+        wer, cer = wer_cer([h for h, _ in pairs], [r for _, r in pairs])
+        out = {f"{prefix}/wer_av": wer, f"{prefix}/cer_av": cer}
+    if losses:
+        out[f"{prefix}/loss"] = float(np.mean(losses))
+    return out
 
 
 class TrainerRunner:
@@ -244,17 +262,24 @@ class TrainerRunner:
             return step
         return 0
 
-    def _reshape_accum(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    def _reshape_accum(
+        self, batch: Dict[str, np.ndarray]
+    ) -> Optional[Dict[str, np.ndarray]]:
+        """[B, ...] -> [accum, B//accum, ...] for the in-jit scan. A batch
+        smaller than ``accum`` cannot form even one micro-batch — return
+        None so fit() SKIPS it (drop_last semantics): passing it through
+        unreshaped would feed the scan single samples with the batch dim
+        stripped. Non-divisible batches drop the tail remainder."""
         if self.accum <= 1:
             return batch
-        out = {}
-        for k, v in batch.items():
-            b = v.shape[0]
-            micro = b // self.accum
-            if micro == 0:  # batch smaller than accum: no accumulation
-                return batch
-            out[k] = v[: micro * self.accum].reshape(self.accum, micro, *v.shape[1:])
-        return out
+        b = next(iter(batch.values())).shape[0]
+        micro = b // self.accum
+        if micro == 0:
+            return None
+        return {
+            k: v[: micro * self.accum].reshape(self.accum, micro, *v.shape[1:])
+            for k, v in batch.items()
+        }
 
     def fit(
         self,
@@ -282,8 +307,22 @@ class TrainerRunner:
         epoch = 0
         it = train_batches(epoch)
         t0 = time.time()
+        last_logged_step = step
         history = []
         restore_signal = self._install_preemption_handler()
+        try:
+            return self._fit_loop(
+                it, train_batches, val_batches, step, epoch, num_steps,
+                validate_every, t0, last_logged_step, history,
+            )
+        finally:
+            # always reinstate the previous SIGTERM handler — leaking it
+            # would keep this runner's closure (the full TrainState)
+            # alive and shadow any embedding process's own handler
+            restore_signal()
+
+    def _fit_loop(self, it, train_batches, val_batches, step, epoch,
+                  num_steps, validate_every, t0, last_logged_step, history):
         while step < num_steps:
             if self._preempted:
                 save_checkpoint(self.ckpt_dir, self.state, step)
@@ -295,10 +334,11 @@ class TrainerRunner:
                 epoch += 1
                 it = train_batches(epoch)
                 continue
+            reshaped = self._reshape_accum(batch)
+            if reshaped is None:  # tail batch smaller than accum: drop_last
+                continue
             with self._maybe_sp_scope():
-                self.state, metrics = self.train_step(
-                    self.state, self._reshape_accum(batch)
-                )
+                self.state, metrics = self.train_step(self.state, reshaped)
             if self._ema_params is not None:
                 self._ema_params = self._ema_step(
                     self._ema_params, self.state.params
@@ -306,8 +346,11 @@ class TrainerRunner:
             step += 1
             if step % 10 == 0 or step == num_steps:
                 logd = {f"train/{k}": float(v) for k, v in metrics.items()}
-                logd["train/steps_per_sec"] = 10 / max(time.time() - t0, 1e-6)
+                logd["train/steps_per_sec"] = (
+                    (step - last_logged_step) / max(time.time() - t0, 1e-6)
+                )
                 t0 = time.time()
+                last_logged_step = step
                 self.logger.log(step, logd)
                 history.append((step, float(metrics["loss"])))
             if val_batches is not None and step % validate_every == 0:
@@ -320,7 +363,7 @@ class TrainerRunner:
                     val_batches(), self.tokenizer,
                     predictions_fn=self.predictions_fn,
                 )
-                m[f"val/loss"] = float(metrics["loss"])
+                m["val/train_loss"] = float(metrics["loss"])
                 self.logger.log(step, m)
                 wer = m.get("val/wer_av", 1.0)
                 save_checkpoint(self.ckpt_dir, self.state, step)
@@ -342,7 +385,6 @@ class TrainerRunner:
                         and self._evals_since_best >= self.early_stop_patience
                     ):
                         break
-        restore_signal()
         save_checkpoint(self.ckpt_dir, self.state, step)
         return {
             "final_step": step,
