@@ -45,7 +45,11 @@ def make_mesh(
 
 
 def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
-    """Shard dim 0 over the data axis, replicate the rest."""
+    """Shard dim 0 over the data axis, replicate the rest. 0-d leaves
+    (scalar batch fields) replicate — a rank-1 spec on a scalar would
+    make device_put raise."""
+    if ndim <= 0:
+        return NamedSharding(mesh, P())
     spec = P(DATA_AXIS, *([None] * (ndim - 1)))
     return NamedSharding(mesh, spec)
 
@@ -55,10 +59,16 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch pytree onto the mesh, batch-dim sharded on `data`."""
+    """Place a host batch pytree onto the mesh, batch-dim sharded on
+    `data`. Leaves whose dim 0 does not divide the data axis (a final
+    partial batch) replicate instead of raising — matching the train
+    step's with_sharding_constraint tolerance."""
+    n_data = mesh.shape[DATA_AXIS]
 
     def _put(x):
         x = np.asarray(x)
+        if x.ndim == 0 or (x.shape[0] % max(n_data, 1)):
+            return jax.device_put(x, replicated_sharding(mesh))
         return jax.device_put(x, data_sharding(mesh, x.ndim))
 
     return jax.tree_util.tree_map(_put, batch)

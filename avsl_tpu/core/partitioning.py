@@ -65,10 +65,7 @@ DEFAULT_RULES: List[Tuple[str, P]] = [
 ]
 
 
-def _path_str(path: Tuple) -> str:
-    return "/".join(
-        str(getattr(p, "key", getattr(p, "name", p))) for p in path
-    )
+from avsl_tpu.core.tree import path_str as _path_str  # noqa: E402
 
 
 def spec_for(path: str, shape: Tuple[int, ...], mesh: Mesh,
@@ -111,7 +108,10 @@ def shard_state(state: Any, mesh: Mesh,
                 rules: Sequence[Tuple[str, P]] = DEFAULT_RULES) -> Any:
     """device_put the whole train state onto the mesh per the rules."""
     shardings = state_shardings(state, mesh, rules)
-    return jax.tree_util.tree_map(jax.device_put, state, shardings)
+    # one batched transfer: device_put accepts (pytree, sharding pytree)
+    # natively and coalesces the host->device traffic — per-leaf puts
+    # serialize hundreds of transfers through the rate-limited link
+    return jax.device_put(state, shardings)
 
 
 def describe_shardings(params: Any, mesh: Mesh,

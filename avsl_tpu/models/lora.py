@@ -43,8 +43,7 @@ import numpy as np
 DEFAULT_TARGETS: Tuple[str, ...] = (r"(q_proj|v_proj)/kernel$",)
 
 
-def _path_str(path: Tuple) -> str:
-    return "/".join(str(getattr(p, "key", getattr(p, "name", p))) for p in path)
+from avsl_tpu.core.tree import path_str as _path_str  # noqa: E402
 
 
 def _match(path: str, regexes) -> bool:

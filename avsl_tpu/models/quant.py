@@ -83,7 +83,7 @@ def default_predicate(path: str, leaf: Any) -> bool:
     gates (load-bearing scalars) and batch/norm statistics."""
     if not hasattr(leaf, "shape") or not hasattr(leaf, "dtype"):
         return False
-    if not jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating):
+    if not jnp.issubdtype(jnp.dtype(leaf.dtype), jnp.floating):
         return False
     if np.ndim(leaf) < 2 or np.size(leaf) < 4096:
         return False
@@ -93,8 +93,7 @@ def default_predicate(path: str, leaf: Any) -> bool:
     return True
 
 
-def _path_str(path: Tuple) -> str:
-    return "/".join(str(getattr(p, "key", getattr(p, "name", p))) for p in path)
+from avsl_tpu.core.tree import path_str as _path_str  # noqa: E402
 
 
 def quantize_tree(
@@ -106,13 +105,15 @@ def quantize_tree(
     it (the dequantized form is what models consume)."""
 
     def leaf(path, x):
+        if _is_qtensor(x):  # idempotent: never quantize scales of a QTensor
+            return x
         p = _path_str(path)
         if not predicate(p, x):
             return x
         axis = 0 if p.endswith("embedding") or p.endswith("label_embs") else -1
         return quantize_array(x, channel_axis=axis)
 
-    return jax.tree_util.tree_map_with_path(leaf, tree)
+    return jax.tree_util.tree_map_with_path(leaf, tree, is_leaf=_is_qtensor)
 
 
 def dequantize_tree(tree: Any, dtype=jnp.bfloat16) -> Any:
@@ -131,7 +132,7 @@ def tree_bytes(tree: Any) -> int:
     """Total leaf bytes (QTensor counts q + scale)."""
     total = 0
     for leaf in jax.tree_util.tree_leaves(tree):
-        total += np.size(leaf) * jnp.asarray(leaf).dtype.itemsize
+        total += np.size(leaf) * np.dtype(leaf.dtype).itemsize
     return int(total)
 
 

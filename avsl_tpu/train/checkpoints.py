@@ -24,6 +24,11 @@ except Exception:  # pragma: no cover
 
 
 def _manager(directory: str, max_to_keep: int = 3) -> "ocp.CheckpointManager":
+    if not _HAS_ORBAX:
+        raise RuntimeError(
+            "orbax-checkpoint is required for checkpoint save/restore "
+            "(import failed at module load)"
+        )
     os.makedirs(directory, exist_ok=True)
     return ocp.CheckpointManager(
         os.path.abspath(directory),
@@ -117,13 +122,12 @@ def restore_sharded(
 
 
 def _flatten(params: Any) -> Dict[str, Any]:
-    flat = {}
-    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
-        key = "/".join(
-            str(getattr(p, "key", getattr(p, "name", p))) for p in path
-        )
-        flat[key] = leaf
-    return flat
+    from avsl_tpu.core.tree import path_str
+
+    return {
+        path_str(path): leaf
+        for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
+    }
 
 
 def partial_load(
@@ -145,7 +149,9 @@ def partial_load(
             report["unexpected"].append(k)
 
     def replace(path, leaf):
-        key = "/".join(str(getattr(p, "key", getattr(p, "name", p))) for p in path)
+        from avsl_tpu.core.tree import path_str
+
+        key = path_str(path)
         if key in loaded_flat:
             cand = np.asarray(loaded_flat[key])
             if cand.shape == leaf.shape:

@@ -97,6 +97,10 @@ def make_train_step(
             grads, metrics, new_stats = _grads_one(
                 state.params, state.batch_stats, batch, rng
             )
+            # LossFn contract: new_batch_stats may be None (no update);
+            # the accum scan keeps the old stats in that case — mirror it
+            if new_stats is None:
+                new_stats = state.batch_stats
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -143,8 +147,17 @@ def make_train_step(
     )
 
 
-def make_eval_step(loss_fn: LossFn, mesh: Optional[Mesh] = None):
-    """Jit eval step: returns metrics only (no grads, deterministic rng)."""
+def make_eval_step(
+    loss_fn: LossFn,
+    mesh: Optional[Mesh] = None,
+    partitioned_state: bool = False,
+):
+    """Jit eval step: returns metrics only (no grads, deterministic rng).
+
+    ``partitioned_state=True`` (tensor/expert-parallel states) propagates
+    the state's own input shardings instead of forcing replication — a
+    TP-sharded model that only fits sharded must NOT be all-gathered to
+    every chip just to evaluate."""
 
     def step_fn(state: TrainState, batch) -> Dict:
         loss, (metrics, _) = loss_fn(
@@ -170,4 +183,7 @@ def make_eval_step(loss_fn: LossFn, mesh: Optional[Mesh] = None):
         )
         return step_fn(state, batch)
 
-    return jax.jit(sharded_step, in_shardings=(replicated, None), out_shardings=replicated)
+    state_in = None if partitioned_state else replicated
+    return jax.jit(
+        sharded_step, in_shardings=(state_in, None), out_shardings=replicated
+    )

@@ -152,3 +152,26 @@ def test_sequence_parallel_encoder_matches_replicated(eight_devices):
         step_sp = make_train_step(loss_fn, tx, mesh=mesh, donate=False)
         _, m_sp = step_sp(TrainState.create(variables["params"], tx), batch)
     assert float(m_sp["loss"]) == pytest.approx(float(m_plain["loss"]), rel=1e-5)
+
+
+def test_shard_batch_tolerates_scalars_and_partial_batches():
+    """Batches may carry scalar fields (epoch markers) and a final
+    partial batch whose dim 0 does not divide the data axis — both must
+    replicate instead of raising in the prefetch hot path."""
+    import numpy as np
+
+    from avsl_tpu.core.mesh import make_mesh, shard_batch
+
+    mesh = make_mesh(8, model_parallel=2)  # data axis = 4
+    batch = {
+        "x": np.ones((8, 3), np.float32),   # divisible: data-sharded
+        "tail": np.ones((5, 3), np.float32),  # 5 % 4 != 0: replicated
+        "epoch": np.float32(2.0),             # scalar: replicated
+    }
+    out = shard_batch(mesh, batch)
+    assert out["x"].shape == (8, 3)
+    assert out["tail"].shape == (5, 3)
+    assert float(out["epoch"]) == 2.0
+    assert not out["x"].sharding.is_fully_replicated
+    assert out["tail"].sharding.is_fully_replicated
+    assert out["epoch"].sharding.is_fully_replicated

@@ -142,3 +142,22 @@ def test_transcriber_int8_end_to_end(tmp_path):
             audio_max_length=16000, video_frames=20,
             batch_size=2, max_new_tokens=4, quantize="int4",
         )
+
+
+def test_quantize_tree_is_idempotent():
+    """Re-quantizing an already-quantized tree must be a no-op — without
+    the QTensor leaf guard the fp32 scale tensors themselves would get
+    quantized on the second pass."""
+    import jax
+    import jax.numpy as jnp
+
+    from avsl_tpu.models.quant import QTensor, quantize_tree
+
+    tree = {"w": jnp.ones((64, 128), jnp.float32) * 0.3}
+    q1 = quantize_tree(tree)
+    assert isinstance(q1["w"], QTensor)
+    q2 = quantize_tree(q1)
+    assert isinstance(q2["w"], QTensor)
+    assert not isinstance(q2["w"].scale, QTensor)
+    assert q2["w"].scale.dtype == q1["w"].scale.dtype
+    assert jax.tree_util.tree_structure(q1) == jax.tree_util.tree_structure(q2)
