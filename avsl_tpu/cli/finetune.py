@@ -148,9 +148,13 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         n_mels=w_cfg.n_mels, lang=cfg.lang, load_video=has_video, train=train,
     )
     train_ds, val_ds = mk_ds(train_rows, True), mk_ds(val_rows, False)
+    # label_pad_len PINS the label length: without it every distinct
+    # batch-max label length is a fresh XLA compile of the train step
+    label_len = min(int(getattr(cfg, "text_max_length", 350)), w_cfg.n_text_ctx)
     collator = WhisperVideoCollator(
         eot_id=tokenizer.eot,
-        max_label_len=min(int(getattr(cfg, "text_max_length", 350)), w_cfg.n_text_ctx),
+        label_pad_len=label_len,
+        max_label_len=label_len,
     )
 
     use_bucketing = not smoke

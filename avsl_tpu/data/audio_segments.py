@@ -19,17 +19,26 @@ import scipy.io.wavfile as wavfile
 from avsl_tpu.data.segments import Segment
 
 
-def load_wav(path: str, target_sr: int = 16000) -> np.ndarray:
-    """Read a wav to mono float32 in [-1, 1] at ``target_sr``."""
-    sr, data = wavfile.read(path)
+def pcm_to_float(data: np.ndarray) -> np.ndarray:
+    """Integer PCM -> float32 in [-1, 1]; mono-mix stereo; float passes
+    through. The ONE normalization used by every wav ingest path (file,
+    embedded HF bytes, raw arrays) so scalings cannot diverge."""
+    data = np.asarray(data)
     if data.ndim == 2:
         data = data.mean(axis=1)
     if data.dtype == np.int16:
-        data = data.astype(np.float32) / 32768.0
-    elif data.dtype == np.int32:
-        data = data.astype(np.float32) / 2147483648.0
-    else:
-        data = data.astype(np.float32)
+        return data.astype(np.float32) / 32768.0
+    if data.dtype == np.int32:
+        return data.astype(np.float32) / 2147483648.0
+    if data.dtype == np.uint8:  # wav uint8 is offset-binary
+        return (data.astype(np.float32) - 128.0) / 128.0
+    return data.astype(np.float32)
+
+
+def load_wav(path: str, target_sr: int = 16000) -> np.ndarray:
+    """Read a wav to mono float32 in [-1, 1] at ``target_sr``."""
+    sr, data = wavfile.read(path)
+    data = pcm_to_float(data)
     if sr != target_sr:
         from avsl_tpu.kernels.resample import resample_poly
 

@@ -62,11 +62,17 @@ class LengthBucketBatcher:
         self.drop_last = drop_last
         self.seed = seed
 
-    def _bucket_of(self, length: int) -> int:
+    def _bucket_of(self, length: int):
+        """(bucket key, padded length). Items longer than the last
+        boundary land in overflow buckets padded to the next multiple of
+        the largest boundary — the padded length is always >= the item
+        length (the top regular bucket would silently truncate them)."""
         for i, b in enumerate(self.boundaries):
             if length <= b:
-                return i
-        return len(self.boundaries) - 1
+                return i, b
+        top = self.boundaries[-1]
+        mult = -(-length // top)
+        return ("overflow", mult), mult * top
 
     def batches(self, shuffle: bool = True, epoch: int = 0) -> Iterator[Tuple[np.ndarray, int]]:
         """Yield (item_indices, padded_len); len(indices) is always a
@@ -80,16 +86,15 @@ class LengthBucketBatcher:
         pending: dict = {}
         for idx in order:
             L = int(self.lengths[idx])
-            b = self._bucket_of(L)
-            padded = self.boundaries[b]
-            pending.setdefault(b, []).append(idx)
-            cur = pending[b]
+            b, padded = self._bucket_of(L)
+            cur = pending.setdefault(b, (padded, []))[1]
+            cur.append(idx)
             if (len(cur) + 1) * padded > self.batch_bins or len(cur) >= self.max_batch_size:
                 yield from self._emit(cur, padded)
-                pending[b] = []
-        for b, cur in pending.items():
+                pending[b] = (padded, [])
+        for b, (padded, cur) in pending.items():
             if cur and not self.drop_last:
-                yield from self._emit(cur, self.boundaries[b])
+                yield from self._emit(cur, padded)
 
     def _emit(self, indices: List[int], padded: int) -> Iterator[Tuple[np.ndarray, int]]:
         idx = np.asarray(indices)

@@ -30,9 +30,13 @@ from avsl_tpu.decode.text_norm import normalize_text
 
 def _extract_audio(item: Dict[str, Any], target_sr: int = 16000) -> np.ndarray:
     """HF 'audio' value (dict / path) -> mono float32 at 16 kHz."""
+    from avsl_tpu.data.audio_segments import pcm_to_float
+
     audio = item.get("audio")
     if isinstance(audio, dict) and audio.get("array") is not None:
-        data = np.asarray(audio["array"], np.float32)
+        # normalize BEFORE any float cast: an int16/int32 array cell
+        # must be rescaled, not reinterpreted
+        data = pcm_to_float(audio["array"])
         sr = int(audio.get("sampling_rate", target_sr))
     elif isinstance(audio, dict) and audio.get("bytes") and not (
         audio.get("path") and os.path.exists(audio["path"])
@@ -44,18 +48,12 @@ def _extract_audio(item: Dict[str, Any], target_sr: int = 16000) -> np.ndarray:
         import scipy.io.wavfile as wavfile
 
         sr, data = wavfile.read(io.BytesIO(audio["bytes"]))
-        if data.ndim == 2:
-            data = data.mean(axis=1)
-        if data.dtype == np.int16:
-            data = data.astype(np.float32) / 32768.0
-        data = data.astype(np.float32)
+        data = pcm_to_float(data)
     else:
         path = audio.get("path") if isinstance(audio, dict) else audio
         from avsl_tpu.data.audio_segments import load_wav
 
         return load_wav(path, target_sr)
-    if data.dtype == np.int16:
-        data = data.astype(np.float32) / 32768.0
     if sr != target_sr:
         from avsl_tpu.kernels.resample import resample_poly
 
@@ -115,9 +113,24 @@ class AmiVideoDataset:
         return len(self.ds)
 
     def audio_length(self, idx: int) -> int:
-        """Cheap per-item length estimate in samples (for bucketing)."""
-        item = self.ds[idx]
-        dur = item.get("duration")
+        """Cheap per-item length estimate in samples (for bucketing).
+        Reads the duration COLUMN once and caches it — per-row access on
+        an HF dataset materializes the full row (embedded audio/video
+        bytes) and a naive loop re-reads the whole corpus every epoch."""
+        if not hasattr(self, "_durations"):
+            try:
+                col = self.ds["duration"] if hasattr(self.ds, "__getitem__") else None
+                self._durations = None if col is None else [
+                    (None if d is None else float(d)) for d in col
+                ]
+            except Exception:
+                self._durations = None
+        if self._durations is not None:
+            d = self._durations[idx]
+            if d is not None:
+                return int(d * self.sample_rate)
+            return self.audio_max_length
+        dur = self.ds[idx].get("duration")
         if dur is not None:
             return int(float(dur) * self.sample_rate)
         return self.audio_max_length
@@ -251,6 +264,13 @@ class AVHubertDataset:
         self.add_noise_prob = add_noise_prob
         self.noise_audio = noise_audio
         self.noise_snr_db = noise_snr_db
+        # epoch folds into the per-item rng so modality-drop / noise
+        # decisions RESAMPLE each epoch (a (seed, idx)-only rng would
+        # drop the same items' audio for the whole run)
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = int(epoch)
 
     def __len__(self) -> int:
         return len(self.rows)
@@ -259,7 +279,7 @@ class AVHubertDataset:
         from avsl_tpu.kernels.fbank import avhubert_audio_features
 
         item = self.rows[idx]
-        rng = np.random.default_rng((self.seed, idx))
+        rng = np.random.default_rng((self.seed, self.epoch, idx))
         drop_audio = self.train and rng.random() < self.audio_drop_prob
         drop_video = self.train and rng.random() < self.video_drop_prob
         if drop_audio and drop_video:  # at-least-one-modality fallback
@@ -317,6 +337,8 @@ def make_bucketed_loader(
     """Yield bucketed batches: item lengths (audio frames at 100 Hz) drive
     the token-budget batcher; each batch's video is padded to the bucket's
     frame count so XLA compiles one program per bucket."""
+    if hasattr(dataset, "set_epoch"):
+        dataset.set_epoch(epoch)  # re-sample per-epoch augmentation draws
     lengths = [max(dataset.audio_length(i) // 160, 1) for i in range(len(dataset))]
     batcher = LengthBucketBatcher(lengths, batch_bins, num_shards=num_shards)
     for idx, padded_frames in batcher.batches(shuffle=shuffle, epoch=epoch):

@@ -65,6 +65,14 @@ class Tokenizer:
         return set(self.special_tokens.values())
 
     def sot_sequence(self, lang: str = "en") -> List[int]:
+        if f"<|{lang}|>" not in self.special_tokens:
+            known = sorted(
+                n[2:-2] for n in self.special_tokens
+                if n.startswith("<|") and len(n) <= 7
+            )
+            raise ValueError(
+                f"unknown language {lang!r}; this tokenizer knows {known}"
+            )
         return [
             self.sot,
             self.special_tokens[f"<|{lang}|>"],
@@ -285,19 +293,27 @@ class BPETokenizer(Tokenizer):
             if tok not in self._added and tok not in self.special_tokens:
                 self._added[tok] = self._next_id
                 self._next_id += 1
+        self._split_cache = None  # new markers invalidate the split pattern
         return self.vocab_size
 
-    def encode(self, text: str) -> List[int]:
-        import regex
+    def _marker_split(self):
+        """(markers, compiled split pattern) — cached; add_tokens
+        invalidates. Rebuilding the ~110-alternative pattern per encode()
+        call costs a string build + cache lookup for every dataset item
+        every epoch."""
+        if getattr(self, "_split_cache", None) is None:
+            import regex
 
-        markers = {**self._added, **self.special_tokens}
-        if markers:
-            split_pat = "(" + "|".join(
+            markers = {**self._added, **self.special_tokens}
+            pat = regex.compile("(" + "|".join(
                 regex.escape(n) for n in sorted(markers, key=len, reverse=True)
-            ) + ")"
-            chunks = regex.split(split_pat, text)
-        else:
-            chunks = [text]
+            ) + ")") if markers else None
+            self._split_cache = (markers, pat)
+        return self._split_cache
+
+    def encode(self, text: str) -> List[int]:
+        markers, pat = self._marker_split()
+        chunks = pat.split(text) if pat is not None else [text]
         out: List[int] = []
         for chunk in chunks:
             if not chunk:
@@ -329,7 +345,9 @@ class ByteTokenizer(Tokenizer):
 
     ids [0, 256) are raw bytes; special tokens and user tokens follow."""
 
-    def __init__(self, langs: Sequence[str] = WHISPER_LANGS):
+    def __init__(self, langs: Sequence[str] = WHISPER_ALL_LANGS):
+        # full Whisper language set by default — the BPE backend supports
+        # all 99, and a byte-fallback run with lang='pl' must not differ
         self._base = 256
         self.special_tokens: Dict[str, int] = {}
         nid = self._base

@@ -217,3 +217,81 @@ def test_bpe_laugh_token_and_sot_contract(bpe):
     ex = bpe.prepare_example("the design <laugh>")
     assert ex["dec_input_ids"][:4] == bpe.sot_sequence("en")
     assert ex["labels"] == ex["dec_input_ids"][1:] + [bpe.eot]
+
+
+def test_bucket_overflow_pads_at_least_item_length():
+    """Items longer than the last boundary must land in overflow buckets
+    padded to >= their length (the top regular bucket would silently
+    truncate their video frames downstream)."""
+    import numpy as np
+
+    from avsl_tpu.data.batching import LengthBucketBatcher
+
+    lengths = [50, 250, 120, 430]
+    b = LengthBucketBatcher(lengths, batch_bins=10_000,
+                            boundaries=[100, 200], num_shards=1)
+    seen = {}
+    for idx, padded in b.batches(shuffle=False):
+        for i in idx:
+            seen[int(i)] = padded
+    assert set(seen) == {0, 1, 2, 3}
+    for i, L in enumerate(lengths):
+        assert seen[i] >= L, (i, L, seen[i])
+    assert seen[1] == 400 and seen[3] == 600  # multiples of the top boundary
+
+
+def test_modality_drop_resamples_across_epochs(tmp_path):
+    """set_epoch must change which items drop a modality — a fixed
+    (seed, idx) rng would drop the SAME items' audio all run long."""
+    import numpy as np
+
+    from avsl_tpu.data.audio_segments import write_wav
+    from avsl_tpu.data.runtime import AVHubertDataset
+
+    from avsl_tpu.data.video_io import write_video_frames
+
+    sr = 16000
+    wav = str(tmp_path / "x.wav")
+    write_wav(wav, (0.1 * np.sin(
+        2 * np.pi * 300 * np.arange(sr) / sr)).astype(np.float32))
+    lip = str(tmp_path / "x-lip.mp4")
+    write_video_frames(
+        lip,
+        np.random.default_rng(0).integers(0, 255, (25, 96, 96)).astype(np.uint8),
+        fps=25,
+    )
+    # both modalities present, else the at-least-one fallback pins audio
+    rows = [{"audio": wav, "lip_video": lip} for _ in range(24)]
+    ds = AVHubertDataset(rows, train=True, audio_drop_prob=0.5,
+                         video_drop_prob=0.0, seed=3)
+
+    def drops(epoch):
+        ds.set_epoch(epoch)
+        return [ds[i]["audio_present"] for i in range(len(ds))]
+
+    d0, d1 = drops(0), drops(1)
+    assert d0 != d1
+    assert drops(0) == d0  # deterministic per (seed, epoch)
+
+
+def test_pcm_to_float_normalizes_all_widths():
+    import numpy as np
+
+    from avsl_tpu.data.audio_segments import pcm_to_float
+
+    assert abs(float(pcm_to_float(np.asarray([16384], np.int16))) - 0.5) < 1e-6
+    assert abs(float(pcm_to_float(np.asarray([2**30], np.int32))) - 0.5) < 1e-6
+    assert abs(float(pcm_to_float(np.asarray([192], np.uint8))) - 0.5) < 1e-6
+    out = pcm_to_float(np.asarray([[0.5, 0.5]], np.float32).T.repeat(2, 1))
+    assert out.dtype == np.float32
+
+
+def test_byte_tokenizer_full_lang_set_and_clear_error():
+    from avsl_tpu.data.tokenizer import ByteTokenizer
+
+    tok = ByteTokenizer()
+    assert tok.sot_sequence("pl")[1] == tok.special_tokens["<|pl|>"]
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown language"):
+        tok.sot_sequence("xx")
