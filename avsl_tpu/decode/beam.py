@@ -100,10 +100,18 @@ def beam_search(
         jnp.arange(1, max_new_tokens),
     )
 
-    # length-normalized final selection (count tokens up to and incl. EOT)
-    lengths = jnp.sum(
-        jnp.cumsum((seqs == eot_id).astype(jnp.int32), axis=-1) == 0, axis=-1
-    ) + 1
+    # length-normalized final selection (count tokens up to and incl.
+    # EOT). A beam that never emitted EOT accumulated exactly
+    # max_new_tokens log-probs — capping the +1 there keeps unfinished
+    # beams from getting an inflated divisor (which would bias selection
+    # toward run-on hypotheses)
+    lengths = jnp.minimum(
+        jnp.sum(
+            jnp.cumsum((seqs == eot_id).astype(jnp.int32), axis=-1) == 0,
+            axis=-1,
+        ) + 1,
+        max_new_tokens,
+    )
     norm = scores / jnp.power(lengths.astype(jnp.float32), length_penalty)
     best = jnp.argmax(norm, axis=1)
     best_seqs = jnp.take_along_axis(seqs, best[:, None, None], axis=1)[:, 0]

@@ -9,10 +9,11 @@ time warping. The reference has no alignment capability of any kind.
 
 TPU shape of the capture: the decoder's cross-attention normally runs
 the fused (flash-style) kernel which never materializes weights. The
-attention layer sows them into the flax ``intermediates`` collection
-ONLY when that collection is mutable in the ``apply`` call — production
-forwards keep the fused path and zero overhead; the alignment forward
-(one teacher-forced pass, mutable=["intermediates"]) pays the
+attention layer sows them into a DEDICATED flax ``alignment``
+collection, mutable only in the alignment forward — production forwards
+(and the training losses, whose ``intermediates`` collection is mutable
+for MoE aux stats) keep the fused path and zero overhead; the alignment
+pass (one teacher-forced forward, mutable=["alignment"]) pays the
 materialized [B,H,Q,K] einsum once.
 
 Frame rate: Whisper's encoder emits one frame per 20 ms (two 10 ms mel
@@ -107,14 +108,19 @@ def collect_cross_attention(intermediates: Dict[str, Any]) -> np.ndarray:
                 walk(v, path + [k])
         else:
             if "cross_attn" in path and path[-1] == "attn_weights":
-                for leaf in (node if isinstance(node, (tuple, list)) else [node]):
-                    mats.append(np.asarray(leaf, np.float32))
+                # sow stores a tuple; the LAST entry is this pass's
+                # capture — earlier entries are stale (model.init makes
+                # every collection mutable, so an init-time capture can
+                # ride inside `variables` and get appended to) or remat
+                # re-trace duplicates
+                leaf = node[-1] if isinstance(node, (tuple, list)) else node
+                mats.append(np.asarray(leaf, np.float32))
 
     walk(intermediates, [])
     if not mats:
         raise ValueError(
             "no cross_attn/attn_weights sown — run apply with "
-            'mutable=["intermediates"]'
+            'mutable=["alignment"]'
         )
     stacked = np.stack(mats)  # [L, B, H, Q, K]
     L, B, H, Q, K = stacked.shape
@@ -145,9 +151,9 @@ def whisper_word_timestamps(
     kwargs = {} if video is None else {"video": video}
     _, inter = model.apply(
         variables, jnp.asarray(mel), jnp.asarray(tokens),
-        mutable=["intermediates"], **kwargs,
+        mutable=["alignment"], **kwargs,
     )
-    per_item = collect_cross_attention(inter["intermediates"])
+    per_item = collect_cross_attention(inter["alignment"])
     tokens = np.asarray(tokens)
     B, _, Q, K = per_item.shape
     out: List[List[dict]] = []

@@ -76,6 +76,15 @@ class StreamingTranscriber:
         )
         from avsl_tpu.kernels import log_mel_spectrogram
 
+        # model.init returns EVERY collection it touched, including any
+        # alignment/intermediates sow leftovers — those are dead weight
+        # (stale [B,H,Q,K] tensors uploaded to HBM) and would be appended
+        # to by the alignment pass; only real variable collections ride
+        variables = {
+            k: v for k, v in variables.items()
+            if k not in ("alignment", "intermediates")
+        }
+
         # Whisper-serving quality loop: retry low-confidence / repetitive
         # decodes at increasing temperatures. TPU-shaped: ONE extra
         # compiled program (temperature is a traced scalar), re-launched
@@ -225,9 +234,9 @@ class StreamingTranscriber:
                 mel = log_mel_spectrogram(audio, n_mels=cfg.n_mels)
                 _, inter = model.apply(
                     variables, mel, tokens, video=video,
-                    mutable=["intermediates"],
+                    mutable=["alignment"],
                 )
-                return inter["intermediates"]
+                return inter["alignment"]
 
             self._run_align = run_align
 

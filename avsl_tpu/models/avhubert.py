@@ -509,6 +509,13 @@ class AVHuBERTModel(nn.Module):
         if feature_mask is None and channel_mask is None and apply_time_mask and not deterministic:
             src = audio if audio is not None else video
             t = src.shape[1]
+            if audio is not None and self.cfg.use_conv_audio_frontend and audio.ndim == 2:
+                # raw-waveform input: the time mask operates on the
+                # DOWNSAMPLED frame axis (the wrapper applies it after
+                # the conv stack) — drawing over n_samples would produce
+                # ~320x too many sample-length spans and a misaligned
+                # padding mask
+                t = Wav2Vec2FeatureEncoder.output_length(self.cfg, t)
             feature_mask = span_mask(
                 self.make_rng("mask"),
                 src.shape[0],
@@ -665,7 +672,13 @@ class AVHuBERTDecoder(nn.Module):
             )
             for i in range(cfg.decoder_layers)
         ]
-        self.ln = LayerNormF32(param_dtype=jnp.dtype(cfg.param_dtype), name="ln")
+        # fairseq decoders carry a final LayerNorm only when
+        # decoder_normalize_before=True; post-norm configs must not gain
+        # an extra (untrained, checkpoint-less) normalization
+        if cfg.decoder_normalize_before:
+            self.ln = LayerNormF32(
+                param_dtype=jnp.dtype(cfg.param_dtype), name="ln"
+            )
         self.input_dropout = nn.Dropout(cfg.decoder_dropout)
         if not cfg.tie_word_embeddings:
             self.output_proj = nn.Dense(
@@ -708,7 +721,7 @@ class AVHuBERTDecoder(nn.Module):
 
         new_cache: Optional[List[Cache]] = [] if cache is not None else None
         for i, layer in enumerate(self.layers):
-            x, c = layer(
+            out, c = layer(
                 x,
                 enc=encoder_out,
                 enc_mask=enc_mask,
@@ -716,9 +729,23 @@ class AVHuBERTDecoder(nn.Module):
                 deterministic=deterministic,
                 kv_lengths=dec_lengths,
             )
+            if (
+                cfg.decoder_layerdrop > 0.0
+                and not deterministic
+                and cache is None
+            ):
+                # fairseq decoder LayerDrop, jit-safe (encoder pattern):
+                # Bernoulli keep applied as a whole-layer passthrough
+                keep = jax.random.bernoulli(
+                    self.make_rng("dropout"), 1.0 - cfg.decoder_layerdrop
+                )
+                x = jnp.where(keep, out, x)
+            else:
+                x = out
             if new_cache is not None:
                 new_cache.append(c)
-        x = self.ln(x)
+        if cfg.decoder_normalize_before:
+            x = self.ln(x)
 
         if cfg.tie_word_embeddings:
             logits = jnp.einsum(

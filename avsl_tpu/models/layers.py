@@ -130,10 +130,14 @@ def dot_product_attention(
     mask: Optional[jnp.ndarray] = None,
     bias: Optional[jnp.ndarray] = None,
     return_weights: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0,
 ):
     """[B,Q,H,D]x[B,K,H,D] -> [B,Q,H,D]; fp32 softmax; mask True=attend.
     ``return_weights`` also returns the fp32 [B,H,Q,K] softmax weights
-    (the alignment capture path, decode/word_timestamps.py)."""
+    (the alignment capture path, decode/word_timestamps.py).
+    ``dropout_rng``/``dropout_rate`` drop attention WEIGHTS (fairseq
+    attention_dropout semantics, inverted scaling)."""
     head_dim = q.shape[-1]
     scale = 1.0 / np.sqrt(head_dim)
     logits = jnp.einsum(
@@ -145,6 +149,11 @@ def dot_product_attention(
         logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
     weights_f32 = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     weights = weights_f32.astype(q.dtype)
+    if dropout_rng is not None and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(
+            dropout_rng, 1.0 - dropout_rate, weights.shape
+        )
+        weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
     out = jnp.einsum(
         "bhqk,bkhd->bqhd", weights, v, preferred_element_type=jnp.float32
     ).astype(q.dtype)
@@ -168,6 +177,7 @@ class MultiHeadAttention(nn.Module):
     d_model: int
     n_heads: int
     use_k_bias: bool = False  # whisper's key projection has no bias
+    attn_dropout: float = 0.0  # fairseq attention_dropout (weight drop)
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -200,6 +210,7 @@ class MultiHeadAttention(nn.Module):
         decode: bool = False,
         causal: bool = False,
         kv_lengths: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, Optional[Cache]]:
         q = self._split(self.q_proj(x))
         new_cache = None
@@ -230,13 +241,25 @@ class MultiHeadAttention(nn.Module):
             v = self._split(self.v_proj(src))
             # alignment capture (decode/word_timestamps.py): materialize
             # and sow cross-attention weights ONLY when the caller made
-            # "intermediates" mutable — production forwards keep the
-            # fused kernel and never build the [B,H,Q,K] matrix
+            # the dedicated "alignment" collection mutable. NOT keyed on
+            # "intermediates": the training losses make that mutable for
+            # MoE aux stats, and gating on it would materialize [B,H,Q,K]
+            # fp32 weights for every cross-attn on every train step
             sow_weights = (
                 kv_src is not None
-                and self.is_mutable_collection("intermediates")
+                and self.is_mutable_collection("alignment")
             )
-            if mask is None and not sow_weights:
+            drop = (not deterministic) and self.attn_dropout > 0.0
+            if drop:
+                # attention_dropout needs materialized weights: unfused
+                # path for training steps that enable it (the fused
+                # kernel serves deterministic/production forwards)
+                out = dot_product_attention(
+                    q, k, v, mask,
+                    dropout_rng=self.make_rng("dropout"),
+                    dropout_rate=self.attn_dropout,
+                )
+            elif mask is None and not sow_weights:
                 # hot full-sequence path: fused (flash-style) Pallas kernel
                 # on TPU, einsum fallback elsewhere (kernels/attention.py)
                 from avsl_tpu.kernels.attention import fused_attention
@@ -246,7 +269,7 @@ class MultiHeadAttention(nn.Module):
                 out, weights = dot_product_attention(
                     q, k, v, mask, return_weights=True
                 )
-                self.sow("intermediates", "attn_weights", weights)
+                self.sow("alignment", "attn_weights", weights)
             else:
                 out = dot_product_attention(q, k, v, mask)
 
@@ -304,6 +327,7 @@ class TransformerBlock(nn.Module):
             self.d_model,
             self.n_heads,
             use_k_bias=self.use_k_bias,
+            attn_dropout=self.attention_dropout,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name=name,
@@ -356,7 +380,8 @@ class TransformerBlock(nn.Module):
         xv_cache = None if cache is None else cache.get("xv")
         if self.gated_x_attn and (xv is not None or xv_cache is not None):
             delta, c = self.x_attn(
-                self.x_attn_ln(x), kv_src=xv, mask=xv_mask, cache=xv_cache
+                self.x_attn_ln(x), kv_src=xv, mask=xv_mask, cache=xv_cache,
+                deterministic=deterministic,
             )
             x = x + jnp.tanh(self.x_attn_gate).astype(x.dtype) * delta
             delta = self.x_mlp(self.x_mlp_ln(x), deterministic=deterministic)
@@ -371,6 +396,7 @@ class TransformerBlock(nn.Module):
             h, mask=self_mask, cache=None if cache is None else cache.get("self"),
             kv_lengths=kv_lengths,
             causal=self.causal_self_attn and cache is None,
+            deterministic=deterministic,
         )
         x = self._residual(residual, h, deterministic)
         if not self.pre_norm:
@@ -385,6 +411,7 @@ class TransformerBlock(nn.Module):
             h, c = self.cross_attn(
                 h, kv_src=enc, mask=enc_mask,
                 cache=None if cache is None else cache.get("cross"),
+                deterministic=deterministic,
             )
             x = self._residual(residual, h, deterministic)
             if not self.pre_norm:

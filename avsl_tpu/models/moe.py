@@ -26,6 +26,12 @@ Expert parallelism composes with the existing axes: build the mesh with
 parameters with `core.partitioning` (rules match ``w_in/w_out/b_in/b_out``
 to ``P('expert', ...)``); the router stays replicated so every data shard
 routes its own tokens.
+
+Known limitation: routing sees every [B*T] position, including padding —
+pad tokens consume expert capacity (position-priority) and enter the
+balance-loss statistics. Length-bucketed batches (data/batching.py) keep
+pad fractions small, which bounds the effect; threading the padding mask
+into the router is future work.
 """
 
 from __future__ import annotations

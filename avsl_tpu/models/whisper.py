@@ -256,6 +256,12 @@ class Whisper(nn.Module):
             tokens, audio_features, xv=xv, cache=cache, deterministic=deterministic
         )
 
+    # NOTE (train/serve parity for audio-only inputs): an audio-only
+    # TRAINING draw (prob_a mixing, video_feature_scale=0) still runs the
+    # gated x-attn / x-mlp sublayers against a zeroed video stream, while
+    # decoding with NO xv cache skips them entirely. Serve audio-only
+    # items with a ZEROED video tensor (the StreamingTranscriber always
+    # does) so serving matches the training-time computation.
     def init_decode_cache(
         self,
         audio_features: jnp.ndarray,

@@ -66,7 +66,13 @@ def flamingo_loss_fn(model, train: bool = True, freeze_video_bn_stats: bool = Fa
         variables = {"params": params["params"] if "params" in params else params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
-        rngs = {"dropout": rng} if train else None
+        # split ONCE up front: the dropout/modality streams must not be
+        # the same key later re-split for SpecAugment / AV-mode draws
+        # (key reuse correlates the mechanisms), and an AV-HuBERT trunk
+        # with modality_dropout > 0 calls make_rng('modality') in
+        # training — omitting that stream is a flax InvalidRngError
+        rng, drop_key, modal_key = jax.random.split(rng, 3)
+        rngs = {"dropout": drop_key, "modality": modal_key} if train else None
         update_stats = train and batch_stats is not None and not freeze_video_bn_stats
         mutable = (["batch_stats"] if update_stats else []) + ["intermediates"]
 

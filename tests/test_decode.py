@@ -559,16 +559,23 @@ def test_whisper_word_timestamps_end_to_end():
     toks = jnp.asarray([tokenizer.sot_sequence("en") + text_ids + [tokenizer.eot]])
     variables = model.init(jax.random.PRNGKey(0), mel, toks, video=video)
 
-    # production forward: no intermediates requested -> fused path; the
-    # capture change must not alter logits
+    # production forward: no alignment collection requested -> fused
+    # path; the capture change must not alter logits. Crucially a
+    # TRAINING-style apply with mutable=["intermediates"] (MoE aux) must
+    # NOT trigger the capture either.
     base = model.apply(variables, mel, toks, video=video)
-    logits, inter = model.apply(
+    _, train_style = model.apply(
         variables, mel, toks, video=video, mutable=["intermediates"]
+    )
+    with pytest.raises(ValueError, match="sown"):
+        collect_cross_attention(train_style.get("intermediates", {}))
+    logits, inter = model.apply(
+        variables, mel, toks, video=video, mutable=["alignment"]
     )
     np.testing.assert_allclose(
         np.asarray(base), np.asarray(logits), rtol=2e-4, atol=2e-4
     )
-    per_item = collect_cross_attention(inter["intermediates"])
+    per_item = collect_cross_attention(inter["alignment"])
     n_layers, n_heads = cfg.n_text_layer, cfg.n_text_head
     assert per_item.shape[:2] == (1, n_layers * n_heads)
     # softmax rows sum to 1 over frames

@@ -292,3 +292,37 @@ def test_partial_load_triage(flamingo_setup):
     assert "encoder/conv1/kernel" in report["shape_mismatch"]
     assert len(report["missing"]) > 0
     assert float(np.asarray(new_params["decoder"]["block_0"]["x_attn_gate"])[0]) == 0.5
+
+
+def test_flamingo_loss_provides_modality_rng():
+    """An AV trunk with modality_dropout > 0 calls make_rng('modality')
+    during training — the flamingo loss must supply that stream (and a
+    dropout key that is NOT later re-split for other draws)."""
+    import jax
+    import jax.numpy as jnp
+
+    from avsl_tpu.core.config import AVHuBERTConfig
+    from avsl_tpu.models.factory import build_whisper_flamingo
+    from avsl_tpu.train.objectives import flamingo_loss_fn
+
+    av_cfg = AVHuBERTConfig.tiny_test(modality_dropout=0.5, dtype="float32")
+    model, cfg = build_whisper_flamingo(
+        "test", vocab_size=64, av_hubert_cfg=av_cfg, dtype="float32"
+    )
+    B, T = 2, 50
+    mel = jnp.zeros((B, cfg.n_mels, T))
+    video = jnp.zeros((B, 12, 88, 88, 1))
+    toks = jnp.asarray([[1, 2, 3]] * B)
+    variables = model.init(jax.random.PRNGKey(0), mel, toks, video=video)
+    loss_fn = flamingo_loss_fn(model, train=True)
+    batch = {
+        "input_ids": mel,
+        "dec_input_ids": toks,
+        "labels": jnp.asarray([[2, 3, 4]] * B),
+        "video": video,
+    }
+    loss, _ = loss_fn(
+        variables["params"], variables.get("batch_stats"), batch,
+        jax.random.PRNGKey(1),
+    )
+    assert np.isfinite(float(loss))
