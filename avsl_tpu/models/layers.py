@@ -248,6 +248,10 @@ class MultiHeadAttention(nn.Module):
             sow_weights = (
                 kv_src is not None
                 and self.is_mutable_collection("alignment")
+                # never during init: model.init makes EVERY collection
+                # mutable, and a captured tensor would pollute the
+                # returned variables (checkpoint triage, HBM dead weight)
+                and not self.is_initializing()
             )
             drop = (not deterministic) and self.attn_dropout > 0.0
             if drop:
