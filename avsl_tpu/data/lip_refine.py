@@ -69,7 +69,6 @@ from avsl_tpu.data.landmarks import (
 # Canonical-face geometry constants (see lip_roi.canonical_mean_face):
 # jaw-ellipse width at mouth height and full face width, in 300-space.
 CANON_FACE_WIDTH_AT_MOUTH = 120.0
-CANON_INNER_LIP_HALF_GAP = 6.0  # inner-lip y half-offsets at 300-scale
 
 
 def _gaussian_blur(frame: np.ndarray, k: int) -> np.ndarray:
@@ -201,9 +200,16 @@ def sandwich_y_candidates(
     if ys.size == 0:
         return []
     c = np.concatenate([[0.0], np.cumsum(prof, dtype=np.float64)])
+    # the philtrum (up) probe must reject rows whose probe window falls
+    # off the frame top, exactly like the chin probe rejects off-bottom —
+    # otherwise a clamped 0..2-row window near a bright frame top can
+    # outscore the real lip line
+    up_in_range = ys - off >= 0
     up_lo = np.maximum(0, ys - off)
     up_hi = np.maximum(1, ys - off + 3)
-    up = (c[up_hi] - c[up_lo]) / (up_hi - up_lo)
+    up = np.where(
+        up_in_range, (c[up_hi] - c[up_lo]) / np.maximum(up_hi - up_lo, 1), 0.0
+    )
     in_range = ys + off < h
     dn_hi = np.minimum(ys + off + 1, h)
     dn_lo = np.maximum(np.minimum(ys + off - 2, dn_hi - 1), 0)
@@ -612,6 +618,7 @@ class RefinedMouthTracker(LandmarkDetector):
 
         # smoothing
         def smooth(v: np.ndarray, win: int) -> np.ndarray:
+            win |= 1  # edge-pad + 'valid' preserves length for ODD wins only
             if t_total < win:
                 return v
             half = win // 2

@@ -64,20 +64,41 @@ def native_available() -> bool:
 
 def decode_video_gray(
     path: str,
-    max_frames: int = 100000,
+    max_frames: int = 30000,
     out_size: Optional[Tuple[int, int]] = None,
     start_sec: float = 0.0,
     end_sec: float = 0.0,
 ) -> np.ndarray:
-    """Decode to [T, H, W] uint8 grayscale via the native module (or cv2)."""
+    """Decode to [T, H, W] uint8 grayscale via the native module (or cv2).
+
+    Default ``max_frames`` bounds the output buffer (~3 GB virtual at
+    288x352; 20 min @ 25 fps) — pass an explicit cap for longer media.
+    The cv2 fallback honors ``start_sec``/``end_sec`` by frame-index
+    slicing at the container fps (cv2 has no reliable seek)."""
     lib = _load_lib()
     if lib is None:
+        import cv2
+
         from avsl_tpu.data.video_io import read_video_frames
 
-        frames = read_video_frames(path, grayscale=True, max_frames=max_frames)
+        if start_sec > 0.0 or end_sec > 0.0:
+            cap = cv2.VideoCapture(path)
+            fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+            cap.release()
+            first = int(round(start_sec * fps))
+            last = int(round(end_sec * fps)) if end_sec > 0.0 else None
+            need = (last if last is not None else first + max_frames)
+            frames = read_video_frames(path, grayscale=True, max_frames=need)
+            frames = frames[first:last][:max_frames]
+            if len(frames) == 0:
+                raise IOError(
+                    f"no frames in [{start_sec}, {end_sec}]s of {path}"
+                )
+        else:
+            frames = read_video_frames(
+                path, grayscale=True, max_frames=max_frames
+            )
         if out_size is not None:
-            import cv2
-
             w, h = out_size
             frames = np.stack([cv2.resize(f, (w, h)) for f in frames])
         return frames
@@ -117,7 +138,7 @@ def decode_audio(
             "native media module not built (make -C cpp/avsl_media) and no "
             "python fallback exists for compressed audio"
         )
-    max_samples = int(max_seconds * max(target_sr, 48000))
+    max_samples = int(max_seconds * target_sr)
     buf = np.empty(max_samples, np.float32)
     sr = ctypes.c_int()
     n = lib.avsl_decode_audio_f32(

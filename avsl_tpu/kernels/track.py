@@ -107,9 +107,13 @@ def ncc_track_clip_anchored(
     half = ts // 2
     frames = frames.astype(jnp.float32)
 
+    # clamp positions by the template half only (a half+search clamp
+    # biased near-edge mouths by up to `search` px, unlike the host twin
+    # AnchorTrackDetector); the search-window ORIGIN is clamped into the
+    # frame independently and offsets map back through it
     def clamp(p):
-        x = jnp.clip(p[0], half + search, w - half - search - 1)
-        y = jnp.clip(p[1], half + search, h - half - search - 1)
+        x = jnp.clip(p[0], half, w - half - 1)
+        y = jnp.clip(p[1], half, h - half - 1)
         return jnp.stack([x, y])
 
     p0 = clamp(anchor_pos.astype(jnp.float32))
@@ -121,14 +125,14 @@ def ncc_track_clip_anchored(
 
     def step(pos, frame):
         pos = clamp(pos)
-        wx = (pos[0] - half - search).astype(jnp.int32)
-        wy = (pos[1] - half - search).astype(jnp.int32)
+        wx = jnp.clip((pos[0] - half - search).astype(jnp.int32), 0, w - win)
+        wy = jnp.clip((pos[1] - half - search).astype(jnp.int32), 0, h - win)
         window = jax.lax.dynamic_slice(frame, (wy, wx), (win, win))
         scores = ncc_scores(window, template)
         flat = jnp.argmax(scores)
-        dy = (flat // scores.shape[1]).astype(jnp.float32) - search
-        dx = (flat % scores.shape[1]).astype(jnp.float32) - search
-        new = clamp(jnp.stack([pos[0] + dx, pos[1] + dy]))
+        cy = wy.astype(jnp.float32) + half + (flat // scores.shape[1]).astype(jnp.float32)
+        cx = wx.astype(jnp.float32) + half + (flat % scores.shape[1]).astype(jnp.float32)
+        new = clamp(jnp.stack([cx, cy]))
         return new, new
 
     _, fwd = jax.lax.scan(step, p0, frames[anchor:])
@@ -187,8 +191,14 @@ def ncc_track_clip_parallel(
     search = min(search, (min(h, w) - ts - 2) // 2)
     frames = frames.astype(jnp.float32)
 
-    px = jnp.clip(anchor_pos[0], half + search, w - half - search - 1)
-    py = jnp.clip(anchor_pos[1], half + search, h - half - search - 1)
+    # clamp the TEMPLATE by its own half-size only — clamping it by
+    # half+search shifted the template up to `search` px off a near-edge
+    # mouth (the host twin AnchorTrackDetector clamps by half only). The
+    # WINDOW origin is clamped into the frame independently; the window
+    # may sit asymmetrically around the template near edges, so score
+    # offsets map back via the actual window origin.
+    px = jnp.clip(anchor_pos[0], half, w - half - 1)
+    py = jnp.clip(anchor_pos[1], half, h - half - 1)
     x0 = (px - half).astype(jnp.int32)
     y0 = (py - half).astype(jnp.int32)
     template = jax.lax.dynamic_slice(frames[anchor], (y0, x0), (ts, ts))
@@ -196,8 +206,8 @@ def ncc_track_clip_parallel(
     t_norm = jnp.sqrt(jnp.maximum(jnp.sum(t_zero * t_zero), 1e-6))
 
     win = ts + 2 * search
-    wx = (px - half - search).astype(jnp.int32)
-    wy = (py - half - search).astype(jnp.int32)
+    wx = jnp.clip((px - half - search).astype(jnp.int32), 0, w - win)
+    wy = jnp.clip((py - half - search).astype(jnp.int32), 0, h - win)
     windows = jax.lax.dynamic_slice(frames, (0, wy, wx), (t_len, win, win))
 
     def corr(x, k):  # [T, H, W] x [h, w] -> [T, H-h+1, W-w+1]
@@ -217,9 +227,12 @@ def ncc_track_clip_parallel(
 
     s = scores.shape[-1]
     flat = jnp.argmax(scores.reshape(t_len, -1), axis=-1)
-    dy = (flat // s).astype(jnp.float32) - search
-    dx = (flat % s).astype(jnp.float32) - search
-    return jnp.stack([px + dx, py + dy], axis=-1)
+    # offset index 0 corresponds to a template placed at the window
+    # origin: center = origin + half + index (window may be asymmetric
+    # around the clamped template near frame edges)
+    cy = wy.astype(jnp.float32) + half + (flat // s).astype(jnp.float32)
+    cx = wx.astype(jnp.float32) + half + (flat % s).astype(jnp.float32)
+    return jnp.stack([cx, cy], axis=-1)
 
 
 def ncc_track_batch_parallel(

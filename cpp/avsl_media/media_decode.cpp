@@ -97,9 +97,17 @@ VideoResult decode_video_gray(const char* path, uint8_t* out,
   SwsContext* sws = sws_getContext(ctx->width, ctx->height, ctx->pix_fmt, w, h,
                                    AV_PIX_FMT_GRAY8, SWS_BILINEAR, nullptr,
                                    nullptr, nullptr);
+  if (!sws) {  // corrupt stream params (pix_fmt NONE / zero dims): report,
+               // don't segfault a pool thread with sws_scale(nullptr,...)
+    avcodec_free_context(&ctx);
+    avformat_close_input(&fmt);
+    res.err = kErrDecoder;
+    return res;
+  }
   AVFrame* frame = av_frame_alloc();
   AVPacket* pkt = av_packet_alloc();
   const int64_t frame_bytes = (int64_t)w * h;
+  int64_t decoded_frames = 0;  // index-based timing for pts-less streams
 
   auto emit = [&](AVFrame* f) -> bool {
     if (res.frames >= max_frames) return false;
@@ -107,9 +115,13 @@ VideoResult decode_video_gray(const char* path, uint8_t* out,
       return false;
     double t = (f->pts != AV_NOPTS_VALUE)
                    ? f->pts * av_q2d(stream->time_base)
-                   : -1.0;
-    if (t >= 0 && start_sec > 0 && t < start_sec) return true;  // skip
+                   : (res.fps > 0 ? (double)decoded_frames / res.fps : -1.0);
+    if (t >= 0 && start_sec > 0 && t < start_sec) {
+      decoded_frames++;  // pts-less fallback counts every decoded frame
+      return true;       // skip
+    }
     if (t >= 0 && end_sec > 0 && t >= end_sec) return false;
+    decoded_frames++;
     uint8_t* dst[1] = {out + (int64_t)res.frames * frame_bytes};
     int dst_stride[1] = {w};
     sws_scale(sws, f->data, f->linesize, 0, ctx->height, dst, dst_stride);
@@ -188,9 +200,18 @@ AudioResult decode_audio_f32(const char* path, float* out,
 
   SwrContext* swr = nullptr;
   AVChannelLayout mono = AV_CHANNEL_LAYOUT_MONO;
-  swr_alloc_set_opts2(&swr, &mono, AV_SAMPLE_FMT_FLT, out_sr, &ctx->ch_layout,
-                      ctx->sample_fmt, ctx->sample_rate, 0, nullptr);
-  swr_init(swr);
+  int swr_rc = swr_alloc_set_opts2(&swr, &mono, AV_SAMPLE_FMT_FLT, out_sr,
+                                   &ctx->ch_layout, ctx->sample_fmt,
+                                   ctx->sample_rate, 0, nullptr);
+  if (swr_rc < 0 || !swr || swr_init(swr) < 0) {
+    // unsupported/unset channel layout: report instead of returning
+    // silent empty audio (or dereferencing a null resampler)
+    if (swr) swr_free(&swr);
+    avcodec_free_context(&ctx);
+    avformat_close_input(&fmt);
+    res.err = kErrDecoder;
+    return res;
+  }
 
   AVFrame* frame = av_frame_alloc();
   AVPacket* pkt = av_packet_alloc();

@@ -225,3 +225,32 @@ def test_cnn_detector_localizes_mouth_on_real_footage():
     # scale agreement: median eye-span ratio within 30%
     ratio = np.median(eye) / np.median(ref_eye)
     assert 0.7 < ratio < 1.3, ratio
+
+
+def test_parallel_tracker_tracks_near_edge_targets():
+    """An anchor near the frame edge must still be trackable: the old
+    half+search clamp shifted the template up to `search` px off the
+    target, so a mouth low in frame could never be reached."""
+    import numpy as np
+
+    from avsl_tpu.kernels.track import ncc_track_clip_parallel
+
+    rng = np.random.default_rng(0)
+    T, H, W = 8, 144, 176
+    ts, search = 24, 32
+    frames = rng.integers(40, 90, (T, H, W)).astype(np.float32)
+    # distinctive blob LOW in the frame (y near H - ts/2 - margin)
+    true_y, true_x = H - 20, W // 2
+    yy, xx = np.mgrid[0:H, 0:W]
+    for t in range(T):
+        cy = true_y - t  # slight upward drift
+        frames[t] += 120 * np.exp(
+            -(((xx - true_x) / 5.0) ** 2 + ((yy - cy) / 5.0) ** 2)
+        )
+    pos = np.asarray(ncc_track_clip_parallel(
+        frames, np.asarray([true_x, true_y], np.float32), anchor=0,
+        template_size=ts, search=search,
+    ))
+    for t in range(T):
+        assert abs(pos[t, 0] - true_x) <= 3, (t, pos[t])
+        assert abs(pos[t, 1] - (true_y - t)) <= 3, (t, pos[t])
