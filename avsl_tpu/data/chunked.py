@@ -27,6 +27,19 @@ class ChunkCheckpoint:
     completed_chunks: List[int] = field(default_factory=list)
     stats: Dict[str, Any] = field(default_factory=dict)
     timestamp: float = 0.0
+    # the chunk size the indices were written under: resuming with a
+    # DIFFERENT --chunk_size must remap (old run at size 50, chunk 1 =
+    # item 50; naively resumed at size 200 it would mean item 200,
+    # silently skipping 50-199). 0 = unknown (older checkpoints).
+    chunk_size: int = 0
+
+    def items_done(self) -> int:
+        """Completed item count implied by this checkpoint (requires
+        chunk_size > 0)."""
+        done = self.chunk_index * self.chunk_size
+        if self.last_item_processed >= 0:
+            done += self.last_item_processed + 1
+        return done
 
     def to_dict(self) -> Dict[str, Any]:
         return {
@@ -35,6 +48,7 @@ class ChunkCheckpoint:
             "completed_chunks": self.completed_chunks,
             "stats": self.stats,
             "timestamp": self.timestamp,
+            "chunk_size": self.chunk_size,
         }
 
 
@@ -65,6 +79,7 @@ def find_checkpoint(checkpoint_dir: str) -> Optional[ChunkCheckpoint]:
         completed_chunks=d.get("completed_chunks", []),
         stats=d.get("stats", {}),
         timestamp=d.get("timestamp", 0.0),
+        chunk_size=d.get("chunk_size", 0),
     )
 
 
@@ -86,6 +101,19 @@ def chunk_status(output_dir: str, chunk_index: int) -> Optional[bool]:
     return None
 
 
+def _resume_position(ckpt: Optional[ChunkCheckpoint], chunk_size: int):
+    """(start_chunk, start_item) under the CURRENT chunk_size. When the
+    checkpoint was written under a different size, remap through the
+    completed item count (floor: a partially-overlapping chunk is safely
+    re-processed rather than skipped)."""
+    if ckpt is None:
+        return 0, 0
+    if ckpt.chunk_size in (0, chunk_size):
+        return ckpt.chunk_index, ckpt.last_item_processed + 1
+    done = ckpt.items_done()
+    return done // chunk_size, 0
+
+
 def process_in_chunks(
     items: Sequence[Any],
     process_item: Callable[[Any], Tuple[bool, Any]],
@@ -102,8 +130,7 @@ def process_in_chunks(
     """
     chunks = prepare_chunks(items, chunk_size)
     ckpt = find_checkpoint(checkpoint_dir) if resume else None
-    start_chunk = ckpt.chunk_index if ckpt else 0
-    start_item = (ckpt.last_item_processed + 1) if ckpt else 0
+    start_chunk, start_item = _resume_position(ckpt, chunk_size)
     resumed_from = (start_chunk, start_item) if ckpt else None
 
     results: List[Optional[Tuple[bool, Any]]] = [None] * len(items)
@@ -129,6 +156,7 @@ def process_in_chunks(
                 save_checkpoint(
                     checkpoint_dir,
                     ChunkCheckpoint(
+                        chunk_size=chunk_size,
                         chunk_index=ci,
                         last_item_processed=ii,
                         completed_chunks=list(range(ci)),
@@ -141,6 +169,7 @@ def process_in_chunks(
         save_checkpoint(
             checkpoint_dir,
             ChunkCheckpoint(
+                chunk_size=chunk_size,
                 chunk_index=ci + 1,
                 last_item_processed=-1,
                 completed_chunks=list(range(ci + 1)),
@@ -161,6 +190,22 @@ def _pool_worker_init() -> None:
     signal.signal(signal.SIGINT, signal.SIG_IGN)
 
 
+class _GuardedItem:
+    """Picklable per-item exception guard for pool workers: one corrupt
+    item must yield (False, error) — an uncaught raise kills the whole
+    pool.map BEFORE the chunk checkpoint, so every resume would replay
+    the same chunk into the same crash."""
+
+    def __init__(self, fn: Callable[[Any], Tuple[bool, Any]]):
+        self.fn = fn
+
+    def __call__(self, item):
+        try:
+            return self.fn(item)
+        except Exception as e:  # noqa: BLE001
+            return False, f"{type(e).__name__}: {e}"
+
+
 def process_chunks_with_multiprocessing(
     items: Sequence[Any],
     process_item: Callable[[Any], Tuple[bool, Any]],
@@ -176,17 +221,18 @@ def process_chunks_with_multiprocessing(
     (video_process.py:777-812, process_in_chunks.py:406-)."""
     chunks = prepare_chunks(items, chunk_size)
     ckpt = find_checkpoint(checkpoint_dir) if resume else None
-    start_chunk = ckpt.chunk_index if ckpt else 0
+    start_chunk, _ = _resume_position(ckpt, chunk_size)
     results: List[Optional[Tuple[bool, Any]]] = [None] * len(items)
     n_ok = n_failed = 0
 
+    worker = _GuardedItem(process_item)
     for ci in range(start_chunk, len(chunks)):
         chunk = chunks[ci]
         with mp.Pool(
             num_workers, initializer=_pool_worker_init,
             maxtasksperchild=maxtasksperchild,
         ) as pool:
-            chunk_results = pool.map(process_item, chunk)
+            chunk_results = pool.map(worker, chunk)
         chunk_ok = True
         for ii, (ok, payload) in enumerate(chunk_results):
             results[ci * chunk_size + ii] = (ok, payload)
@@ -197,6 +243,7 @@ def process_chunks_with_multiprocessing(
         save_checkpoint(
             checkpoint_dir,
             ChunkCheckpoint(
+                chunk_size=chunk_size,
                 chunk_index=ci + 1,
                 completed_chunks=list(range(ci + 1)),
                 stats={"n_ok": n_ok, "n_failed": n_failed},

@@ -167,7 +167,8 @@ def segment_sources(
     if package_hf:
         from avsl_tpu.data.hf_dataset import av_to_hf_dataset
 
-        complete = [r for r in records if r["id"] not in set(issues)]
+        issue_ids = set(issues)
+        complete = [r for r in records if r["id"] not in issue_ids]
         if complete:
             ds = av_to_hf_dataset(
                 complete, os.path.join(output_dir, "hf_dataset"), sample_rate
@@ -375,8 +376,11 @@ def reprocess_lips_from_csv(
             df["has_lip_video"] = False
         if "lip_video" not in df.columns:
             df["lip_video"] = None
+        # compare as strings: pandas may read numeric ids as int64 and a
+        # string==int comparison is all-False (zero rows updated, no error)
+        ids_str = df["id"].astype(str)
         for sid, (ok, path) in results.items():
-            sel = df["id"] == sid
+            sel = ids_str == str(sid)
             df.loc[sel, "has_lip_video"] = bool(ok)
             df.loc[sel, "lip_video"] = path if ok else None
         df.to_csv(csv_path, index=False)
@@ -440,6 +444,7 @@ def collect_marker_segments(
     ``speakers`` allowlist is given), ``too_short``, ``bad_times``."""
     skip = {"too_short": 0, "bad_times": 0, "speaker_mapping": 0}
     out: List[Dict[str, Any]] = []
+    seen_ids: Dict[str, int] = {}
     for row in df.itertuples(index=False):
         if speakers is not None and str(row.speaker_id) not in speakers:
             skip["speaker_mapping"] += 1
@@ -452,9 +457,18 @@ def collect_marker_segments(
             skip["too_short"] += 1
             continue
         event = str(row.disfluency_type)
+        sid = marker_segment_id(row.meeting_id, row.speaker_id, start, end, event)
+        # centisecond rounding can collide for overlapping annotations of
+        # the same speaker+type; a duplicate id would share one wav and
+        # double-count in the stats/balancing — disambiguate in order
+        if sid in seen_ids:
+            seen_ids[sid] += 1
+            sid = f"{sid}-{seen_ids[sid]}"
+        else:
+            seen_ids[sid] = 1
         out.append(
             {
-                "id": marker_segment_id(row.meeting_id, row.speaker_id, start, end, event),
+                "id": sid,
                 "meeting_id": row.meeting_id,
                 "speaker_id": row.speaker_id,
                 "word": row.word,

@@ -22,27 +22,6 @@ import time
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 
-def _audio_video_features(sample_rate: int = 16000):
-    import datasets
-
-    feats = {
-        "id": datasets.Value("string"),
-        "transcript": datasets.Value("string"),
-        "start": datasets.Value("float64"),
-        "end": datasets.Value("float64"),
-        "duration": datasets.Value("float64"),
-        "meeting_id": datasets.Value("string"),
-        "speaker_id": datasets.Value("string"),
-        "audio": datasets.Audio(sampling_rate=sample_rate),
-    }
-    if hasattr(datasets, "Video"):
-        feats["video"] = datasets.Video()
-        feats["lip_video"] = datasets.Video()
-    else:  # older datasets: keep paths as strings
-        feats["video"] = datasets.Value("string")
-        feats["lip_video"] = datasets.Value("string")
-    return datasets.Features(feats)
-
 
 def filter_corrupted_records(
     records: Sequence[Dict[str, Any]], check_videos: bool = True
@@ -86,9 +65,18 @@ def av_to_hf_dataset(
     if not kept:
         raise ValueError("No valid records after corruption filtering")
 
-    columns: Dict[str, List[Any]] = {}
-    for key in kept[0]:
-        columns[key] = [r.get(key) for r in kept]
+    # column set = UNION across records: media keys ('video',
+    # 'lip_video') exist only where the media exists, and keying off
+    # kept[0] alone would drop those columns (or inject ragged Nones)
+    # whenever the first record happens to be audio-only
+    keys: List[str] = []
+    for r in kept:
+        for k in r:
+            if k not in keys:
+                keys.append(k)
+    columns: Dict[str, List[Any]] = {
+        k: [r.get(k) for r in kept] for k in keys
+    }
     ds = datasets.Dataset.from_dict(columns)
     if cast_media:
         if "audio" in columns:

@@ -145,13 +145,23 @@ def load_torch_checkpoint_into(
     state = load_torch_state_dict(ckpt_path, allow_unsafe_pickle=allow_unsafe_pickle)
     flat = converter(state)
     new_params, report = partial_load(params, flat)
-    critical = [k for k in report["shape_mismatch"] if _CRITICAL_MISMATCH.search(k)]
+    # the guard must catch an embedding lost ANY way: shape mismatch
+    # (vocab drift) OR rename drift (converted key not in the model tree
+    # -> 'unexpected'; model embedding never fed -> 'missing')
+    critical = [
+        k
+        for bucket in ("shape_mismatch", "unexpected", "missing")
+        for k in report[bucket]
+        if _CRITICAL_MISMATCH.search(k)
+    ]
     if critical and not allow_embedding_mismatch:
         raise ValueError(
-            f"checkpoint {ckpt_path}: embedding/output tensors skipped for "
-            f"shape mismatch: {critical}. This usually means the model's "
-            "vocab size does not match the checkpoint (use the real BPE "
-            "vocab, then resize for added tokens after loading). Pass "
+            f"checkpoint {ckpt_path}: embedding/output tensors skipped "
+            f"(shape mismatch or key drift): {critical}. A shape mismatch "
+            "usually means the model's vocab size does not match the "
+            "checkpoint (use the real BPE vocab, then resize for added "
+            "tokens after loading); unexpected/missing keys mean the "
+            "converter's rename rules drifted from the model layout. Pass "
             "allow_embedding_mismatch=True to proceed anyway."
         )
     return new_params, report
@@ -274,6 +284,13 @@ def convert_avhubert_state_dict(
             pos_g = np.asarray(v)
             continue
         if nk == "encoder.pos_conv.0.weight_v":
+            pos_v = np.asarray(v)
+            continue
+        if nk == "encoder.pos_conv.0.weight":
+            # torch remove_weight_norm renames weight_v/g back to plain
+            # 'weight' — without this a re-saved (fused) checkpoint's
+            # pos_conv fell through the rules into 'unexpected' and the
+            # model silently kept a RANDOM positional conv
             pos_v = np.asarray(v)
             continue
         path = rename_avhubert_key(nk, layer_norm_first)

@@ -407,3 +407,91 @@ def test_marker_segment_id_sanitizes_event_labels():
     assert sanitize_filename('uh/huh?*"x"') == "uh_huh___x_"
     sid = marker_segment_id("M", "A", 1.0, 1.5, "uh-huh?")
     assert "?" not in sid and sid.startswith("M-A-uh-huh_")
+
+
+def test_resume_with_different_chunk_size_remaps(tmp_path):
+    """A checkpoint written at chunk_size=3 resumed at chunk_size=5 must
+    remap via the completed item count, never reuse the raw chunk index
+    (which would silently skip items)."""
+    ckdir = str(tmp_path / "ck_remap")
+    # first run at size 3: complete chunks 0-1 (items 0-5), then item 6
+    seen1 = []
+    save_checkpoint(
+        ckdir,
+        ChunkCheckpoint(chunk_index=2, last_item_processed=0, chunk_size=3),
+    )
+    out = process_in_chunks(
+        list(range(10)), lambda x: (seen1.append(x) or True, x),
+        ckdir, chunk_size=5,
+    )
+    # 7 items done -> floor(7/5)=1 full new-size chunk done -> restart at
+    # item 5 (items 5-6 safely re-processed, nothing skipped)
+    assert seen1[0] == 5
+    assert out["n_ok"] == 5
+
+    # same chunk_size resumes exactly (no remap)
+    ckdir2 = str(tmp_path / "ck_same")
+    save_checkpoint(
+        ckdir2,
+        ChunkCheckpoint(chunk_index=1, last_item_processed=1, chunk_size=3),
+    )
+    seen2 = []
+    process_in_chunks(
+        list(range(9)), lambda x: (seen2.append(x) or True, x),
+        ckdir2, chunk_size=3,
+    )
+    assert seen2[0] == 5  # chunk 1 item 2 = global 5
+
+
+def _boom_on_three(x):
+    if x == 3:
+        raise ValueError("corrupt item")
+    return True, x * 2
+
+
+def test_multiprocessing_driver_guards_item_exceptions(tmp_path):
+    """One raising item must become (False, error) instead of killing the
+    pool.map before the chunk checkpoint (which would make every resume
+    replay the same crash)."""
+    from avsl_tpu.data.chunked import process_chunks_with_multiprocessing
+
+    ckdir = str(tmp_path / "ck_mp")
+    out = process_chunks_with_multiprocessing(
+        list(range(6)), _boom_on_three, ckdir, chunk_size=3, num_workers=2,
+    )
+    assert out["n_ok"] == 5 and out["n_failed"] == 1
+    ok, payload = out["results"][3]
+    assert ok is False and "ValueError" in payload
+    # both chunks checkpointed despite the failure
+    ck = find_checkpoint(ckdir)
+    assert ck.chunk_index == 2 and ck.chunk_size == 3
+
+
+def test_marker_duplicate_ids_disambiguated():
+    """Two annotations that round to identical (speaker, time, type) must
+    not share a segment id — one wav would be double-counted."""
+    df = pd.DataFrame(
+        {
+            "meeting_id": ["M", "M"],
+            "speaker_id": ["A", "A"],
+            "word": ["<laugh>", "<laugh>"],
+            "start_time": [1.0, 1.001],   # both round to 1.00 centiseconds
+            "end_time": [1.5, 1.501],
+            "disfluency_type": ["laughter", "laughter"],
+        }
+    )
+    segs, _ = collect_marker_segments(df, min_duration=0.05)
+    assert len(segs) == 2
+    assert segs[0]["id"] != segs[1]["id"]
+    assert segs[1]["id"].endswith("-2")
+
+
+def test_hf_dataset_column_union(records, tmp_path):
+    """Media keys present on only SOME records must still become columns
+    (keying off record 0 alone dropped them when it was audio-only)."""
+    recs = [dict(r) for r in records[:3]]
+    recs[2]["lip_video"] = recs[2]["audio"]  # any existing file path
+    ds = av_to_hf_dataset(recs, str(tmp_path / "hf_union"),
+                          check_videos=False)
+    assert "lip_video" in ds.column_names
+    assert len(ds) == 3
