@@ -147,12 +147,26 @@ def load_torch_checkpoint_into(
     new_params, report = partial_load(params, flat)
     # the guard must catch an embedding lost ANY way: shape mismatch
     # (vocab drift) OR rename drift (converted key not in the model tree
-    # -> 'unexpected'; model embedding never fed -> 'missing')
+    # -> 'unexpected'). A critical key in 'missing' is drift only when the
+    # checkpoint DID cover that subtree (some sibling under the same
+    # params/<top> prefix loaded) — an encoder-only pretrain checkpoint
+    # legitimately leaves the whole decoder (embed_tokens, output_proj)
+    # to random init, the reference's own pretrain->fine-tune handoff.
+    def _top(key: str) -> str:
+        parts = [p for p in key.split("/") if p not in ("params", "batch_stats")]
+        return parts[0] if parts else key
+
+    loaded_tops = {_top(k) for k in flat}
     critical = [
         k
-        for bucket in ("shape_mismatch", "unexpected", "missing")
+        for bucket in ("shape_mismatch", "unexpected")
         for k in report[bucket]
         if _CRITICAL_MISMATCH.search(k)
+    ]
+    critical += [
+        k
+        for k in report["missing"]
+        if _CRITICAL_MISMATCH.search(k) and _top(k) in loaded_tops
     ]
     if critical and not allow_embedding_mismatch:
         raise ValueError(

@@ -363,3 +363,47 @@ def test_avhubert_fairseq_conversion(tmp_path):
     after = model.apply(new_vars, audio, video, toks)
     assert np.abs(np.asarray(after["logits"]) - np.asarray(before["logits"])).max() > 1e-3
     assert np.isfinite(np.asarray(after["logits"])).all()
+
+
+def test_encoder_only_checkpoint_skips_decoder_without_raising(tmp_path):
+    """The pretrain->fine-tune handoff: an encoder-only AV-HuBERT
+    checkpoint legitimately leaves the seq2seq decoder (embed_tokens,
+    output_proj) to random init — the critical-embedding guard must not
+    fire on a subtree the checkpoint never claimed to cover, but must
+    still fire when the decoder IS present and its embedding drifted."""
+    from avsl_tpu.core.config import AVHuBERTConfig
+    from avsl_tpu.models.avhubert import AVHuBERTForSpeech2Text
+    from avsl_tpu.models.convert import (
+        convert_avhubert_state_dict,
+        load_torch_checkpoint_into,
+    )
+
+    cfg = AVHuBERTConfig.tiny_test(dtype="float32")
+    model = AVHuBERTForSpeech2Text(cfg)
+    audio = jnp.zeros((1, 12, cfg.audio_feat_dim), jnp.float32)
+    video = jnp.zeros((1, 12, 88, 88, 1), jnp.float32)
+    toks = jnp.asarray([[0, 5, 6]])
+    variables = model.init(jax.random.PRNGKey(0), audio, video, toks)
+
+    rng = np.random.default_rng(3)
+    full = _fairseq_avhubert_state(cfg, rng)
+    enc_only = {k: v for k, v in full.items() if not k.startswith("decoder.")}
+    ckpt = str(tmp_path / "enc_only.pt")
+    torch.save({"model": enc_only}, ckpt)
+
+    new_vars, report = load_torch_checkpoint_into(
+        variables, ckpt, converter=convert_avhubert_state_dict
+    )
+    assert any("embed_tokens" in k for k in report["missing"])
+    assert report["loaded"]  # encoder weights did land
+
+    # same decoder-present checkpoint with the embedding key dropped ->
+    # rename-drift within a covered subtree -> loud failure
+    drifted = dict(full)
+    del drifted["decoder.embed_tokens.weight"]
+    ckpt2 = str(tmp_path / "drifted.pt")
+    torch.save({"model": drifted}, ckpt2)
+    with pytest.raises(ValueError, match="embed_tokens"):
+        load_torch_checkpoint_into(
+            variables, ckpt2, converter=convert_avhubert_state_dict
+        )
