@@ -285,8 +285,11 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         ckpt_dir=os.path.join(cfg.check_output_dir, cfg.train_id),
         grad_accum_steps=runner_accum,
         # model_parallel > 1 shards params/opt-state per the Megatron rule
-        # table and resumes via restore_sharded (elastic topology)
+        # table and resumes via restore_sharded (elastic topology);
+        # zero1 additionally splits the fp32 Adam mirrors over the data
+        # axis (ZeRO stage 1, core/partitioning.state_shardings)
         partitioned_state=model_parallel > 1,
+        zero1=bool(getattr(cfg, "zero1", False)),
     )
     train_bs = int(cfg.batch_size) * (runner_accum if runner_accum > 1 else 1)
     # prefetch_batches > 0 uploads the next batch while the step runs

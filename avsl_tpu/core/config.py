@@ -649,6 +649,15 @@ class FlamingoTrainConfig:
     # validation and the pinned best checkpoint use the averaged weights;
     # rolling checkpoints keep the raw iterate for exact resume.
     ema_decay: float = 0.0
+    # SPMD mesh shape (beyond-parity; core/mesh.py): tensor-parallel axis
+    # size. Declared here so the YAML key survives from_dict's known-field
+    # filter (getattr defaults alone made TP unreachable from YAML).
+    model_parallel: int = 1
+    # ZeRO stage 1 (core/partitioning.py): shard the fp32 Adam mirrors
+    # over the data axis; params stay replicated.
+    zero1: bool = False
+    # double-buffered host->device batch upload (data/prefetch.py); 0 off
+    prefetch_batches: int = 0
 
     @classmethod
     def from_yaml(cls, path: str) -> "FlamingoTrainConfig":

@@ -27,7 +27,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from avsl_tpu.core.mesh import MODEL_AXIS
+from avsl_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
 
 EXPERT_AXIS = "expert"
 
@@ -89,25 +89,61 @@ def spec_for(path: str, shape: Tuple[int, ...], mesh: Mesh,
     return P()
 
 
+# leaves smaller than this stay replicated under zero1 — sharding a tiny
+# bias trades nothing in memory for collective latency
+ZERO1_MIN_ELEMS = 65536
+
+
+def _add_data_axis(spec: P, shape: Tuple[int, ...], mesh: Mesh) -> P:
+    """ZeRO-1 refinement of a TP spec: put the data axis on the first
+    free dim it divides. No free divisible dim -> spec unchanged."""
+    dp = mesh.shape.get(DATA_AXIS, 1)
+    if dp <= 1:
+        return spec
+    fixed = list(spec) + [None] * (len(shape) - len(spec))
+    for d, axis in enumerate(fixed):
+        if axis is None and shape[d] % dp == 0:
+            fixed[d] = DATA_AXIS
+            return P(*fixed)
+    return spec
+
+
 def state_shardings(state: Any, mesh: Mesh,
-                    rules: Sequence[Tuple[str, P]] = DEFAULT_RULES) -> Any:
+                    rules: Sequence[Tuple[str, P]] = DEFAULT_RULES,
+                    zero1: bool = False) -> Any:
     """Sharding pytree for a TrainState (params + optimizer mirrors).
 
     Optimizer-state leaves (adam mu/nu) carry the same trailing param path,
-    so the same rules shard them identically; scalars replicate."""
+    so the same rules shard them identically; scalars replicate.
+
+    ``zero1=True`` additionally shards OPTIMIZER-state leaves (and only
+    those — params stay replicated over data) across the ``data`` mesh
+    axis on their first free divisible dim: the ZeRO stage-1 memory split.
+    Params enter the Adam update replicated, mu/nu enter data-sharded, so
+    XLA partitions the elementwise update over the data axis and inserts
+    ONE all-gather of the param-sized update tensor per step — the same
+    communication ZeRO-1 pays — while each chip stores only 1/dp of the
+    fp32 mu/nu (8 bytes/param at the reference's large envelope). The
+    reference has no optimizer sharding of any kind (Lightning DDP
+    replicates Adam state per GPU)."""
 
     def leaf(path, x):
         if not hasattr(x, "shape") or x.ndim == 0:
             return NamedSharding(mesh, P())
-        return NamedSharding(mesh, spec_for(_path_str(path), x.shape, mesh, rules))
+        p = _path_str(path)
+        spec = spec_for(p, x.shape, mesh, rules)
+        if zero1 and p.startswith("opt_state") and x.size >= ZERO1_MIN_ELEMS:
+            spec = _add_data_axis(spec, x.shape, mesh)
+        return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(leaf, state)
 
 
 def shard_state(state: Any, mesh: Mesh,
-                rules: Sequence[Tuple[str, P]] = DEFAULT_RULES) -> Any:
+                rules: Sequence[Tuple[str, P]] = DEFAULT_RULES,
+                zero1: bool = False) -> Any:
     """device_put the whole train state onto the mesh per the rules."""
-    shardings = state_shardings(state, mesh, rules)
+    shardings = state_shardings(state, mesh, rules, zero1=zero1)
     # one batched transfer: device_put accepts (pytree, sharding pytree)
     # natively and coalesces the host->device traffic — per-leaf puts
     # serialize hundreds of transfers through the rate-limited link

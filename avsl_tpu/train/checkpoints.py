@@ -82,6 +82,7 @@ def restore_sharded(
     mesh,
     rules=None,
     step: Optional[int] = None,
+    zero1: bool = False,
 ) -> Any:
     """Restore a TrainState directly INTO the partitioned layout of ``mesh``.
 
@@ -102,7 +103,9 @@ def restore_sharded(
     """
     from avsl_tpu.core.partitioning import DEFAULT_RULES, state_shardings
 
-    shardings = state_shardings(target, mesh, DEFAULT_RULES if rules is None else rules)
+    shardings = state_shardings(
+        target, mesh, DEFAULT_RULES if rules is None else rules, zero1=zero1
+    )
     mgr = _manager(directory)
     if step is None:
         step = mgr.latest_step()

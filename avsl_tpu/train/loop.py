@@ -60,6 +60,7 @@ def make_train_step(
     grad_accum_steps: int = 1,
     donate: bool = True,
     partitioned_state: bool = False,
+    state_constraint_fn: Optional[Callable[[Any], Any]] = None,
 ):
     """Build a jit-compiled SPMD train step.
 
@@ -132,7 +133,18 @@ def make_train_step(
         batch = jax.lax.with_sharding_constraint(
             batch, jax.tree_util.tree_map(batch_sharding, batch)
         )
-        return step_fn(state, batch)
+        new_state, metrics = step_fn(state, batch)
+        if state_constraint_fn is not None:
+            # pin the OUTPUT state to the rule layout: under ZeRO-1 the
+            # elementwise Adam update mixes replicated params with
+            # data-sharded mu/nu, and unconstrained propagation may flip
+            # new_params to data-sharded — which is still correct but
+            # re-gathers the params every microbatch of the NEXT step
+            # instead of gathering the update once
+            new_state = jax.lax.with_sharding_constraint(
+                new_state, state_constraint_fn(new_state)
+            )
+        return new_state, metrics
 
     if partitioned_state:
         # tensor-parallel state: shard via core.partitioning.shard_state

@@ -142,6 +142,7 @@ class TrainerRunner:
         grad_accum_steps: Optional[int] = None,
         predictions_fn=None,
         partitioned_state: bool = False,
+        zero1: bool = False,
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -152,7 +153,10 @@ class TrainerRunner:
         # checkpoint restore goes through restore_sharded so a resumed run
         # lands directly in the mesh layout — including on a DIFFERENT
         # topology than the one that saved (elastic resume).
-        self.partitioned = bool(partitioned_state) and mesh is not None
+        # zero1=True additionally splits the fp32 optimizer mirrors over
+        # the data axis (core.partitioning.state_shardings) — ZeRO stage 1.
+        self.zero1 = bool(zero1) and mesh is not None
+        self.partitioned = (bool(partitioned_state) or self.zero1) and mesh is not None
         # grad_accum_steps=1 + an optax.MultiSteps-wrapped tx accumulates
         # ACROSS successive batches (required for variable-size bucketed
         # batches); the default reshapes one big batch into micro-batches
@@ -162,14 +166,22 @@ class TrainerRunner:
             if grad_accum_steps is not None
             else int(getattr(cfg, "gradient_accumulation_steps", 1))
         )
+        constraint_fn = None
+        if self.zero1:
+            from avsl_tpu.core.partitioning import state_shardings
+
+            constraint_fn = lambda st: state_shardings(  # noqa: E731
+                st, mesh, zero1=True
+            )
         self.train_step = make_train_step(
             loss_fn, tx, mesh=mesh, grad_accum_steps=self.accum, donate=False,
             partitioned_state=self.partitioned,
+            state_constraint_fn=constraint_fn,
         )
         if self.partitioned:
             from avsl_tpu.core.partitioning import shard_state
 
-            init_state = shard_state(init_state, mesh)
+            init_state = shard_state(init_state, mesh, zero1=self.zero1)
         # sequence parallelism: every train_step call (in particular the
         # FIRST, tracing one) runs inside the activation-sharding scope —
         # the scope is consulted at trace time and is not part of the jit
@@ -247,7 +259,9 @@ class TrainerRunner:
 
     def _restore(self, directory: str, step: Optional[int]) -> TrainState:
         if self.partitioned:
-            return restore_sharded(directory, self.state, self.mesh, step=step)
+            return restore_sharded(
+                directory, self.state, self.mesh, step=step, zero1=self.zero1
+            )
         return restore_checkpoint(directory, self.state, step)
 
     def _reset_ema(self):

@@ -687,11 +687,31 @@ def _backend_available(timeout_s: float) -> bool:
         return False
 
 
+def _backend_available_with_retry() -> bool:
+    """The outage flaps (docs/ENGINEERING_NOTES.md): a failed probe now
+    does not mean a failed probe in three minutes, and the round's ONLY
+    bench artifact rides on this. Retry a bounded number of times before
+    declaring the backend down."""
+    timeout_s = float(os.environ.get("AVSL_BENCH_BACKEND_TIMEOUT", "240"))
+    retries = int(os.environ.get("AVSL_BENCH_BACKEND_RETRIES", "3"))
+    wait_s = float(os.environ.get("AVSL_BENCH_BACKEND_RETRY_WAIT", "150"))
+    for attempt in range(retries):
+        if _backend_available(timeout_s):
+            return True
+        print(
+            f"bench: backend probe {attempt + 1}/{retries} failed "
+            f"(timeout {timeout_s:.0f}s)"
+            + (f"; retrying in {wait_s:.0f}s" if attempt + 1 < retries else ""),
+            file=sys.stderr,
+        )
+        if attempt + 1 < retries:
+            time.sleep(wait_s)
+    return False
+
+
 if __name__ == "__main__":
     plat = os.environ.get("JAX_PLATFORMS", "")
-    if plat and plat != "cpu" and not _backend_available(
-        float(os.environ.get("AVSL_BENCH_BACKEND_TIMEOUT", "240"))
-    ):
+    if plat and plat != "cpu" and not _backend_available_with_retry():
         # honest failure artifact instead of an indefinite hang: the
         # driver records THIS line; value 0 marks the run invalid
         print(json.dumps({
