@@ -69,6 +69,7 @@ def build_transcriber(args, cfg):
         beam_size=args.beam,
         lang=cfg.lang,
         quantize=args.quantize,
+        kv_int8=bool(getattr(args, "kv_int8", False)),
         temperature_fallback=tuple(
             float(t) for t in getattr(args, "temperature_fallback", "").split(",")
             if t

@@ -33,6 +33,8 @@ def main(argv: Optional[List[str]] = None):
     p.add_argument("--beam", type=int, default=1)
     p.add_argument("--max_wait_ms", type=float, default=30.0)
     p.add_argument("--quantize", default=None, choices=["int8"])
+    p.add_argument("--kv_int8", action="store_true",
+                   help="int8 cross-attn/xv KV cache (quantize_kv_cache)")
     p.add_argument("--temperature_fallback", default="",
                    help="comma list, e.g. 0.2,0.4")
     p.add_argument("--logprob_threshold", type=float, default=-1.0)

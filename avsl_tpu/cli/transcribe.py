@@ -72,6 +72,12 @@ def main(argv: Optional[List[str]] = None) -> List[Dict[str, Any]]:
         help="weight-only int8 serving: halves HBM-resident weight bytes "
         "and the host->device upload (models/quant.py)",
     )
+    p.add_argument(
+        "--kv_int8", action="store_true",
+        help="int8-compress the precomputed cross-attn/xv K/V the decode "
+        "loop re-reads per token (models/quant.quantize_kv_cache); "
+        "composes with --quantize and --model_parallel",
+    )
     p.add_argument("--temperature_fallback", default="",
                    help="comma list, e.g. 0.2,0.4")
     p.add_argument("--logprob_threshold", type=float, default=-1.0)

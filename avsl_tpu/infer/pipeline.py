@@ -60,6 +60,7 @@ class StreamingTranscriber:
         raw_video_hw: Tuple[int, int] = (288, 352),
         raw_lip_mode: str = "host_refined",
         quantize: Optional[str] = None,
+        kv_int8: bool = False,
         mesh: Optional[Any] = None,
         temperature_fallback: Sequence[float] = (),
         logprob_threshold: float = -1.0,
@@ -145,6 +146,17 @@ class StreamingTranscriber:
             self._dequantize = lambda v: dequantize_tree(v)
         else:
             self._dequantize = lambda v: v
+        # int8 KV cache (models/quant.quantize_kv_cache): compress the
+        # precomputed cross-attention / xv K/V the decode loop re-reads
+        # per token; orthogonal to weight quantization and to the mesh
+        # (the cache is a per-batch activation, not a sharded param)
+        self.kv_int8 = bool(kv_int8)
+        if self.kv_int8:
+            from avsl_tpu.models.quant import quantize_kv_cache
+
+            self._compress_kv = quantize_kv_cache
+        else:
+            self._compress_kv = lambda c: c
         self.model = model
         self.variables = variables
         self.tokenizer = tokenizer
@@ -177,10 +189,10 @@ class StreamingTranscriber:
             variables = self._dequantize(qvariables)
             mel = log_mel_spectrogram(audio, n_mels=cfg.n_mels)
             feats, xv = model.apply(variables, mel, video, method=model.encode)
-            cache = model.apply(
+            cache = self._compress_kv(model.apply(
                 variables, feats, xv, max_new_tokens + prompt.shape[1] + 2,
                 method=model.init_decode_cache,
-            )
+            ))
 
             def step(tok, c):
                 return model.apply(
@@ -203,10 +215,10 @@ class StreamingTranscriber:
             variables = self._dequantize(qvariables)
             mel = log_mel_spectrogram(audio, n_mels=cfg.n_mels)
             feats, xv = model.apply(variables, mel, video, method=model.encode)
-            cache = model.apply(
+            cache = self._compress_kv(model.apply(
                 variables, feats, xv, max_new_tokens + prompt.shape[1] + 2,
                 method=model.init_decode_cache,
-            )
+            ))
 
             def step(tok, c):
                 return model.apply(

@@ -230,10 +230,18 @@ class MultiHeadAttention(nn.Module):
             attn_mask = causal[None, None] if mask is None else (causal[None, None] & mask)
             out = dot_product_attention(q, k.astype(q.dtype), v.astype(q.dtype), attn_mask)
         elif cache is not None:
-            # cross-attention with precomputed encoder K/V
-            out = dot_product_attention(
-                q, cache["k"].astype(q.dtype), cache["v"].astype(q.dtype), mask
-            )
+            # cross-attention with precomputed encoder K/V; int8-compressed
+            # entries (models/quant.quantize_kv_cache) dequantize here —
+            # XLA fuses the convert+scale into the attention matmuls, so
+            # the resident HBM form stays int8 between decode steps
+            from avsl_tpu.models.quant import QTensor
+
+            def _kv(x):
+                if isinstance(x, QTensor):
+                    return x.dequantize(q.dtype)
+                return x.astype(q.dtype)
+
+            out = dot_product_attention(q, _kv(cache["k"]), _kv(cache["v"]), mask)
             new_cache = cache
         else:
             src = x if kv_src is None else kv_src
@@ -426,7 +434,16 @@ class TransformerBlock(nn.Module):
         # MLP
         residual = x
         h = self.mlp_ln(x) if self.pre_norm else x
-        h = self.mlp(h, deterministic=deterministic)
+        if self.n_experts > 0 and kv_lengths is not None:
+            # the suffix-padding lengths that masked self-attention also
+            # mask MoE routing: pad tokens must not claim expert capacity
+            valid = (
+                jax.lax.broadcasted_iota(jnp.int32, h.shape[:2], 1)
+                < kv_lengths[:, None]
+            )
+            h = self.mlp(h, deterministic=deterministic, valid=valid)
+        else:
+            h = self.mlp(h, deterministic=deterministic)
         x = self._residual(residual, h, deterministic)
         if not self.pre_norm:
             x = self.mlp_ln(x)

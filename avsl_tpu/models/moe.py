@@ -27,11 +27,12 @@ parameters with `core.partitioning` (rules match ``w_in/w_out/b_in/b_out``
 to ``P('expert', ...)``); the router stays replicated so every data shard
 routes its own tokens.
 
-Known limitation: routing sees every [B*T] position, including padding —
-pad tokens consume expert capacity (position-priority) and enter the
-balance-loss statistics. Length-bucketed batches (data/batching.py) keep
-pad fractions small, which bounds the effect; threading the padding mask
-into the router is future work.
+Padding: callers pass ``valid`` ([B, T], 1.0 = real token — the encoder
+derives it from the same ``padding_mask`` the attention kernel consumes)
+so pad tokens neither claim expert capacity (position-priority) nor
+enter the balance-loss statistics; their FFN delta is zero and the
+block's residual passes them through. Without ``valid`` every position
+routes (padding-free or pre-bucketed inputs).
 """
 
 from __future__ import annotations
@@ -85,7 +86,12 @@ class MoEFFN(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        deterministic: bool = True,
+        valid: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
         B, T, D = x.shape
         E, F = self.n_experts, self.d_ff
         K = min(self.top_k, E)
@@ -93,6 +99,14 @@ class MoEFFN(nn.Module):
         C = max(1, int(np.ceil(self.capacity_factor * K * N / E)))
 
         xt = x.reshape(N, D)
+        # [N] 1.0 for real tokens; pad tokens are excluded from capacity
+        # claims and balance statistics (their combine weights end up 0,
+        # so their FFN delta is exactly zero)
+        v = (
+            jnp.ones((N,), jnp.float32)
+            if valid is None
+            else valid.reshape(N).astype(jnp.float32)
+        )
         router = self.param(
             "router", nn.initializers.normal(0.02), (D, E), self.param_dtype
         )
@@ -113,7 +127,8 @@ class MoEFFN(nn.Module):
             if top1 is None:
                 top1 = idx
             gate = jnp.take_along_axis(probs, idx[:, None], axis=1)[:, 0]
-            onehot = jax.nn.one_hot(idx, E, dtype=jnp.float32)  # [N, E]
+            raw_onehot = jax.nn.one_hot(idx, E, dtype=jnp.float32)  # [N, E]
+            onehot = raw_onehot * v[:, None]  # pad tokens claim no slot
             pos = jnp.cumsum(onehot, axis=0) - 1.0 + count  # [N, E]
             pos_k = jnp.take_along_axis(pos, idx[:, None], axis=1)[:, 0]
             keep = (pos_k < C).astype(jnp.float32)
@@ -124,7 +139,7 @@ class MoEFFN(nn.Module):
             dispatch = dispatch + disp_k
             gates.append((gate, disp_k))
             count = count + jnp.sum(onehot, axis=0)
-            masked = masked * (1.0 - onehot)
+            masked = masked * (1.0 - raw_onehot)
 
         # K>1: normalize gates over the top-k (GShard/Mixtral). K=1: use the
         # raw router prob (Switch) — a normalized top-1 gate is identically
@@ -163,9 +178,15 @@ class MoEFFN(nn.Module):
         y = jnp.einsum("nec,ecd->nd", combine.astype(cdtype), out)
 
         # Switch aux loss (eq. 4): E * sum_e (top-1 token fraction_e * mean
-        # router prob_e); 1.0 at perfect balance.
-        f = jnp.mean(jax.nn.one_hot(top1, E, dtype=jnp.float32), axis=0)
-        p_mean = jnp.mean(probs, axis=0)
+        # router prob_e); 1.0 at perfect balance. Statistics over REAL
+        # tokens only — pad positions would otherwise drag every batch
+        # toward whatever expert zero-vectors route to.
+        n_valid = jnp.maximum(jnp.sum(v), 1.0)
+        f = (
+            jnp.sum(jax.nn.one_hot(top1, E, dtype=jnp.float32) * v[:, None], axis=0)
+            / n_valid
+        )
+        p_mean = jnp.sum(probs * v[:, None], axis=0) / n_valid
         aux = E * jnp.sum(f * p_mean)
         self.sow("intermediates", "moe_aux", aux)
 

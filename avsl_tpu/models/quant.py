@@ -78,6 +78,55 @@ def quantize_array(w: jnp.ndarray, channel_axis: int = -1) -> QTensor:
     return QTensor(q=q, scale=scale)
 
 
+def quantize_rows(x: jnp.ndarray) -> QTensor:
+    """Symmetric int8 with per-ROW scales: absmax over the LAST axis only
+    (scale shape ``x.shape[:-1] + (1,)``). The granularity for K/V cache
+    entries, where each [b, t, h] row is an independent key/value vector
+    and a single outlier row must not degrade every other row's
+    resolution (per-tensor scaling does exactly that)."""
+    x = jnp.asarray(x, jnp.float32)
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return QTensor(q=q, scale=scale)
+
+
+def quantize_kv_cache(caches: Any) -> Any:
+    """int8-compress the STATIC entries of a decode cache built by
+    ``init_decode_cache``: the precomputed cross-attention (and Flamingo
+    ``xv``) K/V, which the decode loop re-reads in full on every token —
+    at the large envelope they are GBs of HBM traffic per step, read-only
+    after encode. The incremental ``self`` buffers stay in the compute
+    dtype: they are written token-by-token (quantizing would add scale
+    bookkeeping per step) and are bounded by the text context, a fraction
+    of the audio/video K/V. Attention dequantizes on read
+    (models/layers.py) and XLA fuses the convert+scale into the matmul,
+    so the int8 buffers ARE the resident form between steps.
+
+    Works on one model's cache list (Whisper or AV-HuBERT seq2seq alike:
+    any dict entry holding {"k", "v"} without an "index" is static)."""
+
+    def _one(entry):
+        out = {}
+        for name, sub in entry.items():
+            if (
+                isinstance(sub, dict)
+                and "index" not in sub
+                and "k" in sub
+                and "v" in sub
+                and not isinstance(sub["k"], QTensor)
+            ):
+                out[name] = {
+                    "k": quantize_rows(sub["k"]),
+                    "v": quantize_rows(sub["v"]),
+                }
+            else:
+                out[name] = sub
+        return out
+
+    return [_one(e) for e in caches]
+
+
 def default_predicate(path: str, leaf: Any) -> bool:
     """Quantize float leaves with >= 2 dims and >= 4096 elements, except
     gates (load-bearing scalars) and batch/norm statistics."""

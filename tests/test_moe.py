@@ -275,3 +275,59 @@ def test_ep_matches_replicated(eight_devices):
             np.asarray(gg), np.asarray(gw), atol=5e-4,
             err_msg=str(path),
         )
+
+
+def test_moe_padding_mask_invariance():
+    """Appending padded positions (with `valid` marking them) must leave
+    real-token outputs bit-identical and give pads a zero FFN delta —
+    pads must not claim capacity or shift the balance statistics."""
+    E, K, D = 4, 2, 8
+    moe, params, x = _init_moe(E, K, cf=float(E), T=6)
+    B, T, _ = x.shape
+
+    y_ref, inter_ref = moe.apply(
+        {"params": params}, x, mutable=["intermediates"]
+    )
+
+    pad = 3
+    xp = jnp.concatenate([x, jnp.zeros((B, pad, D), x.dtype)], axis=1)
+    valid = jnp.concatenate(
+        [jnp.ones((B, T)), jnp.zeros((B, pad))], axis=1
+    )
+    y_pad, inter_pad = moe.apply(
+        {"params": params}, xp, valid=valid, mutable=["intermediates"]
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(y_pad[:, :T]), np.asarray(y_ref), atol=1e-6
+    )
+    # pad positions: zero delta (residual passthrough at the block level)
+    assert float(jnp.abs(y_pad[:, T:]).max()) == 0.0
+    # balance statistics computed over real tokens only
+    np.testing.assert_allclose(
+        float(moe_aux_loss(inter_pad["intermediates"])),
+        float(moe_aux_loss(inter_ref["intermediates"])),
+        atol=1e-6,
+    )
+
+
+def test_transformer_block_moe_padding_via_kv_lengths():
+    """The block derives the MoE `valid` mask from the same kv_lengths
+    that mask self-attention: real-position outputs are invariant to
+    suffix padding through the WHOLE block (attention + MoE FFN)."""
+    block = TransformerBlock(
+        d_model=16, n_heads=2, d_ff=32, n_experts=4,
+        moe_capacity_factor=4.0, dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 5, 16)), jnp.float32)
+    variables = block.init(jax.random.PRNGKey(0), x)
+
+    lengths = jnp.asarray([5, 5], jnp.int32)
+    y_ref, _ = block.apply(variables, x, kv_lengths=lengths)
+
+    xp = jnp.concatenate([x, jnp.zeros((2, 4, 16), x.dtype)], axis=1)
+    y_pad, _ = block.apply(variables, xp, kv_lengths=lengths)
+    np.testing.assert_allclose(
+        np.asarray(y_pad[:, :5]), np.asarray(y_ref), atol=1e-5
+    )
