@@ -51,6 +51,11 @@ def main() -> None:
     p.add_argument("--k_short", type=int, default=8)
     p.add_argument("--k_long", type=int, default=32)
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument(
+        "--kv_int8", action="store_true",
+        help="also measure the int8 KV-cache variants (quantize_kv_cache "
+        "on the precomputed cross/xv K/V): bf16+kv8 and int8+kv8 rows",
+    )
     args = p.parse_args()
 
     if os.environ.get("AVSL_FORCE_CPU") == "1":
@@ -64,7 +69,12 @@ def main() -> None:
     import jax.numpy as jnp
 
     import __graft_entry__ as ge
-    from avsl_tpu.models.quant import dequantize_tree, quantize_tree, tree_bytes
+    from avsl_tpu.models.quant import (
+        dequantize_tree,
+        quantize_kv_cache,
+        quantize_tree,
+        tree_bytes,
+    )
 
     model, cfg = ge._flagship(dtype="bfloat16", size=args.size)
     B = args.batch
@@ -133,6 +143,19 @@ def main() -> None:
     cache0_b = make_cache(variables)
     cache0_q = make_cache_q(qvariables)
     jax.block_until_ready((cache0_b, cache0_q))
+    if args.kv_int8:
+        # compress the static cross/xv K/V on device (one jitted pass);
+        # the int8 buffers are then the resident form the step programs
+        # re-read per token
+        compress = jax.jit(quantize_kv_cache)
+        cache0_b8 = compress(cache0_b)
+        cache0_q8 = compress(cache0_q)
+        jax.block_until_ready((cache0_b8, cache0_q8))
+        print(
+            f"kv cache: {tree_bytes(cache0_b) / 1e9:.2f} GB -> "
+            f"{tree_bytes(cache0_b8) / 1e9:.2f} GB int8",
+            file=sys.stderr,
+        )
 
     def loop(step, v, cache0, k, salt):
         tok = jnp.full((B, 1), 50257 + (salt % 3), jnp.int32)
@@ -144,11 +167,17 @@ def main() -> None:
         true_sync(tok)
         return time.perf_counter() - t0
 
-    results = {}
-    for name, step, v, cache0 in (
+    rows = [
         ("bf16", step_bf16, variables, cache0_b),
         ("int8", step_int8, qvariables, cache0_q),
-    ):
+    ]
+    if args.kv_int8:
+        rows += [
+            ("bf16+kv8", step_bf16, variables, cache0_b8),
+            ("int8+kv8", step_int8, qvariables, cache0_q8),
+        ]
+    results = {}
+    for name, step, v, cache0 in rows:
         t0 = time.perf_counter()
         loop(step, v, cache0, 2, salt=0)  # compile
         print(f"compile[{name}]: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
