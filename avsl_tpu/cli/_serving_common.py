@@ -46,6 +46,42 @@ def build_transcriber(args, cfg):
         from avsl_tpu.core.mesh import make_mesh
 
         mesh = make_mesh(dp * mp, model_parallel=mp)
+    # speculative decoding: a small audio-only draft Whisper proposes
+    # spec_k tokens per target verify pass (decode/speculative.py;
+    # token-exact vs greedy, so serving quality is unchanged)
+    draft_model = draft_variables = None
+    draft_name = getattr(args, "draft_model", None)
+    if draft_name:
+        if args.beam > 1:
+            raise SystemExit("--draft_model composes with greedy only (--beam 1)")
+        draft_model, d_cfg = build_whisper_flamingo(
+            draft_name, vocab_size=vocab, add_gated_x_attn=False,
+            dtype="float32" if smoke else "bfloat16",
+        )
+        draft_variables = jax.jit(draft_model.init)(
+            jax.random.PRNGKey(0),
+            np.zeros((b, d_cfg.n_mels, cfg.audio_max_length // 160), np.float32),
+            np.zeros((b, 4), np.int32),
+        )
+        draft_ckpt = getattr(args, "draft_ckpt", None)
+        if draft_ckpt:
+            if latest_step(draft_ckpt) is None:
+                raise SystemExit(f"no checkpoint under {draft_ckpt!r}")
+            tx, _ = select_optimizer(draft_variables["params"], cfg, 1)
+            d_state = TrainState.create(
+                draft_variables["params"], tx,
+                batch_stats=draft_variables.get("batch_stats"),
+            )
+            d_state = restore_checkpoint(draft_ckpt, d_state)
+            draft_variables = {"params": d_state.params}
+            if d_state.batch_stats is not None:
+                draft_variables["batch_stats"] = d_state.batch_stats
+        elif not smoke:
+            # a random draft still decodes exactly (verification rejects
+            # everything) but wastes the draft forwards — refuse outside
+            # --smoke so misconfigured serving fails loudly
+            raise SystemExit("--draft_model needs --draft_ckpt (or --smoke)")
+
     if args.ckpt_dir:
         if latest_step(args.ckpt_dir) is None:
             # never serve randomly initialized weights on a typo'd or
@@ -77,6 +113,9 @@ def build_transcriber(args, cfg):
         logprob_threshold=getattr(args, "logprob_threshold", -1.0),
         word_timestamps=bool(getattr(args, "word_timestamps", False)),
         mesh=mesh,
+        draft_model=draft_model,
+        draft_variables=draft_variables,
+        spec_k=int(getattr(args, "spec_k", 4) or 4),
     )
 
 

@@ -42,6 +42,11 @@ def main(argv: Optional[List[str]] = None):
                    help="attach cross-attention DTW word times to replies")
     # multi-chip serving: weights tp-sharded (Megatron col/row rules),
     # batch dp-sharded; mutually exclusive with --quantize
+    p.add_argument("--draft_model", default=None,
+                   help="draft Whisper for speculative decoding, e.g. tiny")
+    p.add_argument("--draft_ckpt", default=None)
+    p.add_argument("--spec_k", type=int, default=4,
+                   help="draft tokens per verify pass")
     p.add_argument("--model_parallel", type=int, default=1)
     p.add_argument("--data_parallel", type=int, default=1)
     p.add_argument("--smoke", action="store_true")

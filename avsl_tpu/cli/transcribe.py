@@ -82,6 +82,11 @@ def main(argv: Optional[List[str]] = None) -> List[Dict[str, Any]]:
                    help="comma list, e.g. 0.2,0.4")
     p.add_argument("--logprob_threshold", type=float, default=-1.0)
     p.add_argument("--word_timestamps", action="store_true")
+    p.add_argument("--draft_model", default=None,
+                   help="draft Whisper for speculative decoding, e.g. tiny")
+    p.add_argument("--draft_ckpt", default=None)
+    p.add_argument("--spec_k", type=int, default=4,
+                   help="draft tokens per verify pass")
     p.add_argument("--model_parallel", type=int, default=1)
     p.add_argument("--data_parallel", type=int, default=1)
     p.add_argument("--smoke", action="store_true")

@@ -12,6 +12,11 @@ from avsl_tpu.decode.greedy import (  # noqa: F401
     sampled_decode_scored,
 )
 from avsl_tpu.decode.beam import beam_search  # noqa: F401
+from avsl_tpu.decode.speculative import (  # noqa: F401
+    SpecDecodeResult,
+    broadcast_cache_index,
+    speculative_greedy_decode,
+)
 from avsl_tpu.decode.ctc import (  # noqa: F401
     ctc_best_path,
     ctc_best_path_scores,

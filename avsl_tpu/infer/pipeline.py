@@ -66,6 +66,9 @@ class StreamingTranscriber:
         logprob_threshold: float = -1.0,
         compression_ratio_threshold: float = 2.4,
         word_timestamps: bool = False,
+        draft_model: Optional[Any] = None,
+        draft_variables: Optional[Any] = None,
+        spec_k: int = 4,
     ):
         import jax
         import jax.numpy as jnp
@@ -75,6 +78,7 @@ class StreamingTranscriber:
             greedy_decode_scored,
             sampled_decode_scored,
         )
+        from avsl_tpu.decode.speculative import speculative_greedy_decode
         from avsl_tpu.kernels import log_mel_spectrogram
 
         # model.init returns EVERY collection it touched, including any
@@ -100,6 +104,27 @@ class StreamingTranscriber:
                 "(the beam already explores alternatives)"
             )
         self._fallback_calls = 0
+
+        # speculative decoding (decode/speculative.py): an audio-only draft
+        # model proposes spec_k tokens per target forward; token-exact vs
+        # plain greedy, so it composes with the confidence gate and the
+        # temperature-fallback retries unchanged
+        if (draft_model is None) != (draft_variables is None):
+            raise ValueError("draft_model and draft_variables go together")
+        if draft_model is not None and beam_size > 1:
+            raise ValueError("speculative decoding composes with greedy only")
+        if draft_model is not None and mesh is not None:
+            raise ValueError(
+                "draft + mesh unsupported: the spec loop's per-sequence "
+                "scatter writes are untested under SPMD sharding"
+            )
+        self.draft_model = draft_model
+        self.spec_k = int(spec_k)
+        if draft_variables is not None:
+            draft_variables = {
+                k: v for k, v in draft_variables.items()
+                if k not in ("alignment", "intermediates")
+            }
 
         # multi-chip serving: shard the weights over the mesh's model
         # axis (Megatron col/row rules, core/partitioning.py) and the
@@ -189,8 +214,11 @@ class StreamingTranscriber:
             variables = self._dequantize(qvariables)
             mel = log_mel_spectrogram(audio, n_mels=cfg.n_mels)
             feats, xv = model.apply(variables, mel, video, method=model.encode)
+            cache_len = max_new_tokens + prompt.shape[1] + (
+                self.spec_k + 1 if draft_model is not None else 2
+            )
             cache = self._compress_kv(model.apply(
-                variables, feats, xv, max_new_tokens + prompt.shape[1] + 2,
+                variables, feats, xv, cache_len,
                 method=model.init_decode_cache,
             ))
 
@@ -204,6 +232,27 @@ class StreamingTranscriber:
                     step, cache, jnp.asarray(prompt), beam_size,
                     max_new_tokens, tokenizer.eot,
                 )
+            if draft_model is not None:
+                dmel = log_mel_spectrogram(audio, n_mels=draft_model.cfg.n_mels)
+                dfeats, _ = draft_model.apply(
+                    draft_variables, dmel, None, method=draft_model.encode
+                )
+                dcache = draft_model.apply(
+                    draft_variables, dfeats, None, cache_len,
+                    method=draft_model.init_decode_cache,
+                )
+
+                def dstep(tok, c):
+                    return draft_model.apply(
+                        draft_variables, tok, None, None, c,
+                        method=draft_model.decode,
+                    )
+
+                res = speculative_greedy_decode(
+                    step, dstep, cache, dcache, jnp.asarray(prompt),
+                    max_new_tokens, tokenizer.eot, k=self.spec_k,
+                )
+                return res.tokens, res.avg_logprob
             return greedy_decode_scored(
                 step, cache, jnp.asarray(prompt), max_new_tokens, tokenizer.eot
             )

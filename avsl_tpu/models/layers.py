@@ -220,14 +220,30 @@ class MultiHeadAttention(nn.Module):
             k_new = self._split(self.k_proj(x)).astype(cache["k"].dtype)
             v_new = self._split(self.v_proj(x)).astype(cache["v"].dtype)
             idx = cache["index"]
-            k = jax.lax.dynamic_update_slice(cache["k"], k_new, (0, idx, 0, 0))
-            v = jax.lax.dynamic_update_slice(cache["v"], v_new, (0, idx, 0, 0))
-            new_cache = {"k": k, "v": v, "index": idx + x.shape[1]}
-            max_len = k.shape[1]
-            pos_ids = jax.lax.broadcasted_iota(jnp.int32, (x.shape[1], max_len), 1)
-            q_ids = jax.lax.broadcasted_iota(jnp.int32, (x.shape[1], max_len), 0)
-            causal = pos_ids <= (q_ids + idx)
-            attn_mask = causal[None, None] if mask is None else (causal[None, None] & mask)
+            qlen, max_len = x.shape[1], cache["k"].shape[1]
+            if getattr(idx, "ndim", 0) == 1:
+                # per-sequence write offsets (speculative decoding: ragged
+                # acceptance means each sequence's committed length differs).
+                # Rows past a sequence's index hold stale K/V from rejected
+                # drafts — never attended (mask keys off idx) and simply
+                # overwritten by the next round's scatter.
+                b = x.shape[0]
+                positions = idx[:, None] + jnp.arange(qlen)[None, :]  # [B,Q]
+                batch_ids = jnp.arange(b)[:, None]
+                k = cache["k"].at[batch_ids, positions].set(k_new, mode="drop")
+                v = cache["v"].at[batch_ids, positions].set(v_new, mode="drop")
+                kpos = jax.lax.broadcasted_iota(jnp.int32, (qlen, max_len), 1)
+                qpos = jax.lax.broadcasted_iota(jnp.int32, (qlen, max_len), 0)
+                causal = kpos[None] <= (qpos[None] + idx[:, None, None])  # [B,Q,K]
+                attn_mask = causal[:, None] if mask is None else (causal[:, None] & mask)
+            else:
+                k = jax.lax.dynamic_update_slice(cache["k"], k_new, (0, idx, 0, 0))
+                v = jax.lax.dynamic_update_slice(cache["v"], v_new, (0, idx, 0, 0))
+                pos_ids = jax.lax.broadcasted_iota(jnp.int32, (qlen, max_len), 1)
+                q_ids = jax.lax.broadcasted_iota(jnp.int32, (qlen, max_len), 0)
+                causal = pos_ids <= (q_ids + idx)
+                attn_mask = causal[None, None] if mask is None else (causal[None, None] & mask)
+            new_cache = {"k": k, "v": v, "index": idx + qlen}
             out = dot_product_attention(q, k.astype(q.dtype), v.astype(q.dtype), attn_mask)
         elif cache is not None:
             # cross-attention with precomputed encoder K/V; int8-compressed

@@ -139,11 +139,21 @@ class WhisperTextDecoder(nn.Module):
         cfg = self.cfg
         offset = cache[0]["self"]["index"] if cache is not None else 0
         x = self.token_embedding(tokens)
-        pos = jax.lax.dynamic_slice(
-            self.positional_embedding,
-            (offset, 0) if cache is not None else (0, 0),
-            (tokens.shape[1], cfg.n_text_state),
-        )
+        if cache is not None and getattr(offset, "ndim", 0) == 1:
+            # per-sequence cache indices (speculative decoding): gather each
+            # sequence's own positional rows
+            pos_ids = offset[:, None] + jnp.arange(tokens.shape[1])[None, :]
+            pos = jnp.take(
+                self.positional_embedding,
+                jnp.clip(pos_ids, 0, cfg.n_text_ctx - 1),
+                axis=0,
+            )  # [B, Q, D]
+        else:
+            pos = jax.lax.dynamic_slice(
+                self.positional_embedding,
+                (offset, 0) if cache is not None else (0, 0),
+                (tokens.shape[1], cfg.n_text_state),
+            )
         x = x + pos.astype(x.dtype)
 
         # full-sequence causality comes from the blocks' fused causal
