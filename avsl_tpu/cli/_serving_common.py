@@ -54,6 +54,16 @@ def build_transcriber(args, cfg):
     if draft_name:
         if args.beam > 1:
             raise SystemExit("--draft_model composes with greedy only (--beam 1)")
+        if mesh is not None:
+            # fail before the expensive draft build/restore (the same check
+            # deep in StreamingTranscriber would fire minutes later on a
+            # rate-limited link)
+            raise SystemExit(
+                "--draft_model + --model_parallel/--data_parallel unsupported"
+            )
+        spec_k = int(getattr(args, "spec_k", 4))
+        if spec_k < 1:
+            raise SystemExit(f"--spec_k must be >= 1, got {spec_k}")
         draft_model, d_cfg = build_whisper_flamingo(
             draft_name, vocab_size=vocab, add_gated_x_attn=False,
             dtype="float32" if smoke else "bfloat16",
@@ -115,7 +125,7 @@ def build_transcriber(args, cfg):
         mesh=mesh,
         draft_model=draft_model,
         draft_variables=draft_variables,
-        spec_k=int(getattr(args, "spec_k", 4) or 4),
+        spec_k=int(getattr(args, "spec_k", 4)),
     )
 
 

@@ -27,6 +27,8 @@ from avsl_tpu.models.quant import (  # noqa: F401
     quantize_tree,
     dequantize_tree,
     quantization_report,
+    quantize_rows,
+    quantize_kv_cache,
 )
 from avsl_tpu.models.lora import (  # noqa: F401
     init_lora,
