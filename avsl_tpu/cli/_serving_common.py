@@ -75,17 +75,15 @@ def build_transcriber(args, cfg):
         )
         draft_ckpt = getattr(args, "draft_ckpt", None)
         if draft_ckpt:
-            if latest_step(draft_ckpt) is None:
+            # optimizer-agnostic restore: draft checkpoints come from
+            # cli.distill (plain adamw TrainState), whose opt_state this
+            # CLI cannot (and need not) reconstruct
+            from avsl_tpu.train.checkpoints import restore_params_only
+
+            restored = restore_params_only(draft_ckpt)
+            if restored is None:
                 raise SystemExit(f"no checkpoint under {draft_ckpt!r}")
-            tx, _ = select_optimizer(draft_variables["params"], cfg, 1)
-            d_state = TrainState.create(
-                draft_variables["params"], tx,
-                batch_stats=draft_variables.get("batch_stats"),
-            )
-            d_state = restore_checkpoint(draft_ckpt, d_state)
-            draft_variables = {"params": d_state.params}
-            if d_state.batch_stats is not None:
-                draft_variables["batch_stats"] = d_state.batch_stats
+            draft_variables = restored
         elif not smoke:
             # a random draft still decodes exactly (verification rejects
             # everything) but wastes the draft forwards — refuse outside
