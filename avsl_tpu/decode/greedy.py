@@ -3,8 +3,10 @@
 The reference's validation decodes by **argmax over teacher-forced logits**
 then overwrites everything after the first EOT with EOT
 (avsl/whisper_flamingo_ft_ami.py:568-586). Both that fused eval and a true
-KV-cached autoregressive greedy loop (one jit-compiled `lax.scan`) are
-provided; beam search lives in decode/beam.py.
+KV-cached autoregressive greedy loop (one jit-compiled `lax.while_loop`
+that exits as soon as every sequence has emitted EOT — decoded tokens are
+identical to the full-budget loop by construction) are provided; beam
+search lives in decode/beam.py.
 """
 
 from __future__ import annotations
@@ -41,29 +43,41 @@ def greedy_decode(
     max_new_tokens: int,
     eot_id: int,
 ) -> jnp.ndarray:
-    """Autoregressive greedy decode via one `lax.scan` over the KV cache.
+    """Autoregressive greedy decode via one `lax.while_loop` over the KV
+    cache, exiting as soon as EVERY sequence has emitted EOT — utterances
+    usually finish in a fraction of the token budget, and the skipped
+    steps are pure waste (their outputs are defined to be EOT anyway).
 
     ``init_tokens`` [B, L0] is the prompt (e.g. Whisper SOT sequence); it is
-    fed through ``step_fn`` once to warm the cache, then ``max_new_tokens``
-    steps run greedily. Once a sequence emits EOT every later token is EOT.
-    Returns generated tokens [B, max_new_tokens].
+    fed through ``step_fn`` once to warm the cache, then up to
+    ``max_new_tokens`` steps run greedily. Once a sequence emits EOT every
+    later token is EOT. Returns generated tokens [B, max_new_tokens].
     """
     logits, cache = step_fn(init_tokens, cache)
     first = jnp.argmax(logits[:, -1], axis=-1)  # [B]
     finished0 = first == eot_id
+    b = first.shape[0]
+    out0 = jnp.full((b, max_new_tokens), eot_id, first.dtype)
+    out0 = jax.lax.dynamic_update_slice(out0, first[:, None], (0, 0))
 
-    def body(carry, _):
-        tok, finished, cache = carry
+    def cond(carry):
+        i, _, finished, _, _ = carry
+        return (i < max_new_tokens) & ~jnp.all(finished)
+
+    def body(carry):
+        i, tok, finished, cache, out = carry
         logits, cache = step_fn(tok[:, None], cache)
         nxt = jnp.argmax(logits[:, -1], axis=-1)
         nxt = jnp.where(finished, eot_id, nxt)
         finished = finished | (nxt == eot_id)
-        return (nxt, finished, cache), nxt
+        out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, i))
+        return (i + 1, nxt, finished, cache, out)
 
-    (_, _, _), rest = jax.lax.scan(
-        body, (first, finished0, cache), None, length=max_new_tokens - 1
+    _, _, _, _, out = jax.lax.while_loop(
+        cond, body, (jnp.asarray(1, jnp.int32), first, finished0, cache, out0)
     )
-    return jnp.concatenate([first[:, None], rest.T], axis=1)
+    return out
+
 
 
 def greedy_decode_scored(
@@ -78,33 +92,45 @@ def greedy_decode_scored(
     including the first EOT (padding after EOT contributes nothing) —
     the greedy counterpart of beam_search's length-normalized score.
     Serving uses it to flag low-confidence segments (hallucination-prone
-    windows score low). Returns (tokens [B, max_new_tokens], avg_logprob
-    [B] float32)."""
+    windows score low). Early-exits like :func:`greedy_decode` (skipped
+    steps contribute zero score and zero count by construction). Returns
+    (tokens [B, max_new_tokens], avg_logprob [B] float32)."""
     logits, cache = step_fn(init_tokens, cache)
     lp0 = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
     first = jnp.argmax(lp0, axis=-1)  # [B]
     s0 = jnp.take_along_axis(lp0, first[:, None], axis=-1)[:, 0]
     finished0 = first == eot_id
+    b = first.shape[0]
+    out0 = jnp.full((b, max_new_tokens), eot_id, first.dtype)
+    out0 = jax.lax.dynamic_update_slice(out0, first[:, None], (0, 0))
 
-    def body(carry, _):
-        tok, finished, cache = carry
+    def cond(carry):
+        i = carry[0]
+        finished = carry[2]
+        return (i < max_new_tokens) & ~jnp.all(finished)
+
+    def body(carry):
+        i, tok, finished, cache, out, ssum, cnt = carry
         logits, cache = step_fn(tok[:, None], cache)
         lp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
         nxt = jnp.argmax(lp, axis=-1)
         s = jnp.take_along_axis(lp, nxt[:, None], axis=-1)[:, 0]
         nxt = jnp.where(finished, eot_id, nxt)
-        s = jnp.where(finished, 0.0, s)
-        live = jnp.where(finished, 0.0, 1.0)
+        ssum = ssum + jnp.where(finished, 0.0, s)
+        cnt = cnt + jnp.where(finished, 0.0, 1.0)
         finished = finished | (nxt == eot_id)
-        return (nxt, finished, cache), (nxt, s, live)
+        out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, i))
+        return (i + 1, nxt, finished, cache, out, ssum, cnt)
 
-    (_, _, _), (rest, ss, live) = jax.lax.scan(
-        body, (first, finished0, cache), None, length=max_new_tokens - 1
+    _, _, _, _, out, ssum, cnt = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.asarray(1, jnp.int32), first, finished0, cache, out0,
+            s0, jnp.ones((b,), jnp.float32),
+        ),
     )
-    tokens = jnp.concatenate([first[:, None], rest.T], axis=1)
-    total = s0 + jnp.sum(ss, axis=0)
-    count = 1.0 + jnp.sum(live, axis=0)
-    return tokens, total / count
+    return out, ssum / cnt
 
 
 def sampled_decode_scored(
@@ -133,22 +159,33 @@ def sampled_decode_scored(
     k0, rng = jax.random.split(rng)
     first, s0 = pick(logits[:, -1], k0)
     finished0 = first == eot_id
+    b = first.shape[0]
+    keys = jax.random.split(rng, max(max_new_tokens - 1, 1))
+    out0 = jnp.full((b, max_new_tokens), eot_id, first.dtype)
+    out0 = jax.lax.dynamic_update_slice(out0, first[:, None], (0, 0))
 
-    def body(carry, key):
-        tok, finished, cache = carry
+    def cond(carry):
+        i = carry[0]
+        finished = carry[2]
+        return (i < max_new_tokens) & ~jnp.all(finished)
+
+    def body(carry):
+        i, tok, finished, cache, out, ssum, cnt = carry
         logits, cache = step_fn(tok[:, None], cache)
-        nxt, s = pick(logits[:, -1], key)
+        nxt, s = pick(logits[:, -1], keys[i - 1])
         nxt = jnp.where(finished, eot_id, nxt)
-        s = jnp.where(finished, 0.0, s)
-        live = jnp.where(finished, 0.0, 1.0)
+        ssum = ssum + jnp.where(finished, 0.0, s)
+        cnt = cnt + jnp.where(finished, 0.0, 1.0)
         finished = finished | (nxt == eot_id)
-        return (nxt, finished, cache), (nxt, s, live)
+        out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, i))
+        return (i + 1, nxt, finished, cache, out, ssum, cnt)
 
-    keys = jax.random.split(rng, max_new_tokens - 1)
-    (_, _, _), (rest, ss, live) = jax.lax.scan(
-        body, (first, finished0, cache), keys
+    _, _, _, _, out, ssum, cnt = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.asarray(1, jnp.int32), first, finished0, cache, out0,
+            s0, jnp.ones((b,), jnp.float32),
+        ),
     )
-    tokens = jnp.concatenate([first[:, None], rest.T], axis=1)
-    total = s0 + jnp.sum(ss, axis=0)
-    count = 1.0 + jnp.sum(live, axis=0)
-    return tokens, total / count
+    return out, ssum / cnt
