@@ -6,7 +6,9 @@ The reference only reaches beam search through HF ``generate``
 whole search runs inside one jit: static-shape sequence buffers, beam
 reordering as a batched gather over the flattened [B*K] cache batch dim
 (the `_reorder_cache` equivalent), finished beams forced to emit EOT at
-zero added score, `lax.scan` over decode steps.
+zero added score, `lax.while_loop` over decode steps that exits as soon
+as every beam of every batch item is finished (each further step would
+be the identity: EOT-only extension at zero added score).
 
 Generic over models: ``step_fn(tokens [N,1], cache) -> (logits [N,1,V],
 cache)`` — works for Whisper(+Flamingo) and AV-HuBERT seq2seq alike since
@@ -66,8 +68,13 @@ def beam_search(
     seqs = seqs.at[:, :, 0].set(first_tokens)
     finished = first_tokens == eot_id
 
-    def body(carry, i):
-        seqs, scores, finished, cache, last = carry
+    def cond(carry):
+        i = carry[0]
+        finished = carry[3]
+        return (i < max_new_tokens) & ~jnp.all(finished)
+
+    def body(carry):
+        i, seqs, scores, finished, cache, last = carry
         logits, cache = step_fn(last.reshape(b * k, 1), cache)
         lp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
         lp = lp.reshape(b, k, vocab)
@@ -92,12 +99,13 @@ def beam_search(
         finished = jnp.take_along_axis(finished, beam_src, axis=1) | (
             new_tok == eot_id
         )
-        return (seqs, new_scores, finished, cache, new_tok), None
+        return (i + 1, seqs, new_scores, finished, cache, new_tok)
 
-    (seqs, scores, finished, cache, _), _ = jax.lax.scan(
+    _, seqs, scores, finished, cache, _ = jax.lax.while_loop(
+        cond,
         body,
-        (seqs, scores, finished, cache, first_tokens),
-        jnp.arange(1, max_new_tokens),
+        (jnp.asarray(1, jnp.int32), seqs, scores, finished, cache,
+         first_tokens),
     )
 
     # length-normalized final selection (count tokens up to and incl.
