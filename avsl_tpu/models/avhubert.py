@@ -700,11 +700,22 @@ class AVHuBERTDecoder(nn.Module):
         cfg = self.cfg
         offset = cache[0]["self"]["index"] if cache is not None else 0
         x = self.embed_tokens(tokens) * np.sqrt(cfg.decoder_hidden_size)
-        pos = jax.lax.dynamic_slice(
-            self.embed_positions.astype(x.dtype),
-            (offset, 0) if cache is not None else (0, 0),
-            (tokens.shape[1], cfg.decoder_hidden_size),
-        )
+        if cache is not None and getattr(offset, "ndim", 0) == 1:
+            # per-sequence cache indices (speculative decoding — see
+            # models/whisper.py): gather each sequence's positional rows
+            pos_ids = offset[:, None] + jnp.arange(tokens.shape[1])[None, :]
+            max_pos = self.embed_positions.shape[0] - 1
+            pos = jnp.take(
+                self.embed_positions.astype(x.dtype),
+                jnp.clip(pos_ids, 0, max_pos),
+                axis=0,
+            )  # [B, Q, D]
+        else:
+            pos = jax.lax.dynamic_slice(
+                self.embed_positions.astype(x.dtype),
+                (offset, 0) if cache is not None else (0, 0),
+                (tokens.shape[1], cfg.decoder_hidden_size),
+            )
         x = x + pos
         x = self.input_dropout(x, deterministic=deterministic)
 

@@ -251,3 +251,59 @@ def test_transcribe_cli_smoke_with_draft(tmp_path, monkeypatch):
     )
     assert len(out) == 2
     assert os.path.exists(str(tmp_path / "out.json"))
+
+
+def test_spec_exact_on_avhubert_seq2seq():
+    """Speculative decoding generalizes beyond Whisper: the AV-HuBERT
+    seq2seq decoder (fairseq-layout positions, avhubert.py) decodes
+    token-exactly vs greedy under a draft, via the same vector-index
+    cache machinery."""
+    from avsl_tpu.core.config import AVHuBERTConfig
+    from avsl_tpu.models.avhubert import AVHuBERTForSpeech2Text
+
+    cfg = AVHuBERTConfig.tiny_test(dtype="float32")
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.normal(size=(2, 12, 104)), jnp.float32)
+    video = jnp.asarray(rng.normal(size=(2, 12, 32, 32, 1)), jnp.float32)
+
+    def build(seed):
+        model = AVHuBERTForSpeech2Text(cfg)
+        labels = jnp.asarray([[5, 6, 2, -100], [7, 8, 2, -100]])
+        variables = model.init(
+            jax.random.PRNGKey(seed), audio=audio, video=video, labels=labels
+        )
+        enc = model.apply(variables, audio=audio, video=video,
+                          method=model.encode)
+        return model, variables, enc
+
+    mt, vt, enc_t = build(0)
+    md, vd, enc_d = build(11)
+    max_new, k = 10, 3
+    prompt = jnp.asarray([[cfg.eos_token_id, 5], [cfg.eos_token_id, 7]],
+                         jnp.int32)
+    need = prompt.shape[1] + max_new + k
+    eot = cfg.eos_token_id
+
+    def step_t(t, c):
+        return mt.apply(vt, t, enc_t, None, c, method=mt.decode)
+
+    def step_d(t, c):
+        return md.apply(vd, t, enc_d, None, c, method=md.decode)
+
+    ct = lambda: mt.apply(vt, enc_t, need, method=mt.init_decode_cache)
+    cd = lambda: md.apply(vd, enc_d, need, method=md.init_decode_cache)
+
+    ref = greedy_decode(step_t, ct(), prompt, max_new, eot)
+    res = speculative_greedy_decode(
+        step_t, step_d, ct(), cd(), prompt, max_new, eot, k=k
+    )
+    np.testing.assert_array_equal(np.asarray(res.tokens), np.asarray(ref))
+
+    # self-draft: high acceptance (not exactly 1.0 — an in-round EOT cuts
+    # the committed prefix and the trailing drafts count as wasted, which
+    # is the honest utilization number)
+    res2 = speculative_greedy_decode(
+        step_t, step_t, ct(), ct(), prompt, max_new, eot, k=k
+    )
+    np.testing.assert_array_equal(np.asarray(res2.tokens), np.asarray(ref))
+    assert float(res2.accept_rate) > 0.8
