@@ -10,19 +10,40 @@ from __future__ import annotations
 from typing import Optional
 
 
-def build_transcriber(args, cfg):
+def tree_shapes_match(a, b) -> bool:
+    """Same pytree structure + leaf shapes (dtype-agnostic: checkpoints
+    may round-trip through different precisions)."""
     import jax
     import numpy as np
 
-    from avsl_tpu.data.tokenizer import get_tokenizer
-    from avsl_tpu.infer import StreamingTranscriber
+    try:
+        return bool(
+            jax.tree_util.tree_all(
+                jax.tree_util.tree_map(
+                    lambda x, y: np.shape(x) == np.shape(y), a, b
+                )
+            )
+        )
+    except ValueError:
+        return False
+
+
+def build_target_model(cfg, tokenizer, batch_size: int, smoke: bool,
+                       ckpt_dir: Optional[str]):
+    """Build the config's Whisper[+Flamingo] model exactly as trained
+    (add_gated_x_attn / use_av_hubert_encoder from cfg), probe-init it,
+    and restore ``ckpt_dir`` through the cfg-matched optimizer probe.
+    Shared by the serving CLIs and cli.distill so the restore template
+    cannot drift from what the checkpoint actually contains. Returns
+    ``(model, w_cfg, variables, video_frames)``."""
+    import jax
+    import numpy as np
+
     from avsl_tpu.models.factory import build_whisper_flamingo
     from avsl_tpu.train.checkpoints import latest_step, restore_checkpoint
     from avsl_tpu.train.loop import TrainState
     from avsl_tpu.train.optim import select_optimizer
 
-    smoke = bool(getattr(args, "smoke", False))
-    tokenizer = get_tokenizer(getattr(cfg, "download_root", None), cfg.lang)
     vocab = tokenizer.add_tokens(["<laugh>"])
     model, w_cfg = build_whisper_flamingo(
         cfg.model_name, vocab_size=vocab,
@@ -30,7 +51,7 @@ def build_transcriber(args, cfg):
         use_av_hubert_encoder=cfg.use_av_hubert_encoder,
         dtype="float32" if smoke else "bfloat16",
     )
-    b = args.batch_size
+    b = batch_size
     video_frames = min(int(round(cfg.audio_max_length / 16000 * 25)), 250)
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0),
@@ -39,6 +60,38 @@ def build_transcriber(args, cfg):
         **(dict(video=np.zeros((b, video_frames, 88, 88, 1), np.float32))
            if cfg.add_gated_x_attn else {}),
     )
+    if ckpt_dir:
+        if latest_step(ckpt_dir) is None:
+            # never serve randomly initialized weights on a typo'd or
+            # empty checkpoint directory — garbage transcripts with a
+            # healthy-looking daemon is the worst failure mode
+            raise SystemExit(f"no checkpoint under {ckpt_dir!r}")
+        tx, _ = select_optimizer(variables["params"], cfg, 1)
+        state = TrainState.create(
+            variables["params"], tx, batch_stats=variables.get("batch_stats")
+        )
+        state = restore_checkpoint(ckpt_dir, state)
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+    return model, w_cfg, variables, video_frames
+
+
+def build_transcriber(args, cfg):
+    import jax
+    import numpy as np
+
+    from avsl_tpu.data.tokenizer import get_tokenizer
+    from avsl_tpu.infer import StreamingTranscriber
+    from avsl_tpu.models.factory import build_whisper_flamingo
+
+    smoke = bool(getattr(args, "smoke", False))
+    tokenizer = get_tokenizer(getattr(cfg, "download_root", None), cfg.lang)
+    b = args.batch_size
+    model, w_cfg, variables, video_frames = build_target_model(
+        cfg, tokenizer, b, smoke, args.ckpt_dir
+    )
+    vocab = w_cfg.n_vocab
     mesh = None
     mp = int(getattr(args, "model_parallel", 1) or 1)
     dp = int(getattr(args, "data_parallel", 1) or 1)
@@ -83,6 +136,19 @@ def build_transcriber(args, cfg):
             restored = restore_params_only(draft_ckpt)
             if restored is None:
                 raise SystemExit(f"no checkpoint under {draft_ckpt!r}")
+            # structure check against the probe init BEFORE the expensive
+            # jit compile — an argument-free restore would otherwise feed
+            # a mismatched tree into the program and fail minutes later
+            # with a cryptic flax error
+            if not tree_shapes_match(
+                restored["params"], draft_variables["params"]
+            ):
+                raise SystemExit(
+                    f"--draft_ckpt {draft_ckpt!r} does not match "
+                    f"--draft_model {draft_name!r} (param tree/shape "
+                    "mismatch — was it distilled with a different "
+                    "--draft_model?)"
+                )
             draft_variables = restored
         elif not smoke:
             # a random draft still decodes exactly (verification rejects
@@ -90,20 +156,6 @@ def build_transcriber(args, cfg):
             # --smoke so misconfigured serving fails loudly
             raise SystemExit("--draft_model needs --draft_ckpt (or --smoke)")
 
-    if args.ckpt_dir:
-        if latest_step(args.ckpt_dir) is None:
-            # never serve randomly initialized weights on a typo'd or
-            # empty checkpoint directory — garbage transcripts with a
-            # healthy-looking daemon is the worst failure mode
-            raise SystemExit(f"no checkpoint under {args.ckpt_dir!r}")
-        tx, _ = select_optimizer(variables["params"], cfg, 1)
-        state = TrainState.create(
-            variables["params"], tx, batch_stats=variables.get("batch_stats")
-        )
-        state = restore_checkpoint(args.ckpt_dir, state)
-        variables = {"params": state.params}
-        if state.batch_stats is not None:
-            variables["batch_stats"] = state.batch_stats
     return StreamingTranscriber(
         model, variables, tokenizer,
         audio_max_length=int(cfg.audio_max_length),

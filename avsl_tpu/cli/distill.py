@@ -41,58 +41,41 @@ def main(argv: Optional[List[str]] = None) -> dict:
     import numpy as np
     import optax
 
+    from avsl_tpu.cli._serving_common import build_target_model
     from avsl_tpu.cli.transcribe import collect_items
     from avsl_tpu.core.config import FlamingoTrainConfig
     from avsl_tpu.data.audio_segments import load_wav
     from avsl_tpu.data.tokenizer import get_tokenizer
     from avsl_tpu.kernels.logmel import pad_or_trim
     from avsl_tpu.models.factory import build_whisper_flamingo
-    from avsl_tpu.train.checkpoints import (
-        latest_step,
-        restore_checkpoint,
-        save_checkpoint,
+    from avsl_tpu.train.checkpoints import save_checkpoint
+    from avsl_tpu.train.distill import (
+        make_greedy_label_fn,
+        make_online_distill_step,
     )
-    from avsl_tpu.train.distill import make_distill_step, make_label_fn
     from avsl_tpu.train.loop import TrainState
-    from avsl_tpu.train.optim import select_optimizer
 
     cfg = FlamingoTrainConfig.from_yaml(args.config) if args.config else FlamingoTrainConfig()
     smoke = bool(args.smoke)
     if smoke:
         cfg.model_name = "test"
         cfg.audio_max_length = 16000  # the test preset's audio context
-    tokenizer = get_tokenizer(getattr(cfg, "download_root", None), cfg.lang)
-    vocab = tokenizer.add_tokens(["<laugh>"])
-
-    # target: audio-only labeling (a Flamingo target still works — encode
-    # runs with video=None, the gated sublayers are skipped without xv,
-    # matching how the draft is queried at serve time)
-    t_name = "test" if smoke else cfg.model_name
-    target_model, t_cfg = build_whisper_flamingo(
-        t_name, vocab_size=vocab, add_gated_x_attn=False,
-        dtype="float32" if smoke else "bfloat16",
-    )
-    b = args.batch_size
-    audio_max = int(cfg.audio_max_length)
-    t_vars = jax.jit(target_model.init)(
-        jax.random.PRNGKey(0),
-        np.zeros((b, t_cfg.n_mels, audio_max // 160), np.float32),
-        np.zeros((b, 4), np.int32),
-    )
-    if args.ckpt_dir:
-        if latest_step(args.ckpt_dir) is None:
-            raise SystemExit(f"no checkpoint under {args.ckpt_dir!r}")
-        tx_probe, _ = select_optimizer(t_vars["params"], cfg, 1)
-        t_state = TrainState.create(
-            t_vars["params"], tx_probe, batch_stats=t_vars.get("batch_stats")
-        )
-        t_state = restore_checkpoint(args.ckpt_dir, t_state)
-        t_vars = {"params": t_state.params}
-        if t_state.batch_stats is not None:
-            t_vars["batch_stats"] = t_state.batch_stats
-    elif not smoke:
+    if not smoke and not args.ckpt_dir:
         raise SystemExit("--ckpt_dir required (or --smoke): distilling from "
                          "random target weights produces a useless draft")
+    tokenizer = get_tokenizer(getattr(cfg, "download_root", None), cfg.lang)
+
+    # target: built + restored EXACTLY as trained (same shared builder the
+    # serving CLIs use — a Flamingo/AV checkpoint restores into a matching
+    # template); labeling then runs encode with video=None, so the gated
+    # sublayers are skipped, matching how the draft is queried at serve
+    # time (audio-only)
+    b = args.batch_size
+    audio_max = int(cfg.audio_max_length)
+    target_model, t_cfg, t_vars, _ = build_target_model(
+        cfg, tokenizer, b, smoke, args.ckpt_dir
+    )
+    vocab = t_cfg.n_vocab
 
     d_name = "test" if smoke else args.draft_model
     draft_model, d_cfg = build_whisper_flamingo(
@@ -118,23 +101,35 @@ def main(argv: Optional[List[str]] = None) -> dict:
     prompt = np.tile(
         np.asarray(tokenizer.sot_sequence(cfg.lang), np.int32)[None], (b, 1)
     )
-    label_fn = make_label_fn(
+    # ---- label pass: ONE greedy decode per corpus clip, tokens cached
+    # on the host (the expensive target decode loop never runs again; the
+    # train step recomputes the target distribution in a single forward)
+    label_fn = make_greedy_label_fn(
         target_model, t_vars, args.max_new_tokens, tokenizer.eot
     )
+    n = len(clips)
+    labels = np.zeros((n, prompt.shape[1] + args.max_new_tokens), np.int32)
+    for start in range(0, n, b):
+        idx = np.arange(start, start + b) % n  # wrap the tail batch
+        labels[idx] = np.asarray(label_fn(clips[idx], prompt))
+    print(f"labeled {n} clips", flush=True)
+
     tx = optax.adamw(args.lr, weight_decay=0.01)
     state = TrainState.create(
         d_vars["params"], tx, batch_stats=d_vars.get("batch_stats")
     )
-    step_fn = make_distill_step(draft_model, tx, hard_weight=args.hard_weight)
+    step_fn = make_online_distill_step(
+        target_model, t_vars, draft_model, tx,
+        prompt_len=prompt.shape[1], eot_id=tokenizer.eot,
+        hard_weight=args.hard_weight,
+    )
 
     rng = np.random.default_rng(0)
     history = []
     metrics = {}
     for step in range(args.steps):
-        idx = rng.integers(0, len(clips), size=b)
-        audio = clips[idx]
-        tokens, t_logprob, valid = label_fn(audio, prompt)
-        state, metrics = step_fn(state, audio, tokens, t_logprob, valid)
+        idx = rng.integers(0, n, size=b)
+        state, metrics = step_fn(state, clips[idx], labels[idx])
         if step % max(args.log_every, 1) == 0 or step == args.steps - 1:
             m = {k: float(v) for k, v in metrics.items()}
             history.append({"step": step, **m})

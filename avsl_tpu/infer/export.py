@@ -87,6 +87,7 @@ def load_exported(path: str) -> Tuple[Any, Dict[str, Any]]:
     where ``call(audio, video, prompt)`` replays the program (via
     ``jax.jit`` of ``Exported.call``) on any platform the artifact was
     lowered for."""
+    import jax
     from jax import export as jexport
 
     with open(path, "rb") as f:
@@ -95,4 +96,7 @@ def load_exported(path: str) -> Tuple[Any, Dict[str, Any]]:
     if os.path.exists(path + ".json"):
         with open(path + ".json") as f:
             manifest = json.load(f)
-    return exported.call, manifest
+    # jit the call: eager Exported.call re-stages the (potentially
+    # multi-hundred-MB) program on every invocation; under jit the replay
+    # is a cached compiled dispatch
+    return jax.jit(exported.call), manifest

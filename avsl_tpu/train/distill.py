@@ -71,16 +71,60 @@ def make_label_fn(
         )
         t_logprob = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
-        # position j predicts tokens[:, j+1]; train on generated positions
-        # (j >= P-1) up to & including the one predicting the first EOT
-        pred = tokens[:, 1:]  # [B, P-1+N]
-        is_eot = (pred == eot_id).astype(jnp.int32)
-        eot_before = jnp.cumsum(is_eot, axis=1) - is_eot
-        pos = jnp.arange(pred.shape[1])[None, :]
-        valid = (pos >= p - 1) & (eot_before == 0)
-        return tokens, t_logprob, valid
+        return tokens, t_logprob, valid_positions(tokens, p, eot_id)
 
     return label_fn
+
+
+def make_greedy_label_fn(
+    target_model, target_variables, max_new_tokens: int, eot_id: int
+) -> Callable:
+    """Token-only labeling: ``(audio, prompt) -> tokens [B, P+N]`` — the
+    expensive part of :func:`make_label_fn` (the N-step greedy decode)
+    without the teacher-forced log-prob pass. Labels are deterministic
+    per clip, so the CLI runs this ONCE per corpus clip and caches the
+    tokens; the online distill step recomputes the target distribution
+    in a single forward per step instead."""
+    from avsl_tpu.decode import greedy_decode
+    from avsl_tpu.kernels import log_mel_spectrogram
+
+    cfg = target_model.cfg
+
+    @jax.jit
+    def label_fn(audio, prompt):
+        mel = log_mel_spectrogram(audio, n_mels=cfg.n_mels)
+        feats, _ = target_model.apply(
+            target_variables, mel, None, method=target_model.encode
+        )
+        cache = target_model.apply(
+            target_variables, feats, None,
+            prompt.shape[1] + max_new_tokens + 2,
+            method=target_model.init_decode_cache,
+        )
+
+        def step(tok, c):
+            return target_model.apply(
+                target_variables, tok, None, None, c,
+                method=target_model.decode,
+            )
+
+        gen = greedy_decode(step, cache, prompt, max_new_tokens, eot_id)
+        return jnp.concatenate([prompt, gen], axis=1)
+
+    return label_fn
+
+
+def valid_positions(
+    tokens: jnp.ndarray, prompt_len: int, eot_id: int
+) -> jnp.ndarray:
+    """Training-position mask for a labeled sequence [B, P+N]: generated
+    positions (>= P-1) up to & including the one predicting the first
+    EOT. Returns [B, P+N-1] bool."""
+    pred = tokens[:, 1:]
+    is_eot = (pred == eot_id).astype(jnp.int32)
+    eot_before = jnp.cumsum(is_eot, axis=1) - is_eot
+    pos = jnp.arange(pred.shape[1])[None, :]
+    return (pos >= prompt_len - 1) & (eot_before == 0)
 
 
 def distill_loss_fn(
@@ -124,6 +168,63 @@ def distill_loss_fn(
 
     loss = kl + hard_weight * ce
     return loss, {"loss": loss, "kl": kl, "ce": ce, "agree": agree}
+
+
+def make_online_distill_step(
+    target_model,
+    target_variables,
+    draft_model,
+    tx: optax.GradientTransformation,
+    prompt_len: int,
+    eot_id: int,
+    hard_weight: float = 0.5,
+) -> Callable:
+    """Jitted ``step(state, audio, tokens) -> (state, metrics)`` that
+    recomputes the target's teacher-forced log-probs INSIDE the step (one
+    target forward, no grads through it) from cached greedy-label tokens
+    (:func:`make_greedy_label_fn`). Compared to caching full [B, T, V]
+    log-prob tensors per clip this trades a forward per step for O(GB)
+    of host memory at real vocab sizes."""
+    from avsl_tpu.kernels import log_mel_spectrogram
+
+    t_cfg = target_model.cfg
+
+    @jax.jit
+    def step_fn(state: TrainState, audio, tokens):
+        mel = log_mel_spectrogram(audio, n_mels=t_cfg.n_mels)
+        feats, _ = target_model.apply(
+            target_variables, mel, None, method=target_model.encode
+        )
+        logits, _ = target_model.apply(
+            target_variables, tokens[:, :-1], feats, None,
+            method=target_model.decode,
+        )
+        t_logprob = jax.lax.stop_gradient(
+            jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        )
+        valid = valid_positions(tokens, prompt_len, eot_id)
+        extra = (
+            {"batch_stats": state.batch_stats}
+            if state.batch_stats is not None
+            else {}
+        )
+
+        def loss_fn(params):
+            return distill_loss_fn(
+                draft_model, params, extra, audio, tokens, t_logprob, valid,
+                hard_weight=hard_weight,
+            )
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(
+            params=params, opt_state=opt_state, step=state.step + 1
+        ), metrics
+
+    return step_fn
 
 
 def make_distill_step(

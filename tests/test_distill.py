@@ -171,3 +171,12 @@ def test_cli_distill_to_transcribe_roundtrip(tmp_path, monkeypatch):
          "--output", str(tmp_path / "spec.json")]
     )
     assert [r["text"] for r in spec] == [r["text"] for r in base]
+
+    # a draft checkpoint served under the WRONG --draft_model is rejected
+    # upfront (tree/shape check), not minutes later inside the compile
+    with pytest.raises(SystemExit, match="does not match"):
+        transcribe.main(
+            ["--input", str(seg_dir), "--smoke", "--batch_size", "2",
+             "--max_new_tokens", "4", "--draft_model", "tiny",
+             "--draft_ckpt", out_dir]
+        )
