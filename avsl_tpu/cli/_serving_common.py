@@ -107,13 +107,6 @@ def build_transcriber(args, cfg):
     if draft_name:
         if args.beam > 1:
             raise SystemExit("--draft_model composes with greedy only (--beam 1)")
-        if mesh is not None:
-            # fail before the expensive draft build/restore (the same check
-            # deep in StreamingTranscriber would fire minutes later on a
-            # rate-limited link)
-            raise SystemExit(
-                "--draft_model + --model_parallel/--data_parallel unsupported"
-            )
         spec_k = int(getattr(args, "spec_k", 4))
         if spec_k < 1:
             raise SystemExit(f"--spec_k must be >= 1, got {spec_k}")

@@ -113,11 +113,6 @@ class StreamingTranscriber:
             raise ValueError("draft_model and draft_variables go together")
         if draft_model is not None and beam_size > 1:
             raise ValueError("speculative decoding composes with greedy only")
-        if draft_model is not None and mesh is not None:
-            raise ValueError(
-                "draft + mesh unsupported: the spec loop's per-sequence "
-                "scatter writes are untested under SPMD sharding"
-            )
         self.draft_model = draft_model
         self.spec_k = int(spec_k)
         if draft_variables is not None:
@@ -155,6 +150,16 @@ class StreamingTranscriber:
 
             self._batch_sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
             self._repl_sharding = NamedSharding(mesh, PartitionSpec())
+            if draft_variables is not None:
+                # the draft is small by design: replicate it (its decode
+                # is already cheap; splitting it tp-ways would add
+                # collectives for no HBM relief). The spec loop's
+                # per-sequence scatter writes and index vectors shard on
+                # the batch axis with the cache; parity with the
+                # single-device program is locked by tests/test_infer.py
+                draft_variables = jax.device_put(
+                    draft_variables, self._repl_sharding
+                )
 
         # weight-only int8: the resident/uploaded weight form is int8 +
         # per-channel scales; dequantization happens INSIDE the jitted

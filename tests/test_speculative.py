@@ -307,3 +307,111 @@ def test_spec_exact_on_avhubert_seq2seq():
     )
     np.testing.assert_array_equal(np.asarray(res2.tokens), np.asarray(ref))
     assert float(res2.accept_rate) > 0.8
+
+
+def test_transcriber_draft_under_tp_mesh_matches_single_device():
+    """Speculative decoding composes with multi-chip serving: the spec
+    loop's per-sequence scatter writes and index vectors shard on the
+    batch axis under the dp=2 x tp=4 SPMD program (draft replicated),
+    token-exact vs the single-device speculative run AND vs plain
+    greedy."""
+    from avsl_tpu.core.mesh import make_mesh
+    from avsl_tpu.data.tokenizer import get_tokenizer
+    from avsl_tpu.infer import StreamingTranscriber
+    from avsl_tpu.models.factory import build_whisper_flamingo
+
+    tokenizer = get_tokenizer(None, "en")
+    model, cfg = build_whisper_flamingo(
+        "test", vocab_size=tokenizer.vocab_size, dtype="float32"
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.n_mels, 100), jnp.float32),
+        jnp.asarray([[1]], jnp.int32),
+        video=jnp.zeros((1, 8, 88, 88, 1), jnp.float32),
+    )
+    dmodel, dcfg = build_whisper_flamingo(
+        "test", vocab_size=tokenizer.vocab_size, dtype="float32",
+        add_gated_x_attn=False,
+    )
+    dvars = dmodel.init(
+        jax.random.PRNGKey(1),
+        jnp.zeros((1, dcfg.n_mels, 100), jnp.float32),
+        jnp.asarray([[1]], jnp.int32),
+    )
+    rng = np.random.default_rng(0)
+    items = [
+        {"id": "a", "audio": (0.1 * rng.standard_normal(16000)).astype(np.float32)},
+        {"id": "b", "audio": (0.1 * rng.standard_normal(16000)).astype(np.float32)},
+    ]
+    kw = dict(audio_max_length=16000, video_frames=8, batch_size=2,
+              max_new_tokens=6)
+    spec = dict(draft_model=dmodel, draft_variables=dvars, spec_k=3)
+
+    ref = StreamingTranscriber(
+        model, variables, tokenizer, **kw
+    ).transcribe_batch(items)
+    single = StreamingTranscriber(
+        model, variables, tokenizer, **kw, **spec
+    ).transcribe_batch(items)
+    mesh = make_mesh(8, model_parallel=4)
+    meshed = StreamingTranscriber(
+        model, variables, tokenizer, mesh=mesh, **kw, **spec
+    ).transcribe_batch(items)
+    assert [r.tokens for r in single] == [r.tokens for r in ref]
+    assert [r.tokens for r in meshed] == [r.tokens for r in ref]
+    assert [r.text for r in meshed] == [r.text for r in ref]
+
+
+def test_spec_property_fuzz_vs_greedy():
+    """Property sweep over the algorithm's edge dimensions — prompt
+    length (draft-warmup branch), k=1 (no draft scan), max_new < k,
+    max_new = 1 — every combination must be token- and score-exact vs
+    greedy_decode_scored."""
+    model_t, cfg, vars_t, mel = _model(0)
+    model_d, _, vars_d, _ = _model(13, n_layer=1, n_state=32)
+    feats_t, _ = model_t.apply(vars_t, mel, None, method=model_t.encode)
+    feats_d, _ = model_d.apply(vars_d, mel, None, method=model_d.encode)
+    eot = cfg.n_vocab - 1
+
+    def step_t(tok, c):
+        return model_t.apply(vars_t, tok, None, None, c, method=model_t.decode)
+
+    def step_d(tok, c):
+        return model_d.apply(vars_d, tok, None, None, c, method=model_d.decode)
+
+    cases = [
+        (2, 1, 1),   # minimal everything
+        (2, 5, 2),   # k > max_new... no: (p, max_new, k)
+        (3, 2, 4),   # max_new < k
+        (4, 6, 1),   # k=1: no draft scan
+        (5, 7, 3),   # long prompt warmup (p-2 = 3 tokens)
+    ]
+    for p, max_new, k in cases:
+        prompt = jnp.tile(
+            jnp.arange(1, p + 1, dtype=jnp.int32)[None], (3, 1)
+        )
+        need = p + max_new + k
+
+        def ct():
+            return model_t.apply(
+                vars_t, feats_t, None, need, method=model_t.init_decode_cache
+            )
+
+        def cd():
+            return model_d.apply(
+                vars_d, feats_d, None, need, method=model_d.init_decode_cache
+            )
+
+        ref_t, ref_s = greedy_decode_scored(step_t, ct(), prompt, max_new, eot)
+        res = speculative_greedy_decode(
+            step_t, step_d, ct(), cd(), prompt, max_new, eot, k=k
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res.tokens), np.asarray(ref_t),
+            err_msg=f"tokens diverged at p={p} max_new={max_new} k={k}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.avg_logprob), np.asarray(ref_s), atol=1e-4,
+            err_msg=f"scores diverged at p={p} max_new={max_new} k={k}",
+        )
