@@ -82,6 +82,8 @@ def main(argv: Optional[List[str]] = None) -> List[Dict[str, Any]]:
                    help="comma list, e.g. 0.2,0.4")
     p.add_argument("--logprob_threshold", type=float, default=-1.0)
     p.add_argument("--word_timestamps", action="store_true")
+    p.add_argument("--detect_language", action="store_true",
+                   help="attach a per-item spoken-language posterior (decode/language.py); needs float weights (no --quantize)")
     p.add_argument("--draft_model", default=None,
                    help="draft Whisper for speculative decoding, e.g. tiny")
     p.add_argument("--draft_ckpt", default=None)
@@ -103,6 +105,8 @@ def main(argv: Optional[List[str]] = None) -> List[Dict[str, Any]]:
     if not items:
         print("no items found")
         return []
+    if args.detect_language and args.quantize:
+        raise SystemExit("--detect_language needs float weights (no --quantize)")
     transcriber = build_transcriber(args, cfg)
     results = transcriber.transcribe(items)
     out = [
@@ -111,6 +115,35 @@ def main(argv: Optional[List[str]] = None) -> List[Dict[str, Any]]:
          **({"words": r.words} if r.words is not None else {})}
         for r in results
     ]
+    if args.detect_language:
+        import numpy as np
+
+        from avsl_tpu.data.audio_segments import load_wav
+        from avsl_tpu.decode import detect_language
+        from avsl_tpu.kernels.logmel import pad_or_trim
+
+        b = args.batch_size
+        clips = np.stack([
+            np.asarray(pad_or_trim(
+                np.asarray(
+                    load_wav(it["audio"]) if isinstance(it["audio"], str)
+                    else it["audio"], np.float32,
+                ),
+                int(cfg.audio_max_length),
+            ))
+            for it in items
+        ])
+        for start in range(0, len(items), b):
+            idx = np.arange(start, min(start + b, len(items)))
+            pad = np.concatenate([idx, np.zeros(b - len(idx), np.int64)])
+            dets = detect_language(
+                transcriber.model, transcriber.variables,
+                transcriber.tokenizer, clips[pad],
+            )
+            for j, i in enumerate(idx):
+                best, table = dets[j]
+                out[i]["language"] = best
+                out[i]["language_prob"] = round(table[best], 4)
     if args.output:
         with open(args.output, "w") as f:
             json.dump(out, f, indent=2)

@@ -31,3 +31,7 @@ from avsl_tpu.decode.word_timestamps import (  # noqa: F401
     dtw_path,
     whisper_word_timestamps,
 )
+from avsl_tpu.decode.language import (  # noqa: F401
+    detect_language,
+    detect_language_logits,
+)
