@@ -41,6 +41,12 @@ def export_serving_program(
     import numpy as np
     from jax import export as jexport
 
+    if transcriber.mesh is not None:
+        raise ValueError(
+            "cannot export a mesh-sharded transcriber: the artifact would "
+            "embed a fixed device assignment, contradicting self-contained "
+            "replay — export the single-device program and shard at load"
+        )
     b = transcriber.batch_size
     audio = jax.ShapeDtypeStruct((b, transcriber.audio_max_length), np.float32)
     video = jax.ShapeDtypeStruct(
@@ -75,6 +81,16 @@ def export_serving_program(
         "lang": transcriber.lang,
         "beam_size": transcriber.beam_size,
         "max_new_tokens": transcriber.max_new_tokens,
+        # decode-variant record: what the program embeds (quantization,
+        # draft speculation) and what it CANNOT carry (the host-side
+        # temperature-fallback retry loop runs outside the program)
+        "quantize": transcriber.quantize,
+        "kv_int8": transcriber.kv_int8,
+        "speculative": transcriber.draft_model is not None,
+        "spec_k": transcriber.spec_k if transcriber.draft_model is not None else None,
+        "host_side_not_exported": (
+            ["temperature_fallback"] if transcriber.temperature_fallback else []
+        ),
         "bytes": len(blob),
     }
     with open(path + ".json", "w") as f:

@@ -113,8 +113,12 @@ class StreamingTranscriber:
             raise ValueError("draft_model and draft_variables go together")
         if draft_model is not None and beam_size > 1:
             raise ValueError("speculative decoding composes with greedy only")
-        self.draft_model = draft_model
         self.spec_k = int(spec_k)
+        if draft_model is not None and self.spec_k < 1:
+            # fail at construction like the adjacent pairing checks, not
+            # minutes later at first-transcribe trace time
+            raise ValueError(f"spec_k must be >= 1, got {spec_k}")
+        self.draft_model = draft_model
         if draft_variables is not None:
             draft_variables = {
                 k: v for k, v in draft_variables.items()
@@ -156,7 +160,8 @@ class StreamingTranscriber:
                 # collectives for no HBM relief). The spec loop's
                 # per-sequence scatter writes and index vectors shard on
                 # the batch axis with the cache; parity with the
-                # single-device program is locked by tests/test_infer.py
+                # single-device program is locked by tests/test_speculative.py
+                # (test_transcriber_draft_under_tp_mesh_matches_single_device)
                 draft_variables = jax.device_put(
                     draft_variables, self._repl_sharding
                 )

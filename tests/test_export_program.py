@@ -88,3 +88,31 @@ def test_export_cli_smoke(tmp_path):
     assert os.path.exists(out)
     with open(out + ".json") as f:
         assert json.load(f)["max_new_tokens"] == 4
+
+
+def test_export_rejects_mesh_transcriber():
+    import jax
+    import jax.numpy as jnp
+
+    from avsl_tpu.core.mesh import make_mesh
+    from avsl_tpu.data.tokenizer import get_tokenizer
+    from avsl_tpu.infer import StreamingTranscriber, export_serving_program
+    from avsl_tpu.models.factory import build_whisper_flamingo
+
+    tokenizer = get_tokenizer(None, "en")
+    model, cfg = build_whisper_flamingo(
+        "test", vocab_size=tokenizer.vocab_size, dtype="float32"
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.n_mels, 100), jnp.float32),
+        jnp.asarray([[1]], jnp.int32),
+        video=jnp.zeros((1, 8, 88, 88, 1), jnp.float32),
+    )
+    tr = StreamingTranscriber(
+        model, variables, tokenizer, audio_max_length=16000,
+        video_frames=8, batch_size=2, max_new_tokens=4,
+        mesh=make_mesh(8, model_parallel=4),
+    )
+    with pytest.raises(ValueError, match="mesh-sharded"):
+        export_serving_program(tr, "/tmp/never_written.stablehlo")

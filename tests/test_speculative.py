@@ -415,3 +415,19 @@ def test_spec_property_fuzz_vs_greedy():
             np.asarray(res.avg_logprob), np.asarray(ref_s), atol=1e-4,
             err_msg=f"scores diverged at p={p} max_new={max_new} k={k}",
         )
+
+
+def test_transcriber_rejects_bad_spec_k():
+    from avsl_tpu.data.tokenizer import get_tokenizer
+    from avsl_tpu.infer import StreamingTranscriber
+    from avsl_tpu.models.factory import build_whisper_flamingo
+
+    tokenizer = get_tokenizer(None, "en")
+    model, _ = build_whisper_flamingo(
+        "test", vocab_size=tokenizer.vocab_size, dtype="float32"
+    )
+    with pytest.raises(ValueError, match="spec_k"):
+        StreamingTranscriber(
+            model, {}, tokenizer, draft_model=model, draft_variables={},
+            spec_k=0,
+        )
