@@ -104,6 +104,10 @@ class StreamingTranscriber:
                 "(the beam already explores alternatives)"
             )
         self._fallback_calls = 0
+        # speculative telemetry (filled by _dispatch when a draft runs)
+        self._spec_batches = 0
+        self._spec_accept_sum = 0.0
+        self._spec_rounds_sum = 0
 
         # speculative decoding (decode/speculative.py): an audio-only draft
         # model proposes spec_k tokens per target forward; token-exact vs
@@ -262,7 +266,9 @@ class StreamingTranscriber:
                     step, dstep, cache, dcache, jnp.asarray(prompt),
                     max_new_tokens, tokenizer.eot, k=self.spec_k,
                 )
-                return res.tokens, res.avg_logprob
+                # 4-tuple: acceptance/rounds ride out of the jit so
+                # serving can watch draft quality drift (/stats)
+                return res.tokens, res.avg_logprob, res.accept_rate, res.rounds
             return greedy_decode_scored(
                 step, cache, jnp.asarray(prompt), max_new_tokens, tokenizer.eot
             )
@@ -379,7 +385,14 @@ class StreamingTranscriber:
         passes the gate — or, at the final temperature, when it scores
         better than what we have."""
         placed = self._place(audio, video)
-        seqs, scores = self._run(*placed)
+        out = self._run(*placed)
+        if len(out) == 4:  # speculative program: record draft telemetry
+            seqs, scores, acc, rounds = out
+            self._spec_batches += 1
+            self._spec_accept_sum += float(acc)
+            self._spec_rounds_sum += int(rounds)
+        else:
+            seqs, scores = out
         if not self.temperature_fallback:
             return seqs, scores
         import jax
@@ -402,6 +415,20 @@ class StreamingTranscriber:
             scores = np.where(adopt, sc2, scores)
             need = need & ~(adopt & passes)
         return seqs, scores
+
+    def spec_stats(self) -> Optional[Dict[str, float]]:
+        """Draft-quality telemetry: mean acceptance rate and verify
+        rounds per batch since start. None when no speculative batch has
+        run. A production acceptance rate drifting down means the draft
+        no longer matches the traffic — time to re-distill
+        (cli.distill)."""
+        if not self._spec_batches:
+            return None
+        return {
+            "batches": self._spec_batches,
+            "mean_accept_rate": self._spec_accept_sum / self._spec_batches,
+            "mean_verify_rounds": self._spec_rounds_sum / self._spec_batches,
+        }
 
     # -- host side -----------------------------------------------------
 

@@ -153,7 +153,11 @@ class TranscriptionServer:
                         "quantize": getattr(server.transcriber, "quantize", None),
                     })
                 elif self.path == "/stats":
-                    self._reply(200, server.stats.snapshot())
+                    snap = server.stats.snapshot()
+                    spec = server.transcriber.spec_stats()
+                    if spec is not None:
+                        snap["speculative"] = spec
+                    self._reply(200, snap)
                 else:
                     self._reply(404, {"error": "not found"})
 

@@ -431,3 +431,52 @@ def test_transcriber_rejects_bad_spec_k():
             model, {}, tokenizer, draft_model=model, draft_variables={},
             spec_k=0,
         )
+
+
+def test_spec_stats_telemetry():
+    """spec_stats() reports mean acceptance + verify rounds after
+    speculative batches, and stays None for plain greedy serving."""
+    from avsl_tpu.data.tokenizer import get_tokenizer
+    from avsl_tpu.infer import StreamingTranscriber
+    from avsl_tpu.models.factory import build_whisper_flamingo
+
+    tokenizer = get_tokenizer(None, "en")
+    model, cfg = build_whisper_flamingo(
+        "test", vocab_size=tokenizer.vocab_size, dtype="float32"
+    )
+    rng = np.random.default_rng(0)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.n_mels, 100), jnp.float32),
+        jnp.asarray([[1]], jnp.int32),
+        video=jnp.zeros((1, 8, 88, 88, 1), jnp.float32),
+    )
+    dmodel, dcfg = build_whisper_flamingo(
+        "test", vocab_size=tokenizer.vocab_size, dtype="float32",
+        add_gated_x_attn=False,
+    )
+    dvars = dmodel.init(
+        jax.random.PRNGKey(1),
+        jnp.zeros((1, dcfg.n_mels, 100), jnp.float32),
+        jnp.asarray([[1]], jnp.int32),
+    )
+    items = [
+        {"id": "a", "audio": (0.1 * rng.standard_normal(16000)).astype(np.float32)},
+    ]
+    kw = dict(audio_max_length=16000, video_frames=8, batch_size=1,
+              max_new_tokens=6)
+
+    plain = StreamingTranscriber(model, variables, tokenizer, **kw)
+    plain.transcribe_batch(items)
+    assert plain.spec_stats() is None
+
+    tr = StreamingTranscriber(
+        model, variables, tokenizer, **kw,
+        draft_model=dmodel, draft_variables=dvars, spec_k=2,
+    )
+    tr.transcribe_batch(items)
+    tr.transcribe_batch(items)
+    stats = tr.spec_stats()
+    assert stats["batches"] == 2
+    assert 0.0 <= stats["mean_accept_rate"] <= 1.0
+    assert stats["mean_verify_rounds"] >= 1.0
