@@ -16,6 +16,11 @@ from avsl_tpu.core.mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
 )
+from avsl_tpu.core.partitioning import (  # noqa: F401
+    state_shardings,
+    shard_state,
+    describe_shardings,
+)
 from avsl_tpu.core.pipeline import (  # noqa: F401
     make_pp_mesh,
     pipeline_apply,

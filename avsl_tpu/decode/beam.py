@@ -47,9 +47,15 @@ def beam_search(
     max_new_tokens: int,
     eot_id: int,
     length_penalty: float = 1.0,
+    return_nbest: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run beam search; returns (best sequences [B, max_new_tokens],
     best length-normalized scores [B]).
+
+    ``return_nbest=True`` instead returns ALL K hypotheses per item,
+    sorted best-first: ([B, K, max_new_tokens], [B, K] normalized
+    scores) — the ``num_return_sequences`` capability of the reference's
+    HF generate path (whisper_ft.py:119-121), for downstream rescoring.
 
     ``cache`` must have batch dim B (it is tiled to B*K internally);
     ``init_tokens`` [B, L0] is the prompt fed once to warm the cache.
@@ -121,6 +127,10 @@ def beam_search(
         max_new_tokens,
     )
     norm = scores / jnp.power(lengths.astype(jnp.float32), length_penalty)
+    if return_nbest:
+        order = jnp.argsort(-norm, axis=1)  # best-first
+        nbest = jnp.take_along_axis(seqs, order[:, :, None], axis=1)
+        return nbest, jnp.take_along_axis(norm, order, axis=1)
     best = jnp.argmax(norm, axis=1)
     best_seqs = jnp.take_along_axis(seqs, best[:, None, None], axis=1)[:, 0]
     best_scores = jnp.take_along_axis(norm, best[:, None], axis=1)[:, 0]

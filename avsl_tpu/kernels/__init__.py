@@ -16,6 +16,7 @@ from avsl_tpu.kernels.fbank import (  # noqa: F401
     stack_frames,
     frame_normalize,
     avhubert_audio_features,
+    mfcc,
 )
 from avsl_tpu.kernels.resample import resample_poly  # noqa: F401
 from avsl_tpu.kernels.specaugment import spec_augment  # noqa: F401

@@ -18,6 +18,7 @@ from avsl_tpu.train.checkpoints import (  # noqa: F401
     restore_checkpoint,
     restore_sharded,
     latest_step,
+    all_steps,
     partial_load,
 )
 from avsl_tpu.train.ema import ema_update, tree_average, average_checkpoint_steps  # noqa: F401

@@ -611,3 +611,29 @@ def test_ctc_forced_align_repeat_feasibility():
     lp3 = np.log(np.full((3, 4), 0.25))
     spans, _ = ctc_forced_align(lp3, [1, 1], blank_id=0)
     assert spans == [(0, 1), (2, 3)]
+
+
+def test_beam_nbest_sorted_and_consistent(tiny_whisper):
+    """return_nbest=True yields all K hypotheses best-first; row 0 is
+    exactly what the default best-only return gives."""
+    import numpy as np
+
+    from avsl_tpu.decode import beam_search
+
+    cfg, model, variables, feats = tiny_whisper
+    cache = model.apply(variables, feats, None, 16, method=model.init_decode_cache)
+    cache_n = model.apply(variables, feats, None, 16, method=model.init_decode_cache)
+    prompt = jnp.asarray([[1, 2]] * feats.shape[0], jnp.int32)
+    step = _make_step(model, variables)
+
+    best, best_s = beam_search(step, cache, prompt, 3, 8, eot_id=3)
+    nbest, nbest_s = beam_search(
+        step, cache_n, prompt, 3, 8, eot_id=3, return_nbest=True
+    )
+    assert nbest.shape == (feats.shape[0], 3, 8)
+    np.testing.assert_array_equal(np.asarray(nbest[:, 0]), np.asarray(best))
+    np.testing.assert_allclose(
+        np.asarray(nbest_s[:, 0]), np.asarray(best_s), atol=1e-6
+    )
+    s = np.asarray(nbest_s)
+    assert (s[:, :-1] >= s[:, 1:] - 1e-6).all(), "scores not sorted"
