@@ -290,6 +290,8 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         # axis (ZeRO stage 1, core/partitioning.state_shardings)
         partitioned_state=model_parallel > 1,
         zero1=bool(getattr(cfg, "zero1", False)),
+        # fsdp shards params AND mirrors over data (ZeRO-3); subsumes zero1
+        fsdp=bool(getattr(cfg, "fsdp", False)),
     )
     train_bs = int(cfg.batch_size) * (runner_accum if runner_accum > 1 else 1)
     # prefetch_batches > 0 uploads the next batch while the step runs

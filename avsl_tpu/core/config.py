@@ -656,6 +656,10 @@ class FlamingoTrainConfig:
     # ZeRO stage 1 (core/partitioning.py): shard the fp32 Adam mirrors
     # over the data axis; params stay replicated.
     zero1: bool = False
+    # ZeRO stage 3 / FSDP (core/partitioning.py): shard params AND Adam
+    # mirrors over the data axis; XLA all-gathers weights at their use
+    # sites and reduce-scatters grads. Subsumes zero1.
+    fsdp: bool = False
     # double-buffered host->device batch upload (data/prefetch.py); 0 off
     prefetch_batches: int = 0
 

@@ -89,8 +89,8 @@ def spec_for(path: str, shape: Tuple[int, ...], mesh: Mesh,
     return P()
 
 
-# leaves smaller than this stay replicated under zero1 — sharding a tiny
-# bias trades nothing in memory for collective latency
+# leaves smaller than this stay replicated under zero1/fsdp — sharding a
+# tiny bias trades nothing in memory for collective latency
 ZERO1_MIN_ELEMS = 65536
 
 
@@ -110,7 +110,7 @@ def _add_data_axis(spec: P, shape: Tuple[int, ...], mesh: Mesh) -> P:
 
 def state_shardings(state: Any, mesh: Mesh,
                     rules: Sequence[Tuple[str, P]] = DEFAULT_RULES,
-                    zero1: bool = False) -> Any:
+                    zero1: bool = False, fsdp: bool = False) -> Any:
     """Sharding pytree for a TrainState (params + optimizer mirrors).
 
     Optimizer-state leaves (adam mu/nu) carry the same trailing param path,
@@ -125,14 +125,28 @@ def state_shardings(state: Any, mesh: Mesh,
     communication ZeRO-1 pays — while each chip stores only 1/dp of the
     fp32 mu/nu (8 bytes/param at the reference's large envelope). The
     reference has no optimizer sharding of any kind (Lightning DDP
-    replicates Adam state per GPU)."""
+    replicates Adam state per GPU).
+
+    ``fsdp=True`` shards EVERY large leaf — params, Adam mirrors, EMA —
+    across the ``data`` axis the same way: the ZeRO stage-3 / fully-
+    sharded-data-parallel memory split, TPU-style. No hand-written
+    gather/scatter: parameters are *stored* data-sharded, XLA's SPMD
+    partitioner all-gathers each weight at its use site in the forward
+    and backward (re-gathering under remat) and, because the output
+    state is constrained back to this layout, reduce-scatters the
+    gradients instead of all-reducing them — exactly FSDP's collective
+    schedule, derived entirely from sharding annotations. Per-chip
+    memory is ~(params + grads + opt)/dp; composes with TP (the data
+    axis lands on a free dim of TP-sharded leaves). Subsumes zero1."""
 
     def leaf(path, x):
         if not hasattr(x, "shape") or x.ndim == 0:
             return NamedSharding(mesh, P())
         p = _path_str(path)
         spec = spec_for(p, x.shape, mesh, rules)
-        if zero1 and p.startswith("opt_state") and x.size >= ZERO1_MIN_ELEMS:
+        if x.size >= ZERO1_MIN_ELEMS and (
+            fsdp or (zero1 and p.startswith("opt_state"))
+        ):
             spec = _add_data_axis(spec, x.shape, mesh)
         return NamedSharding(mesh, spec)
 
@@ -141,9 +155,9 @@ def state_shardings(state: Any, mesh: Mesh,
 
 def shard_state(state: Any, mesh: Mesh,
                 rules: Sequence[Tuple[str, P]] = DEFAULT_RULES,
-                zero1: bool = False) -> Any:
+                zero1: bool = False, fsdp: bool = False) -> Any:
     """device_put the whole train state onto the mesh per the rules."""
-    shardings = state_shardings(state, mesh, rules, zero1=zero1)
+    shardings = state_shardings(state, mesh, rules, zero1=zero1, fsdp=fsdp)
     # one batched transfer: device_put accepts (pytree, sharding pytree)
     # natively and coalesces the host->device traffic — per-leaf puts
     # serialize hundreds of transfers through the rate-limited link

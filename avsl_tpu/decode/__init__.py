@@ -12,6 +12,13 @@ from avsl_tpu.decode.greedy import (  # noqa: F401
     sampled_decode_scored,
 )
 from avsl_tpu.decode.beam import beam_search  # noqa: F401
+from avsl_tpu.decode.biasing import (  # noqa: F401
+    BiasingTrie,
+    bias_adjust,
+    bias_advance,
+    build_biasing_trie,
+    encode_phrases,
+)
 from avsl_tpu.decode.speculative import (  # noqa: F401
     SpecDecodeResult,
     broadcast_cache_index,

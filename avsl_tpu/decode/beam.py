@@ -48,9 +48,16 @@ def beam_search(
     eot_id: int,
     length_penalty: float = 1.0,
     return_nbest: bool = False,
+    biasing=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run beam search; returns (best sequences [B, max_new_tokens],
     best length-normalized scores [B]).
+
+    ``biasing``: optional :class:`~avsl_tpu.decode.biasing.BiasingTrie` —
+    contextual phrase boosting folded into the scores before every top-k
+    (one automaton state per beam, reordered with the beams). Abandoned
+    partial matches refund their bonus, so only completed phrases keep
+    score; EOT refunds automatically (decode/biasing.py).
 
     ``return_nbest=True`` instead returns ALL K hypotheses per item,
     sorted best-first: ([B, K, max_new_tokens], [B, K] normalized
@@ -67,12 +74,24 @@ def beam_search(
     log_probs = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
     vocab = log_probs.shape[-1]
 
+    if biasing is not None:
+        from avsl_tpu.decode.biasing import bias_adjust, bias_advance
+
+        log_probs = log_probs + bias_adjust(
+            biasing, jnp.zeros((b,), jnp.int32)
+        )
+
     scores, first_tokens = jax.lax.top_k(log_probs, k)  # [B, K]
     cache = _tile_beams(cache, k)
 
     seqs = jnp.full((b, k, max_new_tokens), eot_id, jnp.int32)
     seqs = seqs.at[:, :, 0].set(first_tokens)
     finished = first_tokens == eot_id
+    nodes = (
+        bias_advance(biasing, jnp.zeros((b, k), jnp.int32), first_tokens)
+        if biasing is not None
+        else jnp.zeros((b, k), jnp.int32)
+    )
 
     def cond(carry):
         i = carry[0]
@@ -80,7 +99,7 @@ def beam_search(
         return (i < max_new_tokens) & ~jnp.all(finished)
 
     def body(carry):
-        i, seqs, scores, finished, cache, last = carry
+        i, seqs, scores, finished, cache, last, nodes = carry
         logits, cache = step_fn(last.reshape(b * k, 1), cache)
         lp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
         lp = lp.reshape(b, k, vocab)
@@ -88,6 +107,12 @@ def beam_search(
         # finished beams may only extend with EOT at zero added score
         eot_only = jnp.full((vocab,), NEG_INF).at[eot_id].set(0.0)
         lp = jnp.where(finished[:, :, None], eot_only[None, None, :], lp)
+        if biasing is not None:
+            from avsl_tpu.decode.biasing import bias_adjust
+
+            # finished beams sit at the root (EOT advanced them there),
+            # where adj[eot] == 0 — their scores stay frozen
+            lp = lp + bias_adjust(biasing, nodes)
 
         total = scores[:, :, None] + lp  # [B, K, V]
         flat = total.reshape(b, k * vocab)
@@ -105,13 +130,18 @@ def beam_search(
         finished = jnp.take_along_axis(finished, beam_src, axis=1) | (
             new_tok == eot_id
         )
-        return (i + 1, seqs, new_scores, finished, cache, new_tok)
+        nodes = jnp.take_along_axis(nodes, beam_src, axis=1)
+        if biasing is not None:
+            from avsl_tpu.decode.biasing import bias_advance
 
-    _, seqs, scores, finished, cache, _ = jax.lax.while_loop(
+            nodes = bias_advance(biasing, nodes, new_tok)
+        return (i + 1, seqs, new_scores, finished, cache, new_tok, nodes)
+
+    _, seqs, scores, finished, cache, _, _ = jax.lax.while_loop(
         cond,
         body,
         (jnp.asarray(1, jnp.int32), seqs, scores, finished, cache,
-         first_tokens),
+         first_tokens, nodes),
     )
 
     # length-normalized final selection (count tokens up to and incl.

@@ -42,6 +42,7 @@ def greedy_decode(
     init_tokens: jnp.ndarray,
     max_new_tokens: int,
     eot_id: int,
+    biasing=None,
 ) -> jnp.ndarray:
     """Autoregressive greedy decode via one `lax.while_loop` over the KV
     cache, exiting as soon as EVERY sequence has emitted EOT — utterances
@@ -52,29 +53,49 @@ def greedy_decode(
     fed through ``step_fn`` once to warm the cache, then up to
     ``max_new_tokens`` steps run greedily. Once a sequence emits EOT every
     later token is EOT. Returns generated tokens [B, max_new_tokens].
+
+    ``biasing``: optional BiasingTrie (decode/biasing.py) — contextual
+    phrase boosting added to the scores before each argmax.
     """
+    if biasing is not None:
+        from avsl_tpu.decode.biasing import bias_adjust, bias_advance
+
+    def biased(scores, state):
+        return scores + bias_adjust(biasing, state) if biasing is not None else scores
+
+    def step_state(state, tok):
+        return bias_advance(biasing, state, tok) if biasing is not None else state
+
     logits, cache = step_fn(init_tokens, cache)
-    first = jnp.argmax(logits[:, -1], axis=-1)  # [B]
+    b = logits.shape[0]
+    state0 = jnp.zeros((b,), jnp.int32)
+    first = jnp.argmax(
+        biased(logits[:, -1].astype(jnp.float32), state0), axis=-1
+    )  # [B]
+    state0 = step_state(state0, first)
     finished0 = first == eot_id
-    b = first.shape[0]
-    out0 = jnp.full((b, max_new_tokens), eot_id, first.dtype)
-    out0 = jax.lax.dynamic_update_slice(out0, first[:, None], (0, 0))
+    out0 = jnp.full((b, max_new_tokens), eot_id, jnp.int32)
+    out0 = jax.lax.dynamic_update_slice(out0, first[:, None].astype(jnp.int32), (0, 0))
 
     def cond(carry):
-        i, _, finished, _, _ = carry
+        i, _, finished, _, _, _ = carry
         return (i < max_new_tokens) & ~jnp.all(finished)
 
     def body(carry):
-        i, tok, finished, cache, out = carry
+        i, tok, finished, cache, out, state = carry
         logits, cache = step_fn(tok[:, None], cache)
-        nxt = jnp.argmax(logits[:, -1], axis=-1)
+        nxt = jnp.argmax(
+            biased(logits[:, -1].astype(jnp.float32), state), axis=-1
+        )
         nxt = jnp.where(finished, eot_id, nxt)
+        state = step_state(state, nxt)
         finished = finished | (nxt == eot_id)
-        out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, i))
-        return (i + 1, nxt, finished, cache, out)
+        out = jax.lax.dynamic_update_slice(out, nxt[:, None].astype(jnp.int32), (0, i))
+        return (i + 1, nxt, finished, cache, out, state)
 
-    _, _, _, _, out = jax.lax.while_loop(
-        cond, body, (jnp.asarray(1, jnp.int32), first, finished0, cache, out0)
+    _, _, _, _, out, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(1, jnp.int32), first, finished0, cache, out0, state0),
     )
     return out
 
@@ -86,6 +107,7 @@ def greedy_decode_scored(
     init_tokens: jnp.ndarray,
     max_new_tokens: int,
     eot_id: int,
+    biasing=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """:func:`greedy_decode` that also returns per-sequence confidence:
     the mean token log-probability over the generated tokens up to and
@@ -94,13 +116,30 @@ def greedy_decode_scored(
     Serving uses it to flag low-confidence segments (hallucination-prone
     windows score low). Early-exits like :func:`greedy_decode` (skipped
     steps contribute zero score and zero count by construction). Returns
-    (tokens [B, max_new_tokens], avg_logprob [B] float32)."""
+    (tokens [B, max_new_tokens], avg_logprob [B] float32).
+
+    ``biasing``: optional BiasingTrie — the boost steers the argmax, but
+    the reported confidence is the TRUE model log-probability of the
+    chosen tokens (so the serving quality gate still measures what the
+    model believes, not what the boost injected)."""
+    if biasing is not None:
+        from avsl_tpu.decode.biasing import bias_adjust, bias_advance
+
+    def pick(lp, state):
+        adj = bias_adjust(biasing, state) if biasing is not None else 0.0
+        tok = jnp.argmax(lp + adj, axis=-1)
+        return tok, jnp.take_along_axis(lp, tok[:, None], axis=-1)[:, 0]
+
+    def step_state(state, tok):
+        return bias_advance(biasing, state, tok) if biasing is not None else state
+
     logits, cache = step_fn(init_tokens, cache)
     lp0 = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
-    first = jnp.argmax(lp0, axis=-1)  # [B]
-    s0 = jnp.take_along_axis(lp0, first[:, None], axis=-1)[:, 0]
+    b = lp0.shape[0]
+    state0 = jnp.zeros((b,), jnp.int32)
+    first, s0 = pick(lp0, state0)
+    state0 = step_state(state0, first)
     finished0 = first == eot_id
-    b = first.shape[0]
     out0 = jnp.full((b, max_new_tokens), eot_id, first.dtype)
     out0 = jax.lax.dynamic_update_slice(out0, first[:, None], (0, 0))
 
@@ -110,24 +149,24 @@ def greedy_decode_scored(
         return (i < max_new_tokens) & ~jnp.all(finished)
 
     def body(carry):
-        i, tok, finished, cache, out, ssum, cnt = carry
+        i, tok, finished, cache, out, ssum, cnt, state = carry
         logits, cache = step_fn(tok[:, None], cache)
         lp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
-        nxt = jnp.argmax(lp, axis=-1)
-        s = jnp.take_along_axis(lp, nxt[:, None], axis=-1)[:, 0]
+        nxt, s = pick(lp, state)
         nxt = jnp.where(finished, eot_id, nxt)
+        state = step_state(state, nxt)
         ssum = ssum + jnp.where(finished, 0.0, s)
         cnt = cnt + jnp.where(finished, 0.0, 1.0)
         finished = finished | (nxt == eot_id)
         out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, i))
-        return (i + 1, nxt, finished, cache, out, ssum, cnt)
+        return (i + 1, nxt, finished, cache, out, ssum, cnt, state)
 
-    _, _, _, _, out, ssum, cnt = jax.lax.while_loop(
+    _, _, _, _, out, ssum, cnt, _ = jax.lax.while_loop(
         cond,
         body,
         (
             jnp.asarray(1, jnp.int32), first, finished0, cache, out0,
-            s0, jnp.ones((b,), jnp.float32),
+            s0, jnp.ones((b,), jnp.float32), state0,
         ),
     )
     return out, ssum / cnt
@@ -141,25 +180,42 @@ def sampled_decode_scored(
     eot_id: int,
     temperature,
     rng: jax.Array,
+    biasing=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Temperature sampling with the same contract as
     :func:`greedy_decode_scored`. ``temperature`` is a traced scalar —
     ONE compiled program serves every fallback temperature. Confidence
     is scored on the UNtempered distribution (the sampled token's true
     log-probability), matching how the fallback loop compares retries
-    against the greedy pass."""
+    against the greedy pass.
+
+    ``biasing``: optional BiasingTrie — the boost is added to the
+    TEMPERED logits before sampling (standard shallow fusion: the boost
+    magnitude stays fixed while the model distribution flattens), and
+    confidence stays the true model log-probability."""
+    if biasing is not None:
+        from avsl_tpu.decode.biasing import bias_adjust, bias_advance
+
     logits, cache = step_fn(init_tokens, cache)
     t = jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-6)
 
-    def pick(logits_last, key):
+    def pick(logits_last, key, state):
         lp = jax.nn.log_softmax(logits_last.astype(jnp.float32), axis=-1)
-        tok = jax.random.categorical(key, logits_last.astype(jnp.float32) / t)
+        tempered = logits_last.astype(jnp.float32) / t
+        if biasing is not None:
+            tempered = tempered + bias_adjust(biasing, state)
+        tok = jax.random.categorical(key, tempered)
         return tok, jnp.take_along_axis(lp, tok[:, None], axis=-1)[:, 0]
 
+    def step_state(state, tok):
+        return bias_advance(biasing, state, tok) if biasing is not None else state
+
     k0, rng = jax.random.split(rng)
-    first, s0 = pick(logits[:, -1], k0)
+    b = logits.shape[0]
+    state0 = jnp.zeros((b,), jnp.int32)
+    first, s0 = pick(logits[:, -1], k0, state0)
+    state0 = step_state(state0, first)
     finished0 = first == eot_id
-    b = first.shape[0]
     keys = jax.random.split(rng, max(max_new_tokens - 1, 1))
     out0 = jnp.full((b, max_new_tokens), eot_id, first.dtype)
     out0 = jax.lax.dynamic_update_slice(out0, first[:, None], (0, 0))
@@ -170,22 +226,23 @@ def sampled_decode_scored(
         return (i < max_new_tokens) & ~jnp.all(finished)
 
     def body(carry):
-        i, tok, finished, cache, out, ssum, cnt = carry
+        i, tok, finished, cache, out, ssum, cnt, state = carry
         logits, cache = step_fn(tok[:, None], cache)
-        nxt, s = pick(logits[:, -1], keys[i - 1])
+        nxt, s = pick(logits[:, -1], keys[i - 1], state)
         nxt = jnp.where(finished, eot_id, nxt)
+        state = step_state(state, nxt)
         ssum = ssum + jnp.where(finished, 0.0, s)
         cnt = cnt + jnp.where(finished, 0.0, 1.0)
         finished = finished | (nxt == eot_id)
         out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, i))
-        return (i + 1, nxt, finished, cache, out, ssum, cnt)
+        return (i + 1, nxt, finished, cache, out, ssum, cnt, state)
 
-    _, _, _, _, out, ssum, cnt = jax.lax.while_loop(
+    _, _, _, _, out, ssum, cnt, _ = jax.lax.while_loop(
         cond,
         body,
         (
             jnp.asarray(1, jnp.int32), first, finished0, cache, out0,
-            s0, jnp.ones((b,), jnp.float32),
+            s0, jnp.ones((b,), jnp.float32), state0,
         ),
     )
     return out, ssum / cnt

@@ -69,6 +69,8 @@ class StreamingTranscriber:
         draft_model: Optional[Any] = None,
         draft_variables: Optional[Any] = None,
         spec_k: int = 4,
+        boost_phrases: Optional[Sequence[str]] = None,
+        boost_weight: float = 4.0,
     ):
         import jax
         import jax.numpy as jnp
@@ -221,6 +223,31 @@ class StreamingTranscriber:
         sot = np.asarray(tokenizer.sot_sequence(lang), np.int32)
         self._prompt = np.tile(sot[None], (batch_size, 1))
 
+        # contextual biasing (decode/biasing.py): user phrases compile to
+        # a token-trie whose score adjustment folds into every decode
+        # argmax/top-k/sample. Not composed with speculative decoding —
+        # the draft-verify equivalence is vs UNbiased greedy.
+        self.boost_phrases = tuple(boost_phrases or ())
+        biasing = None
+        if self.boost_phrases:
+            if draft_model is not None:
+                raise ValueError(
+                    "boost_phrases does not compose with speculative "
+                    "decoding (the draft-verify loop is token-exact vs "
+                    "unbiased greedy) — drop draft_model or the boost"
+                )
+            from avsl_tpu.decode.biasing import (
+                build_biasing_trie,
+                encode_phrases,
+            )
+
+            biasing = build_biasing_trie(
+                encode_phrases(tokenizer, self.boost_phrases),
+                cfg.n_vocab,
+                weight=float(boost_weight),
+            )
+        self._biasing = biasing
+
         qvariables = self.variables
 
         @jax.jit
@@ -244,7 +271,7 @@ class StreamingTranscriber:
             if beam_size > 1:
                 return beam_search(
                     step, cache, jnp.asarray(prompt), beam_size,
-                    max_new_tokens, tokenizer.eot,
+                    max_new_tokens, tokenizer.eot, biasing=biasing,
                 )
             if draft_model is not None:
                 dmel = log_mel_spectrogram(audio, n_mels=draft_model.cfg.n_mels)
@@ -270,7 +297,8 @@ class StreamingTranscriber:
                 # serving can watch draft quality drift (/stats)
                 return res.tokens, res.avg_logprob, res.accept_rate, res.rounds
             return greedy_decode_scored(
-                step, cache, jnp.asarray(prompt), max_new_tokens, tokenizer.eot
+                step, cache, jnp.asarray(prompt), max_new_tokens,
+                tokenizer.eot, biasing=biasing,
             )
 
         self._run = run
@@ -292,7 +320,7 @@ class StreamingTranscriber:
 
             return sampled_decode_scored(
                 step, cache, jnp.asarray(prompt), max_new_tokens,
-                tokenizer.eot, temperature, rng,
+                tokenizer.eot, temperature, rng, biasing=biasing,
             )
 
         self._run_sampled = run_sampled

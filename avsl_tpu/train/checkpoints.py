@@ -83,6 +83,7 @@ def restore_sharded(
     rules=None,
     step: Optional[int] = None,
     zero1: bool = False,
+    fsdp: bool = False,
 ) -> Any:
     """Restore a TrainState directly INTO the partitioned layout of ``mesh``.
 
@@ -104,7 +105,8 @@ def restore_sharded(
     from avsl_tpu.core.partitioning import DEFAULT_RULES, state_shardings
 
     shardings = state_shardings(
-        target, mesh, DEFAULT_RULES if rules is None else rules, zero1=zero1
+        target, mesh, DEFAULT_RULES if rules is None else rules,
+        zero1=zero1, fsdp=fsdp,
     )
     mgr = _manager(directory)
     if step is None:

@@ -143,6 +143,7 @@ class TrainerRunner:
         predictions_fn=None,
         partitioned_state: bool = False,
         zero1: bool = False,
+        fsdp: bool = False,
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -155,8 +156,13 @@ class TrainerRunner:
         # topology than the one that saved (elastic resume).
         # zero1=True additionally splits the fp32 optimizer mirrors over
         # the data axis (core.partitioning.state_shardings) — ZeRO stage 1.
-        self.zero1 = bool(zero1) and mesh is not None
-        self.partitioned = (bool(partitioned_state) or self.zero1) and mesh is not None
+        # fsdp=True shards params AND mirrors over the data axis — ZeRO
+        # stage 3 / fully-sharded data parallelism (subsumes zero1).
+        self.fsdp = bool(fsdp) and mesh is not None
+        self.zero1 = bool(zero1) and mesh is not None and not self.fsdp
+        self.partitioned = (
+            bool(partitioned_state) or self.zero1 or self.fsdp
+        ) and mesh is not None
         # grad_accum_steps=1 + an optax.MultiSteps-wrapped tx accumulates
         # ACROSS successive batches (required for variable-size bucketed
         # batches); the default reshapes one big batch into micro-batches
@@ -167,11 +173,11 @@ class TrainerRunner:
             else int(getattr(cfg, "gradient_accumulation_steps", 1))
         )
         constraint_fn = None
-        if self.zero1:
+        if self.zero1 or self.fsdp:
             from avsl_tpu.core.partitioning import state_shardings
 
             constraint_fn = lambda st: state_shardings(  # noqa: E731
-                st, mesh, zero1=True
+                st, mesh, zero1=self.zero1, fsdp=self.fsdp
             )
         self.train_step = make_train_step(
             loss_fn, tx, mesh=mesh, grad_accum_steps=self.accum, donate=False,
@@ -181,7 +187,9 @@ class TrainerRunner:
         if self.partitioned:
             from avsl_tpu.core.partitioning import shard_state
 
-            init_state = shard_state(init_state, mesh, zero1=self.zero1)
+            init_state = shard_state(
+                init_state, mesh, zero1=self.zero1, fsdp=self.fsdp
+            )
         # sequence parallelism: every train_step call (in particular the
         # FIRST, tracing one) runs inside the activation-sharding scope —
         # the scope is consulted at trace time and is not part of the jit
@@ -260,7 +268,8 @@ class TrainerRunner:
     def _restore(self, directory: str, step: Optional[int]) -> TrainState:
         if self.partitioned:
             return restore_sharded(
-                directory, self.state, self.mesh, step=step, zero1=self.zero1
+                directory, self.state, self.mesh, step=step,
+                zero1=self.zero1, fsdp=self.fsdp,
             )
         return restore_checkpoint(directory, self.state, step)
 
