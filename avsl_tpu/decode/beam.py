@@ -51,13 +51,18 @@ def beam_search(
     biasing=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run beam search; returns (best sequences [B, max_new_tokens],
-    best length-normalized scores [B]).
+    best length-normalized TRUE model log-prob scores [B]).
 
     ``biasing``: optional :class:`~avsl_tpu.decode.biasing.BiasingTrie` —
     contextual phrase boosting folded into the scores before every top-k
     (one automaton state per beam, reordered with the beams). Abandoned
-    partial matches refund their bonus, so only completed phrases keep
-    score; EOT refunds automatically (decode/biasing.py).
+    partial matches refund their bonus down to the deepest completed
+    phrase; EOT refunds automatically (decode/biasing.py). Biased scores
+    drive RANKING only: the returned score is always the unbiased
+    cumulative log-prob (length-normalized), matching the
+    greedy_decode_scored / sampled_decode_scored contract, so serving
+    confidence gates (infer/pipeline.py avg_logprob) are not inflated by
+    the boost.
 
     ``return_nbest=True`` instead returns ALL K hypotheses per item,
     sorted best-first: ([B, K, max_new_tokens], [B, K] normalized
@@ -73,6 +78,7 @@ def beam_search(
     logits, cache = step_fn(init_tokens, cache)
     log_probs = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
     vocab = log_probs.shape[-1]
+    raw_log_probs = log_probs
 
     if biasing is not None:
         from avsl_tpu.decode.biasing import bias_adjust, bias_advance
@@ -82,6 +88,9 @@ def beam_search(
         )
 
     scores, first_tokens = jax.lax.top_k(log_probs, k)  # [B, K]
+    # unbiased cumulative log-prob per beam — the REPORTED score
+    # (identical to `scores` when biasing is None)
+    true_scores = jnp.take_along_axis(raw_log_probs, first_tokens, axis=1)
     cache = _tile_beams(cache, k)
 
     seqs = jnp.full((b, k, max_new_tokens), eot_id, jnp.int32)
@@ -95,11 +104,11 @@ def beam_search(
 
     def cond(carry):
         i = carry[0]
-        finished = carry[3]
+        finished = carry[4]
         return (i < max_new_tokens) & ~jnp.all(finished)
 
     def body(carry):
-        i, seqs, scores, finished, cache, last, nodes = carry
+        i, seqs, scores, true_scores, finished, cache, last, nodes = carry
         logits, cache = step_fn(last.reshape(b * k, 1), cache)
         lp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
         lp = lp.reshape(b, k, vocab)
@@ -107,6 +116,7 @@ def beam_search(
         # finished beams may only extend with EOT at zero added score
         eot_only = jnp.full((vocab,), NEG_INF).at[eot_id].set(0.0)
         lp = jnp.where(finished[:, :, None], eot_only[None, None, :], lp)
+        lp_raw = lp
         if biasing is not None:
             from avsl_tpu.decode.biasing import bias_adjust
 
@@ -119,6 +129,15 @@ def beam_search(
         new_scores, flat_idx = jax.lax.top_k(flat, k)  # [B, K]
         beam_src = flat_idx // vocab  # [B, K] source beam
         new_tok = flat_idx % vocab
+
+        # the unbiased log-prob of each selected extension, accumulated
+        # on the source beam's unbiased total
+        true_step = jnp.take_along_axis(
+            lp_raw.reshape(b, k * vocab), flat_idx, axis=1
+        )
+        true_scores = (
+            jnp.take_along_axis(true_scores, beam_src, axis=1) + true_step
+        )
 
         # reorder sequences + cache by source beam
         seqs = jnp.take_along_axis(seqs, beam_src[:, :, None], axis=1)
@@ -135,13 +154,16 @@ def beam_search(
             from avsl_tpu.decode.biasing import bias_advance
 
             nodes = bias_advance(biasing, nodes, new_tok)
-        return (i + 1, seqs, new_scores, finished, cache, new_tok, nodes)
+        return (
+            i + 1, seqs, new_scores, true_scores, finished, cache, new_tok,
+            nodes,
+        )
 
-    _, seqs, scores, finished, cache, _, _ = jax.lax.while_loop(
+    _, seqs, scores, true_scores, finished, cache, _, _ = jax.lax.while_loop(
         cond,
         body,
-        (jnp.asarray(1, jnp.int32), seqs, scores, finished, cache,
-         first_tokens, nodes),
+        (jnp.asarray(1, jnp.int32), seqs, scores, true_scores, finished,
+         cache, first_tokens, nodes),
     )
 
     # length-normalized final selection (count tokens up to and incl.
@@ -156,12 +178,14 @@ def beam_search(
         ) + 1,
         max_new_tokens,
     )
-    norm = scores / jnp.power(lengths.astype(jnp.float32), length_penalty)
+    denom = jnp.power(lengths.astype(jnp.float32), length_penalty)
+    norm = scores / denom  # biased: drives selection/ordering only
+    norm_true = true_scores / denom  # unbiased: the reported score
     if return_nbest:
-        order = jnp.argsort(-norm, axis=1)  # best-first
+        order = jnp.argsort(-norm, axis=1)  # best-first by biased rank
         nbest = jnp.take_along_axis(seqs, order[:, :, None], axis=1)
-        return nbest, jnp.take_along_axis(norm, order, axis=1)
+        return nbest, jnp.take_along_axis(norm_true, order, axis=1)
     best = jnp.argmax(norm, axis=1)
     best_seqs = jnp.take_along_axis(seqs, best[:, None, None], axis=1)[:, 0]
-    best_scores = jnp.take_along_axis(norm, best[:, None], axis=1)[:, 0]
+    best_scores = jnp.take_along_axis(norm_true, best[:, None], axis=1)[:, 0]
     return best_seqs, best_scores

@@ -15,12 +15,19 @@ score adjustment is a single row gather + subtract:
 
 which is exactly shallow fusion over a weighted automaton in potential
 form: extending a live match earns ``+weight`` per token, abandoning a
-partial match refunds everything earned on it (no free boost for
-prefixes of phrases that never complete), and completing a phrase keeps
-the full ``weight * len(phrase)``. EOT cannot appear inside a phrase, so
-``next_node[s, eot] = root`` and the potential difference automatically
-refunds any half-matched phrase when a sequence finishes. The state per
-beam/sequence is one int32; advancing it is the same gathered row.
+partial match refunds everything earned past the deepest COMPLETED
+phrase on the current path (no free boost for prefixes of phrases that
+never complete, but a completed shorter phrase nested inside a longer
+one keeps its bonus — the ``banked[N]`` refund floor), and completing a
+phrase keeps the full ``weight * len(phrase)``. EOT cannot appear
+inside a phrase, so ``next_node[s, eot] = root`` and the potential
+difference automatically refunds the un-banked part of any half-matched
+phrase when a sequence finishes. The state per beam/sequence is one
+int32; advancing it is the same gathered row. Failure arcs are
+identified in-jit without an extra table: a match transition is the
+unique arc whose destination depth is ``depth[state] + 1`` (failure
+arcs land at depth <= 1, and from the root ``banked == 0`` makes the
+ambiguity harmless).
 
 The table is host-built once (``build_biasing_trie``) and rides into the
 decode program as a constant: ``N * V * 4`` bytes — a few MB for tens of
@@ -40,6 +47,9 @@ class BiasingTrie(flax.struct.PyTreeNode):
     next_node: jnp.ndarray  # [N, V] int32 — transition incl. failure arcs
     bonus: jnp.ndarray  # [N] float32 — accumulated bonus potential
     reset: jnp.ndarray  # [N] bool — leaf phrase ends: bank bonus, go root
+    banked: jnp.ndarray  # [N] float32 — refund floor: deepest completed
+    #   phrase end on the path to this node, times weight (0 if none)
+    depth: jnp.ndarray  # [N] int32 — trie depth (root = 0)
 
     @property
     def n_nodes(self) -> int:
@@ -56,9 +66,11 @@ def build_biasing_trie(
     ``weight`` is the per-token log-prob bonus while a phrase is being
     matched (a completed phrase of length L nets ``weight * L``).
     Phrases that are prefixes of other phrases keep matching past their
-    end (the shorter phrase's bonus is banked only if the longer match
-    is eventually abandoned at a point past it — interior ends do not
-    reset); equal phrases dedupe.
+    end (interior ends do not reset), and their bonus is BANKED: if the
+    longer match is later abandoned — including via EOT — the refund
+    only reaches down to the deepest completed phrase end on the path,
+    so ``New York`` keeps its boost even when ``New York City`` never
+    completes. Equal phrases dedupe.
     """
     if not phrases:
         raise ValueError("no phrases")
@@ -107,10 +119,23 @@ def build_biasing_trie(
     reset = np.asarray(
         [is_end[s] and not children[s] for s in range(n)], bool
     )
+    # banked[s]: bonus of the deepest completed phrase end on the unique
+    # root->s path — the refund floor for abandonment past an interior
+    # end. BFS carrying the running floor (root has none).
+    banked = np.zeros((n,), np.float32)
+    frontier = [(0, 0.0)]
+    while frontier:
+        node, floor = frontier.pop()
+        if is_end[node]:
+            floor = bonus[node]
+        banked[node] = floor
+        frontier.extend((c, floor) for c in children[node].values())
     return BiasingTrie(
         next_node=jnp.asarray(table),
         bonus=jnp.asarray(bonus),
         reset=jnp.asarray(reset),
+        banked=jnp.asarray(banked),
+        depth=jnp.asarray(depth, np.int32),
     )
 
 
@@ -119,9 +144,18 @@ def bias_adjust(trie: BiasingTrie, state: jnp.ndarray) -> jnp.ndarray:
 
     ``state`` int32 [...] -> adj float32 [..., V]; add to the log-probs
     before argmax/top-k.
+
+    Failure arcs (abandonment, restarts, EOT) refund only down to the
+    banked floor: ``adj = bonus[next] - bonus[state] + banked[state]``.
+    A transition is a failure arc iff its destination depth is not
+    ``depth[state] + 1`` (match arcs always descend one level; failure
+    arcs land at the root or a root child, depth <= 1 — only the root
+    has depth+1 == 1, and its banked floor is 0).
     """
     row = trie.next_node[state]  # [..., V]
-    return trie.bonus[row] - trie.bonus[state][..., None]
+    adj = trie.bonus[row] - trie.bonus[state][..., None]
+    failed = trie.depth[row] != trie.depth[state][..., None] + 1
+    return adj + trie.banked[state][..., None] * failed
 
 
 def bias_advance(

@@ -120,9 +120,10 @@ def test_greedy_scored_reports_true_model_logprob():
 
 
 def test_beam_biasing_scores_are_exact():
-    """The winning beam's score must equal its unbiased log-prob sum plus
-    weight * (completed phrase length), length-normalized — i.e. the
-    bookkeeping (earn/refund/bank) is exact, not just directionally right."""
+    """Biasing must flip the winner (so the earn/refund/bank bookkeeping
+    drove ranking), while the REPORTED score is the unbiased log-prob sum,
+    length-normalized — the greedy/sampled_decode_scored contract, so the
+    serving confidence gate (pipeline avg_logprob) is not inflated."""
     base = np.zeros((3, V), np.float32)
     base[0, 2] = 2.0
     base[0, 3] = 0.0
@@ -141,8 +142,60 @@ def test_beam_biasing_scores_are_exact():
     assert seqs[0, :3].tolist() == [3, 4, EOT]
     lp = [np.asarray(jax.nn.log_softmax(jnp.asarray(r))) for r in base]
     raw = lp[0][3] + lp[1][4] + lp[2][EOT]
-    expect = (raw + 2 * w) / 3.0  # phrase len 2 banked; length norm /3
-    assert float(scores[0]) == pytest.approx(float(expect), abs=1e-4)
+    # reported score excludes the banked 2*w bonus
+    assert float(scores[0]) == pytest.approx(float(raw) / 3.0, abs=1e-4)
+
+
+def test_nested_phrase_interior_end_banks_on_abandonment():
+    """The advisor's nested-hotword case ([[3],[3,4,5]], 'New York' vs
+    'New York City'): after emitting 3 the single-token phrase [3] is
+    COMPLETE even though the trie continues toward [3,4,5]. Abandoning
+    the longer match (any non-continuation token, or EOT) must refund
+    only the tokens past the completed end — [3]'s bonus stays banked."""
+    w = 2.0
+    trie = build_biasing_trie([[3], [3, 4, 5]], V, weight=w)
+    root = jnp.asarray([0])
+
+    s = bias_advance(trie, root, jnp.asarray([3]))  # interior end
+    assert int(s[0]) != 0  # keeps matching the longer phrase
+    adj = np.asarray(bias_adjust(trie, s))[0]
+    assert adj[4] == pytest.approx(w)  # continue [3,4,5]
+    assert adj[9] == pytest.approx(0.0)  # abandon: [3] stays banked
+    assert adj[EOT] == pytest.approx(0.0)  # EOT: [3] stays banked
+    # re-emitting 3: nothing is at risk (the whole path is banked) and a
+    # FRESH [3] completes -> +w, and the new state banks it again
+    assert adj[3] == pytest.approx(w)
+    s2 = bias_advance(trie, s, jnp.asarray([3]))
+    assert int(s2[0]) == int(s[0])
+
+    # two levels deeper: abandoning [3,4,?] refunds only the 2 at-risk
+    # tokens (4 and 5-to-be), not the banked [3]
+    s34 = bias_advance(trie, s, jnp.asarray([4]))
+    adj34 = np.asarray(bias_adjust(trie, s34))[0]
+    assert adj34[5] == pytest.approx(w)  # completes [3,4,5]
+    assert adj34[9] == pytest.approx(-w)  # refund token 4 only
+    assert adj34[EOT] == pytest.approx(-w)
+
+    # cumulative walk: 3 (+w, banked) 4 (+w) 9 (-w) => net +w kept
+    total = 0.0
+    state = root
+    for tok in (3, 4, 9):
+        total += float(np.asarray(bias_adjust(trie, state))[0][tok])
+        state = bias_advance(trie, state, jnp.asarray([tok]))
+    assert total == pytest.approx(w)
+
+
+def test_no_interior_end_refunds_fully():
+    """Sanity inverse of the banked case: with no completed phrase on
+    the path, abandonment refunds everything (prefix nets zero)."""
+    w = 2.0
+    trie = build_biasing_trie([[3, 4, 5]], V, weight=w)
+    total = 0.0
+    state = jnp.asarray([0])
+    for tok in (3, 4, 9):
+        total += float(np.asarray(bias_adjust(trie, state))[0][tok])
+        state = bias_advance(trie, state, jnp.asarray([tok]))
+    assert total == pytest.approx(0.0)
 
 
 def test_beam_abandoned_prefix_nets_zero():
