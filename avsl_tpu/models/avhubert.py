@@ -284,8 +284,16 @@ class AVHuBERTTransformerEncoder(nn.Module):
         from avsl_tpu.core.mesh import DATA_AXIS, MODEL_AXIS, constrain_activation
 
         x = constrain_activation(x, DATA_AXIS, MODEL_AXIS, None)
+        block_cls = TransformerBlock
+        if cfg.remat:
+            # gradient checkpointing per block (cfg.remat / YAML
+            # enable_gradient_checkpointing — the reference walks
+            # gradient_checkpointing_enable over the whole model,
+            # utils/memory_utils.py:85-97). `deterministic` (positional
+            # index 8 after the module scope) is the only static arg.
+            block_cls = nn.remat(TransformerBlock, static_argnums=(8,))
         for i in range(cfg.num_hidden_layers):
-            out, _ = TransformerBlock(
+            out, _ = block_cls(
                 d_model=cfg.hidden_size,
                 n_heads=cfg.num_attention_heads,
                 d_ff=cfg.intermediate_size,
@@ -300,7 +308,8 @@ class AVHuBERTTransformerEncoder(nn.Module):
                 dtype=jnp.dtype(cfg.dtype),
                 param_dtype=jnp.dtype(cfg.param_dtype),
                 name=f"layer_{i}",
-            )(x, kv_lengths=kv_lengths, deterministic=deterministic)
+            )(x, None, None, None, None, None, None, deterministic,
+              kv_lengths)
             if cfg.layerdrop > 0.0 and not deterministic:
                 keep = jax.random.bernoulli(
                     self.make_rng("dropout"), 1.0 - cfg.layerdrop
@@ -654,8 +663,15 @@ class AVHuBERTDecoder(nn.Module):
                     cfg.max_target_positions, cfg.decoder_hidden_size, cfg.pad_token_id
                 )
             )
+        # gradient checkpointing (cfg.remat): harmless on the KV-cached
+        # decode path (no autodiff there), saves the per-block training
+        # activations like the encoder stack
+        block_cls = (
+            nn.remat(TransformerBlock, static_argnums=(8,))
+            if cfg.remat else TransformerBlock
+        )
         self.layers = [
-            TransformerBlock(
+            block_cls(
                 d_model=cfg.decoder_hidden_size,
                 n_heads=cfg.decoder_attention_heads,
                 d_ff=cfg.decoder_ffn_dim,
@@ -732,13 +748,19 @@ class AVHuBERTDecoder(nn.Module):
 
         new_cache: Optional[List[Cache]] = [] if cache is not None else None
         for i, layer in enumerate(self.layers):
+            # positional call: under cfg.remat the block class is wrapped
+            # in nn.remat whose static_argnums are positional (index 8 =
+            # deterministic)
             out, c = layer(
                 x,
-                enc=encoder_out,
-                enc_mask=enc_mask,
-                cache=None if cache is None else cache[i],
-                deterministic=deterministic,
-                kv_lengths=dec_lengths,
+                encoder_out,  # enc
+                None,  # xv
+                None,  # self_mask
+                enc_mask,
+                None,  # xv_mask
+                None if cache is None else cache[i],
+                deterministic,
+                dec_lengths,  # kv_lengths
             )
             if (
                 cfg.decoder_layerdrop > 0.0

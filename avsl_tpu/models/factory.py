@@ -24,10 +24,16 @@ def make_av_hubert_video_encoder(av_cfg: AVHuBERTConfig) -> nn.Module:
     cfg = dataclasses.replace(av_cfg, use_audio=False, modality_fuse="add")
 
     class VideoEncoder(nn.Module):
+        # introspectable (tests, tooling); default_factory because the
+        # config dataclass is mutable
+        av_cfg: AVHuBERTConfig = dataclasses.field(
+            default_factory=lambda: cfg
+        )
+
         @nn.compact
         def __call__(self, video, mask=None, deterministic=True,
                      use_running_average=None):
-            return AVHuBERTModel(cfg, name="av_hubert")(
+            return AVHuBERTModel(self.av_cfg, name="av_hubert")(
                 video=video, padding_mask=mask, deterministic=deterministic,
                 use_running_average=use_running_average,
             )
@@ -67,6 +73,10 @@ def build_whisper_flamingo(
     if use_av_hubert_encoder:
         overrides["video_state"] = av_hubert_cfg.hidden_size
     w_cfg = dataclasses.replace(w_cfg, **overrides)
+    # gradient checkpointing covers the WHOLE model like the reference's
+    # gradient_checkpointing_enable walk (utils/memory_utils.py:85-97):
+    # the AV-HuBERT trunk reads its own remat flag
+    av_hubert_cfg = dataclasses.replace(av_hubert_cfg, remat=remat)
 
     video_model = (
         make_av_hubert_video_encoder(av_hubert_cfg)
