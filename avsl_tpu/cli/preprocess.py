@@ -167,7 +167,10 @@ def cmd_lips(args) -> None:
         return
 
     def work(path):
-        res = process_lip_videos([path], args.output)
+        res = process_lip_videos(
+            [path], args.output,
+            mean_face_path=getattr(args, "mean_face_path", None),
+        )
         return res[0]
 
     out = process_in_chunks(
@@ -214,6 +217,12 @@ def main(argv: Optional[List[str]] = None) -> None:
     l.add_argument("--csv_column", default="video")
     l.add_argument("--chunk_size", type=int, default=100)
     l.add_argument("--no_resume", action="store_true")
+    l.add_argument(
+        "--mean_face_path", default=None,
+        help="warp against this mean-face .npy (e.g. the reference's "
+             "resources/20words_mean_face.npy) instead of the parametric "
+             "canonical face",
+    )
 
     se = sub.add_parser("segment_exist",
                         help="build HF dataset from already-sliced media")

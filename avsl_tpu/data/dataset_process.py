@@ -42,6 +42,7 @@ def process_lip_videos(
     crop_size: int = 96,
     fps: int = 25,
     max_frames: int = 300,
+    mean_face_path: Optional[str] = None,
 ) -> List[Tuple[bool, str]]:
     """Extract 96x96 lip clips for each segment video
     (dataset_process.py:216-331 -> video_process.py:711).
@@ -50,12 +51,22 @@ def process_lip_videos(
     image-measured lip-line/scale refinement (data/lip_refine.py). Golden
     test vs the reference's own dlib lip clip (tests/test_lip_roi.py):
     whole-clip mean NCC 0.87, early frames 0.82 (anchored tracking alone:
-    0.61 / 0.54)."""
+    0.61 / 0.54).
+
+    ``mean_face_path``: warp against a mean-face .npy (e.g. the
+    reference's resources/20words_mean_face.npy) instead of the
+    parametric canonical face — bit-parity with reference-produced
+    datasets (tests/test_mean_face.py pins the golden delta)."""
     from avsl_tpu.data.lip_refine import RefinedMouthTracker
-    from avsl_tpu.data.lip_roi import extract_lip_clip
+    from avsl_tpu.data.lip_roi import extract_lip_clip, resolve_mean_face
     from avsl_tpu.data.video_io import read_video_frames, write_video_frames
 
-    detector = detector or RefinedMouthTracker()
+    mean_face = resolve_mean_face(mean_face_path)
+    # the default detector synthesizes landmarks in the SAME layout the
+    # warp targets — mixing layouts shifts every crop (test_mean_face.py)
+    detector = detector or RefinedMouthTracker(
+        layout=mean_face if mean_face_path else None
+    )
     os.makedirs(output_dir, exist_ok=True)
     results: List[Tuple[bool, str]] = []
     for path in video_paths:
@@ -65,7 +76,9 @@ def process_lip_videos(
             if not os.path.exists(out):
                 frames = read_video_frames(path, grayscale=True, max_frames=max_frames)
                 lms = detector(frames)
-                clip = extract_lip_clip(frames, lms, crop_size=crop_size)
+                clip = extract_lip_clip(
+                    frames, lms, mean_face=mean_face, crop_size=crop_size
+                )
                 if clip is None:
                     results.append((False, out))
                     continue
@@ -317,6 +330,7 @@ def reprocess_lips_from_csv(
     detector=None,
     update_csv: bool = True,
     results_json: Optional[str] = None,
+    mean_face_path: Optional[str] = None,
 ) -> Dict[str, Any]:
     """CSV-driven lip (re)processing — the reference's ``process_lip`` /
     ``process_lip_chunk`` modes (dataset_process.py:753-1079).
@@ -359,7 +373,10 @@ def reprocess_lips_from_csv(
         todo.append((str(row["id"]), str(row["video"])))
 
     os.makedirs(lip_dir, exist_ok=True)
-    res = process_lip_videos([v for _, v in todo], lip_dir, detector=detector)
+    res = process_lip_videos(
+        [v for _, v in todo], lip_dir, detector=detector,
+        mean_face_path=mean_face_path,
+    )
     for (sid, _), (ok, out_path) in zip(todo, res):
         results[sid] = (ok, out_path)
 

@@ -174,13 +174,13 @@ class MotionEnergyDetector(LandmarkDetector):
         if t < 2:
             return _gradient_energy(frames[0])
         step = max(1, t // self.max_diff_frames)
-        f = frames[::step].astype(np.float32)
+        f = frames[::step].astype(np.float32, copy=False)
         return _box_blur(np.abs(np.diff(f, axis=0)).mean(axis=0), self.blur)
 
     def articulation_map(self, frames: np.ndarray) -> np.ndarray:
         """Fast-to-slow temporal-motion ratio: speech articulation (mouth,
         ~5-12 Hz) lights up; head sway and cast shadows (slow) cancel out."""
-        f = frames.astype(np.float32)
+        f = frames.astype(np.float32, copy=False)
         if len(f) < 8:
             return self.motion_map(frames)
         fast = np.abs(np.diff(f, axis=0)).mean(axis=0)
@@ -192,6 +192,9 @@ class MotionEnergyDetector(LandmarkDetector):
         """Compute maps (numpy) then run the scalar logic."""
         if len(frames) < 2:
             return None
+        # one uint8->float conversion shared by both maps (copy=False
+        # above makes the per-map astype a no-op on float input)
+        frames = np.asarray(frames).astype(np.float32, copy=False)
         return self.detect_from_maps(
             self.motion_map(frames), self.articulation_map(frames)
         )

@@ -328,7 +328,8 @@ class RefinedMouthTracker(LandmarkDetector):
 
     def __init__(self, base: Optional[LandmarkDetector] = None,
                  config: Optional[RefinerConfig] = None,
-                 template: int = 40, search: int = 24):
+                 template: int = 40, search: int = 24,
+                 layout: Optional[np.ndarray] = None):
         # the base detector only seeds the ANCHOR (one mid-clip frame);
         # every_n=4 skips 3/4 of its per-frame work with no effect on the
         # anchor choice beyond +-2 frames
@@ -336,6 +337,10 @@ class RefinedMouthTracker(LandmarkDetector):
         self.cfg = config or RefinerConfig()
         self.template = template
         self.search = search
+        # 68-point layout the emitted landmarks are an affine image of;
+        # MUST match the warp's mean face (lip_roi.layout_face_width for
+        # why). None = the parametric canonical face.
+        self.layout = None if layout is None else np.asarray(layout)
         self._motion = MotionEnergyDetector()
 
     # -- stage 1+2: coarse anchor + NCC track ------------------------------
@@ -645,7 +650,14 @@ class RefinedMouthTracker(LandmarkDetector):
                 base=self.base, template=self.template, search=self.search
             )(frames)
         cen, sm_w, openings = out
-        canon = canonical_mean_face(300).astype(np.float64)
+        if self.layout is not None:
+            from avsl_tpu.data.lip_roi import layout_face_width_at_mouth
+
+            canon = np.asarray(self.layout, np.float64)
+            width_at_mouth = layout_face_width_at_mouth(canon)
+        else:
+            canon = canonical_mean_face(300).astype(np.float64)
+            width_at_mouth = CANON_FACE_WIDTH_AT_MOUTH
         canon_mouth = canon[48:68].mean(axis=0)
         base_layout = canon - canon_mouth
         t_total = len(frames)
@@ -662,9 +674,9 @@ class RefinedMouthTracker(LandmarkDetector):
         inner = np.arange(60, 68)
         result: List[Optional[np.ndarray]] = []
         for t in range(t_total):
-            s = sm_w[t] / CANON_FACE_WIDTH_AT_MOUTH
+            s = sm_w[t] / width_at_mouth
             if not np.isfinite(s) or s <= 0:
-                s = float(np.nanmedian(sm_w)) / CANON_FACE_WIDTH_AT_MOUTH
+                s = float(np.nanmedian(sm_w)) / width_at_mouth
             lm = base_layout.copy()
             # articulate the inner-lip gap about the mouth center line
             lm[inner, 1] *= gains[t]

@@ -36,6 +36,62 @@ from avsl_tpu.kernels.warp import warp_and_crop_clip
 
 STABLE_POINTS = (33, 36, 39, 42, 45)
 
+# the reference's mean-face asset, mounted read-only when present
+# (reference preprocess/video_process.py:398-399 loads it for every warp)
+REFERENCE_MEAN_FACE = "/root/reference/resources/20words_mean_face.npy"
+
+
+def load_mean_face(path: str) -> np.ndarray:
+    """Load a [68, 2] mean-face landmark array from a .npy file — e.g.
+    the reference's ``resources/20words_mean_face.npy`` (the anchor of
+    its warp, video_process.py:398-399,431-435). Use for bit-parity with
+    datasets produced by the reference pipeline."""
+    mf = np.asarray(np.load(path), np.float32)
+    if mf.shape != (68, 2):
+        raise ValueError(
+            f"mean face at {path!r} has shape {mf.shape}, expected (68, 2)"
+        )
+    if not np.all(np.isfinite(mf)):
+        raise ValueError(f"mean face at {path!r} contains non-finite values")
+    return mf
+
+
+def resolve_mean_face(
+    mean_face_path: Optional[str] = None, out_size: int = 300
+) -> np.ndarray:
+    """``mean_face_path`` config key -> [68, 2] landmarks: the file when
+    given, else the parametric canonical face."""
+    if mean_face_path:
+        return load_mean_face(mean_face_path)
+    return canonical_mean_face(out_size)
+
+
+def layout_face_width(layout: np.ndarray) -> float:
+    """Jaw x-span of a 68-point layout (156 for the parametric face) —
+    the head-box-width scale anchor landmark synthesis uses.
+
+    Landmark synthesizers emit ``s * (layout - layout_mouth) + center``;
+    the warp then fits ``layout``'s stable points onto the mean face's.
+    Synthesis layout and warp mean face must be the SAME geometry or the
+    fit introduces a systematic crop scale/offset (measured: -0.10 golden
+    NCC for the mixed parametric-landmarks/real-mean-face pairing,
+    tests/test_mean_face.py)."""
+    jaw = np.asarray(layout, np.float64)[:17]
+    return float(jaw[:, 0].max() - jaw[:, 0].min())
+
+
+def layout_face_width_at_mouth(layout: np.ndarray) -> float:
+    """Jaw x-span at the mouth centroid's height (~120 for the parametric
+    face — lip_refine.CANON_FACE_WIDTH_AT_MOUTH): the scale anchor for
+    detectors that measure face width at mouth level."""
+    lay = np.asarray(layout, np.float64)
+    mouth_y = float(lay[48:68, 1].mean())
+    left = lay[:9]  # temple -> chin: y increasing
+    right = lay[8:17][::-1]  # reversed: y increasing
+    lx = float(np.interp(mouth_y, left[:, 1], left[:, 0]))
+    rx = float(np.interp(mouth_y, right[:, 1], right[:, 0]))
+    return rx - lx
+
 
 @functools.lru_cache(maxsize=1)
 def canonical_mean_face(size: int = 300) -> np.ndarray:

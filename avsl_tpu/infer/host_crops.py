@@ -40,14 +40,11 @@ from avsl_tpu.data.landmarks import LandmarkDetector, MotionEnergyDetector
 from avsl_tpu.data.lip_roi import (
     canonical_mean_face,
     landmarks_interpolate,
+    layout_face_width,
     smooth_landmarks,
 )
 from avsl_tpu.data.track_host import ncc_track_clip_parallel_np
 from avsl_tpu.kernels.warp import separable_crop_coords_np
-
-# canonical face width inside the 300x300 layout — the affine identity's
-# scale anchor (kernels/lip_pipeline.py:_CANON_W)
-_CANON_W = 156.0
 
 
 class HostLipCropper:
@@ -74,6 +71,7 @@ class HostLipCropper:
     def __init__(
         self,
         detect_ds: int = 4,
+        detect_stride: int = 2,
         track_ds: int = 2,
         track_stride: int = 1,
         track_top_k: int = 3,
@@ -92,6 +90,7 @@ class HostLipCropper:
         if mode not in ("track", "interp"):
             raise ValueError(f"mode must be 'track' or 'interp', got {mode!r}")
         self.detect_ds = max(int(detect_ds), 1)
+        self.detect_stride = max(int(detect_stride), 1)
         self.track_ds = max(int(track_ds), 1)
         self.track_stride = max(int(track_stride), 1)
         self.track_top_k = max(int(track_top_k), 1)
@@ -106,17 +105,21 @@ class HostLipCropper:
             canonical_mean_face(out_size) if mean_face is None
             else np.asarray(mean_face, np.float32)
         )
-        canon = canonical_mean_face(out_size)
-        self._canon = canon
-        self._canon_mouth = canon[48:68].mean(axis=0)
+        # landmark synthesis uses the WARP'S mean face as its layout —
+        # synthesis layout and warp destination must be the same geometry
+        # or the stable-point fit introduces a systematic crop offset
+        # (lip_roi.layout_face_width docstring; tests/test_mean_face.py)
+        self._canon = self.mean_face.astype(np.float32)
+        self._canon_mouth = self._canon[48:68].mean(axis=0)
+        self._layout_w = layout_face_width(self._canon)
 
     # ---- trajectory estimation -------------------------------------
 
     def _lms_from_traj(self, traj: np.ndarray, face_w: float) -> np.ndarray:
         """[T, 2] mouth trajectory -> [T, 68, 2] via the affine identity
-        lms[t] = s*(canon - canon_mouth) + traj[t] (lip_pipeline
-        module docstring)."""
-        s = face_w / _CANON_W
+        lms[t] = s*(layout - layout_mouth) + traj[t] (lip_pipeline
+        module docstring); scale anchored on the layout's jaw span."""
+        s = face_w / self._layout_w
         return (
             s * (self._canon - self._canon_mouth)[None]
             + traj[:, None, :]
@@ -133,9 +136,13 @@ class HostLipCropper:
         if not isinstance(det, MotionEnergyDetector):
             raise ValueError("mode='track' needs a MotionEnergyDetector")
         for i in range(b):
-            # face scale from the whole clip (cheap at detect_ds);
+            # face scale from the clip at detect_ds, temporally strided
+            # (motion statistics are scale-relative, so the threshold
+            # logic is stride-invariant; halves the dominant host cost);
             # detection failure here = no moving face anywhere
-            clip_det = det.detect_clip(clips[i, :, ::dds, ::dds])
+            clip_det = det.detect_clip(
+                clips[i, ::self.detect_stride, ::dds, ::dds]
+            )
             if clip_det is None:
                 out[i] = self._canon[None]
                 continue

@@ -272,12 +272,21 @@ def main() -> None:
         threading.Thread(target=producer, args=(n_iters + 1,), daemon=True).start()
 
         # warm (compiles already done by caller); first item primes the queue
+        tw = time.perf_counter()
         crops_b = q.get()
+        log(f"{tag} warm: q.get {time.perf_counter() - tw:.1f}s")
+        tw = time.perf_counter()
         dev = jax.device_put(crops_b)
         pcm_dev = jax.device_put(pcm)
         jax.block_until_ready((dev, pcm_dev))
+        log(f"{tag} warm: upload {time.perf_counter() - tw:.1f}s")
+        tw = time.perf_counter()
         out = decode_tokens(encode88(variables, pcm_dev, dev))
+        out.block_until_ready()
+        log(f"{tag} warm: compute {time.perf_counter() - tw:.1f}s")
+        tw = time.perf_counter()
         true_sync(out)
+        log(f"{tag} warm: true_sync {time.perf_counter() - tw:.1f}s")
 
         times = []
         t_loop = time.perf_counter()
