@@ -182,7 +182,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     mesh = None
     n_sharded = 0
     if args.experts_parallel > 1 or args.model_parallel > 1:
-        from avsl_tpu.core.mesh import activation_sharding_scope, make_mesh
+        from avsl_tpu.core.mesh import make_mesh
         from avsl_tpu.core.partitioning import describe_shardings, shard_state
 
         if args.experts_parallel > 1:
@@ -199,10 +199,9 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
 
     import contextlib
 
-    scope = (
-        activation_sharding_scope(mesh) if mesh is not None
-        else contextlib.nullcontext()
-    )
+    # sequence parallelism lives inside make_train_step's traced body now;
+    # kept as a no-op so the training loop's shape is unchanged
+    scope = contextlib.nullcontext()
 
     iterations = []
     for iteration in range(max(1, args.iterations)):

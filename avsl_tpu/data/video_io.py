@@ -14,19 +14,72 @@ Also the validation utilities the reference treats as first-class
 
 from __future__ import annotations
 
+import contextlib
 import os
-from typing import List, Optional, Sequence, Tuple
+import tempfile
+from typing import Any, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+# VideoSource: anything naming or containing encoded video — a filesystem
+# path, raw bytes, an HF Video()-cast record dict {"bytes":..., "path":...},
+# or a reader-like object carrying a path attribute. This is decord's
+# ingestion role in the reference (utils/hf_video_utils.py:23-96),
+# rebuilt as one resolver shared by every decode entry point.
+_PATH_ATTRS = ("_filename", "filename", "path", "_path", "file_path", "source")
+
+
+@contextlib.contextmanager
+def video_source_path(src: Any):
+    """Yield a filesystem path for any video source; bytes are spooled to
+    a temp file (cv2/libav read files, not memory). The temp file lives
+    only for the ``with`` body."""
+    if isinstance(src, (str, os.PathLike)):
+        yield os.fspath(src)
+        return
+    if isinstance(src, dict):
+        data = src.get("bytes")
+        if data:
+            with video_source_path(bytes(data)) as p:
+                yield p
+            return
+        path = src.get("path")
+        if path:
+            yield str(path)
+            return
+        raise IOError(f"video record dict has neither bytes nor path: "
+                      f"{sorted(src)}")
+    if isinstance(src, (bytes, bytearray, memoryview)):
+        tmp = tempfile.NamedTemporaryFile(suffix=".mp4", delete=False)
+        try:
+            tmp.write(bytes(src))
+            tmp.close()
+            yield tmp.name
+        finally:
+            os.unlink(tmp.name)
+        return
+    for attr in _PATH_ATTRS:  # decord.VideoReader-like objects
+        path = getattr(src, attr, None)
+        if path and isinstance(path, (str, os.PathLike)) and os.path.exists(
+            os.fspath(path)
+        ):
+            yield os.fspath(path)
+            return
+    raise IOError(f"cannot resolve video source of type {type(src)!r}")
+
 
 def read_video_frames(
-    path: str, grayscale: bool = True, max_frames: Optional[int] = None
+    path: Any, grayscale: bool = True, max_frames: Optional[int] = None
 ) -> np.ndarray:
-    """Decode an mp4 to [T, H, W] (gray) or [T, H, W, 3] (BGR->RGB) uint8."""
+    """Decode a video source (path / bytes / HF ``Video()`` record dict /
+    reader-like object — see :func:`video_source_path`) to [T, H, W]
+    (gray) or [T, H, W, 3] (BGR->RGB) uint8."""
     import cv2
 
-    cap = cv2.VideoCapture(path)
+    if not isinstance(path, (str, os.PathLike)):
+        with video_source_path(path) as p:
+            return read_video_frames(p, grayscale, max_frames)
+    cap = cv2.VideoCapture(os.fspath(path))
     if not cap.isOpened():
         raise IOError(f"Cannot open video {path}")
     frames = []
@@ -76,7 +129,7 @@ def video_fps_and_frames(path: str) -> Tuple[float, int]:
 
 
 def load_video_feats(
-    path: str,
+    path: Any,
     train: bool = False,
     image_crop_size: int = 88,
     image_mean: float = 0.421,
@@ -113,8 +166,15 @@ def trim_video_to_audio(video: np.ndarray, audio_samples: int,
     return video[:max_len] if len(video) > max_len else video
 
 
-def validate_video(path: str, min_bytes: int = 1024) -> Tuple[bool, str]:
-    """(ok, reason): file exists, >= 1 KB, first frame readable."""
+def validate_video(path: Any, min_bytes: int = 1024) -> Tuple[bool, str]:
+    """(ok, reason): file exists, >= 1 KB, first frame readable. Accepts
+    any video source (bytes-backed records validate their payload)."""
+    if not isinstance(path, (str, os.PathLike)):
+        try:
+            with video_source_path(path) as p:
+                return validate_video(p, min_bytes)
+        except IOError as e:
+            return False, f"unresolvable:{e}"
     if not os.path.exists(path):
         return False, "missing"
     if os.path.getsize(path) < min_bytes:

@@ -18,6 +18,7 @@ here:
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax.struct
@@ -26,7 +27,26 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from avsl_tpu.core.mesh import DATA_AXIS
+from avsl_tpu.core.mesh import DATA_AXIS, MODEL_AXIS, activation_sharding_scope
+
+
+def _sp_scope(mesh: Optional[Mesh], sequence_parallel: Optional[bool]):
+    """Activation-sharding (sequence-parallel) scope for a step trace.
+
+    The SP intent is part of the STEP FUNCTION, not of the caller's
+    context: the scope is entered inside the traced body, so every trace
+    of the returned step carries the constraints — a step first traced
+    from an unscoped call site can no longer silently cache a
+    constraint-free program (the round-2/3 ADVICE hazard).
+    ``sequence_parallel=None`` auto-enables when the mesh has a model
+    axis > 1."""
+    if sequence_parallel is None:
+        sequence_parallel = (
+            mesh is not None and mesh.shape.get(MODEL_AXIS, 1) > 1
+        )
+    if not sequence_parallel or mesh is None:
+        return contextlib.nullcontext()
+    return activation_sharding_scope(mesh)
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -61,13 +81,21 @@ def make_train_step(
     donate: bool = True,
     partitioned_state: bool = False,
     state_constraint_fn: Optional[Callable[[Any], Any]] = None,
+    sequence_parallel: Optional[bool] = None,
 ):
     """Build a jit-compiled SPMD train step.
 
     The returned function takes ``(state, batch)`` where each batch leaf is
     ``[global_batch, ...]`` (or ``[accum, global_micro, ...]`` when
     ``grad_accum_steps > 1``) and returns ``(state, metrics)``.
+
+    ``sequence_parallel``: shard activations [batch->data, time->model]
+    between transformer blocks while the step traces (see
+    core/mesh.activation_sharding_scope). Default: auto — on whenever the
+    mesh has a model axis > 1. The scope is part of the traced step body,
+    so callers never need to (and should not) wrap step calls themselves.
     """
+    sp_ctx = lambda: _sp_scope(mesh, sequence_parallel)  # noqa: E731
 
     def _grads_one(params, batch_stats, micro, rng):
         (loss, (metrics, new_stats)), grads = jax.value_and_grad(
@@ -114,6 +142,12 @@ def make_train_step(
             rng=new_rng,
         )
         return new_state, metrics
+
+    _inner_step = step_fn
+
+    def step_fn(state, batch):  # noqa: F811 — scoped wrapper
+        with sp_ctx():
+            return _inner_step(state, batch)
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
@@ -163,18 +197,21 @@ def make_eval_step(
     loss_fn: LossFn,
     mesh: Optional[Mesh] = None,
     partitioned_state: bool = False,
+    sequence_parallel: Optional[bool] = None,
 ):
     """Jit eval step: returns metrics only (no grads, deterministic rng).
 
     ``partitioned_state=True`` (tensor/expert-parallel states) propagates
     the state's own input shardings instead of forcing replication — a
     TP-sharded model that only fits sharded must NOT be all-gathered to
-    every chip just to evaluate."""
+    every chip just to evaluate. ``sequence_parallel`` as in
+    :func:`make_train_step` (part of the traced body)."""
 
     def step_fn(state: TrainState, batch) -> Dict:
-        loss, (metrics, _) = loss_fn(
-            state.params, state.batch_stats, batch, jax.random.PRNGKey(0)
-        )
+        with _sp_scope(mesh, sequence_parallel):
+            loss, (metrics, _) = loss_fn(
+                state.params, state.batch_stats, batch, jax.random.PRNGKey(0)
+            )
         metrics = dict(metrics)
         metrics["loss"] = loss
         return metrics

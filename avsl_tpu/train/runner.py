@@ -190,16 +190,9 @@ class TrainerRunner:
             init_state = shard_state(
                 init_state, mesh, zero1=self.zero1, fsdp=self.fsdp
             )
-        # sequence parallelism: every train_step call (in particular the
-        # FIRST, tracing one) runs inside the activation-sharding scope —
-        # the scope is consulted at trace time and is not part of the jit
-        # cache key, so a step first traced outside it would silently run
-        # without SP forever (core/mesh.py activation_sharding_scope)
-        from avsl_tpu.core.mesh import MODEL_AXIS
-
-        self._sp_active = (
-            mesh is not None and mesh.shape.get(MODEL_AXIS, 1) > 1
-        )
+        # sequence parallelism is part of the step functions themselves
+        # (make_train_step enters the activation-sharding scope inside the
+        # traced body) — the runner no longer wraps step calls
         self.eval_logits_fn = eval_logits_fn
         # logits -> token rows; None = seq2seq teacher-forced argmax.
         # Pass decode.ctc_best_path (wrapped) for the CTC head.
@@ -255,15 +248,6 @@ class TrainerRunner:
             signal.signal(signal.SIGTERM, prev)
 
         return restore
-
-    def _maybe_sp_scope(self):
-        if self._sp_active:
-            from avsl_tpu.core.mesh import activation_sharding_scope
-
-            return activation_sharding_scope(self.mesh)
-        import contextlib
-
-        return contextlib.nullcontext()
 
     def _restore(self, directory: str, step: Optional[int]) -> TrainState:
         if self.partitioned:
@@ -360,8 +344,7 @@ class TrainerRunner:
             reshaped = self._reshape_accum(batch)
             if reshaped is None:  # tail batch smaller than accum: drop_last
                 continue
-            with self._maybe_sp_scope():
-                self.state, metrics = self.train_step(self.state, reshaped)
+            self.state, metrics = self.train_step(self.state, reshaped)
             if self._ema_params is not None:
                 self._ema_params = self._ema_step(
                     self._ema_params, self.state.params
