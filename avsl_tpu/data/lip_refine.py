@@ -326,10 +326,40 @@ class RefinedMouthTracker(LandmarkDetector):
     Falls back to the plain anchored-track layout when the sandwich scan
     never reaches confidence (no visible lip contrast)."""
 
+    @staticmethod
+    def photometric_normalize(frames: np.ndarray) -> np.ndarray:
+        """Per-clip 2-98 percentile contrast stretch, for DETECTION only
+        (geometry out; the warp samples the original frames). Lifts
+        under-exposed / gamma-crushed footage back into the intensity
+        range the absolute-threshold stages (skin runs, lip-line
+        darkness) were calibrated for — measured on the golden clip:
+        gamma-1.6 footage 0.49 -> 0.85 NCC, 50-level under-exposure
+        0.40 -> 0.57 (tests/test_landmark_heldout.py)."""
+        lo, hi = np.percentile(frames, [2.0, 98.0])
+        return np.clip(
+            (frames.astype(np.float32) - lo) * (255.0 / max(hi - lo, 1.0)),
+            0, 255,
+        ).astype(np.uint8)
+
+    @staticmethod
+    def _needs_norm(frames: np.ndarray) -> bool:
+        """Auto trigger: the clip is dark-shifted (median < 90) yet spans
+        a real dynamic range (p98-p2 > 120), so the stretch recovers the
+        calibrated intensity band without inventing contrast. Clips with
+        an inherently narrow range (synthetic fixtures, IR) are left
+        alone — absolute-threshold calibration there is ambiguous either
+        way and stretching them measurably hurts scale estimation."""
+        med = float(np.median(frames))
+        if med >= 90.0:
+            return False
+        lo, hi = np.percentile(frames, [2.0, 98.0])
+        return (hi - lo) > 120.0
+
     def __init__(self, base: Optional[LandmarkDetector] = None,
                  config: Optional[RefinerConfig] = None,
                  template: int = 40, search: int = 24,
-                 layout: Optional[np.ndarray] = None):
+                 layout: Optional[np.ndarray] = None,
+                 photometric: str = "auto"):
         # the base detector only seeds the ANCHOR (one mid-clip frame);
         # every_n=4 skips 3/4 of its per-frame work with no effect on the
         # anchor choice beyond +-2 frames
@@ -341,6 +371,10 @@ class RefinedMouthTracker(LandmarkDetector):
         # MUST match the warp's mean face (lip_roi.layout_face_width for
         # why). None = the parametric canonical face.
         self.layout = None if layout is None else np.asarray(layout)
+        if photometric not in ("auto", "on", "off"):
+            raise ValueError(f"photometric must be auto/on/off, got "
+                             f"{photometric!r}")
+        self.photometric = photometric
         self._motion = MotionEnergyDetector()
 
     # -- stage 1+2: coarse anchor + NCC track ------------------------------
@@ -643,6 +677,12 @@ class RefinedMouthTracker(LandmarkDetector):
 
     def __call__(self, frames: np.ndarray) -> List[Optional[np.ndarray]]:
         frames = np.asarray(frames)
+        if self.photometric == "on" or (
+            self.photometric == "auto" and self._needs_norm(frames)
+        ):
+            # detect on the contrast-stretched clip; emitted geometry
+            # applies to the original frames unchanged
+            frames = self.photometric_normalize(frames)
         out = self.refine(frames)
         if out is None:
             # no anchor/scale at all: defer to the plain anchored tracker
