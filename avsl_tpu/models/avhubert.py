@@ -192,7 +192,14 @@ class AVHuBERTVisualEncoder(nn.Module):
         from avsl_tpu.models.resnet3d import ResNet3DFrontend
 
         cfg = self.cfg
-        feats = ResNet3DFrontend(
+        frontend_cls = ResNet3DFrontend
+        if cfg.remat:
+            # the conv stem's activations at large-v2 training shapes
+            # (bf16[1,750,44,44,64] per map) dominate HLO temp memory —
+            # checkpoint the whole frontend like the transformer blocks.
+            # use_running_average (positional index 2) is the static arg.
+            frontend_cls = nn.remat(ResNet3DFrontend, static_argnums=(2,))
+        feats = frontend_cls(
             frontend_channels=cfg.visual_frontend_channels,
             backbone_channels=cfg.visual_backbone_channels,
             relu_type=cfg.resnet_relu_type,

@@ -140,11 +140,19 @@ class ResNetTrunk(nn.Module):
 
 
 class ResNet3DFrontend(nn.Module):
-    """Lip-clip encoder: [B, T, H, W, 1] -> [B, T, backbone_channels].
+    """Lip-clip encoder: [B, T, H, W(, 1)] -> [B, T, backbone_channels].
 
     Stem: Conv3D(1->frontend_channels, k=(5,7,7), s=(1,2,2)) + BN + PReLU +
     MaxPool(1,3,3)/(1,2,2); then the time axis folds into the batch and all
     frames run through the 2-D ResNet trunk together.
+
+    Accepts video without the trailing singleton channel ([B, T, H, W]) and
+    expands it here, INSIDE the module: when the frontend is wrapped in
+    ``nn.remat`` its input is a saved residual, and a 5D
+    ``bf16[1,T,88,88,1]`` residual gets an XLA layout whose tiled minor
+    dims are (batch=1, channel=1) — a measured 256x pad expansion (2.77 GB
+    for an 11 MB tensor at the large-v2 train envelope). The 4D form tiles
+    (H, W) and pads ~1.5x, so memory-tight callers feed 4D.
     """
 
     frontend_channels: int = 64
@@ -160,6 +168,8 @@ class ResNet3DFrontend(nn.Module):
         video: jnp.ndarray,
         use_running_average: bool = True,
     ) -> jnp.ndarray:
+        if video.ndim == 4:
+            video = video[..., None]
         b, t = video.shape[0], video.shape[1]
         x = video.astype(self.dtype)
         x = nn.Conv(

@@ -73,6 +73,33 @@ class TrainState(flax.struct.PyTreeNode):
 LossFn = Callable[[Any, Any, Any, jax.Array], Tuple[jnp.ndarray, Tuple[Dict, Any]]]
 
 
+_is_none = lambda x: x is None  # noqa: E731
+
+
+def split_trainable(params: Any, labels: Any) -> Tuple[Any, Any]:
+    """Split a param tree into (trainable, frozen) by TRAIN/FROZEN labels.
+
+    Frozen positions become ``None`` leaves in the trainable tree and vice
+    versa; :func:`merge_trainable` reassembles the full tree."""
+    from avsl_tpu.train.optim import TRAIN
+
+    trainable = jax.tree_util.tree_map(
+        lambda p, l: p if l == TRAIN else None, params, labels
+    )
+    frozen = jax.tree_util.tree_map(
+        lambda p, l: None if l == TRAIN else p, params, labels
+    )
+    return trainable, frozen
+
+
+def merge_trainable(trainable: Any, frozen: Any) -> Any:
+    """Inverse of :func:`split_trainable` (None leaves fill from the other)."""
+    return jax.tree_util.tree_map(
+        lambda t, f: f if t is None else t, trainable, frozen,
+        is_leaf=_is_none,
+    )
+
+
 def make_train_step(
     loss_fn: LossFn,
     tx: optax.GradientTransformation,
@@ -82,6 +109,7 @@ def make_train_step(
     partitioned_state: bool = False,
     state_constraint_fn: Optional[Callable[[Any], Any]] = None,
     sequence_parallel: Optional[bool] = None,
+    param_labels: Any = None,
 ):
     """Build a jit-compiled SPMD train step.
 
@@ -94,13 +122,27 @@ def make_train_step(
     core/mesh.activation_sharding_scope). Default: auto — on whenever the
     mesh has a model axis > 1. The scope is part of the traced step body,
     so callers never need to (and should not) wrap step calls themselves.
+
+    ``param_labels``: optional TRAIN/FROZEN tree (from
+    ``train.optim.select_optimizer``). When given, the step differentiates
+    **only the trainable subtree** — the reference's ``requires_grad=False``
+    freeze (whisper_flamingo_ft_ami.py:506-517) as torch autograd actually
+    executes it: no backward pass is built through frozen-only subgraphs
+    (XLA dead-code-eliminates e.g. the whole AV-HuBERT frontend backward
+    under the flamingo regime), and the grad-accumulation carry holds only
+    trainable-sized gradients. Updates are identical to the label-less
+    step (the optimizer's ``set_to_zero`` partition sees zeros either way).
     """
     sp_ctx = lambda: _sp_scope(mesh, sequence_parallel)  # noqa: E731
 
-    def _grads_one(params, batch_stats, micro, rng):
+    def _grads_one(diff_params, frozen, batch_stats, micro, rng):
+        def _loss(tr, stats, mb, key):
+            full = merge_trainable(tr, frozen) if frozen is not None else tr
+            return loss_fn(full, stats, mb, key)
+
         (loss, (metrics, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(params, batch_stats, micro, rng)
+            _loss, has_aux=True
+        )(diff_params, batch_stats, micro, rng)
         metrics = dict(metrics)
         metrics["loss"] = loss
         return grads, metrics, new_stats
@@ -108,15 +150,22 @@ def make_train_step(
     def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         rng, new_rng = jax.random.split(state.rng)
 
+        if param_labels is not None:
+            diff_params, frozen = split_trainable(state.params, param_labels)
+        else:
+            diff_params, frozen = state.params, None
+
         if grad_accum_steps > 1:
             def scan_body(carry, micro):
                 grads_acc, stats, key = carry
                 key, sub = jax.random.split(key)
-                grads, metrics, new_stats = _grads_one(state.params, stats, micro, sub)
+                grads, metrics, new_stats = _grads_one(
+                    diff_params, frozen, stats, micro, sub
+                )
                 grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
                 return (grads_acc, new_stats if new_stats is not None else stats, key), metrics
 
-            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, diff_params)
             (grads, new_stats, _), metrics = jax.lax.scan(
                 scan_body, (zero_grads, state.batch_stats, rng), batch
             )
@@ -124,12 +173,20 @@ def make_train_step(
             metrics = jax.tree_util.tree_map(jnp.mean, metrics)
         else:
             grads, metrics, new_stats = _grads_one(
-                state.params, state.batch_stats, batch, rng
+                diff_params, frozen, state.batch_stats, batch, rng
             )
             # LossFn contract: new_batch_stats may be None (no update);
             # the accum scan keeps the old stats in that case — mirror it
             if new_stats is None:
                 new_stats = state.batch_stats
+
+        if param_labels is not None:
+            # the optimizer interface wants a full-structure grad tree;
+            # frozen positions get symbolic zeros (XLA folds `p + 0`)
+            grads = jax.tree_util.tree_map(
+                lambda g, p: jnp.zeros_like(p) if g is None else g,
+                grads, state.params, is_leaf=_is_none,
+            )
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -57,8 +57,10 @@ class _Cfg:
 
 
 def _analytic_flops_per_step(tokens_by_tower, accum_micro):
-    """Matmul-FLOPs estimate: fwd ~ 2 * P_tower * T_tower summed over
-    towers, x3 for fwd+bwd, x4/3 for the remat re-forward, x microbatches."""
+    """Matmul-FLOPs estimate: fwd ~ 2 * P_tower * T_tower per tower, times
+    a per-tower multiplier (1.0 = forward-only for frozen towers whose
+    backward XLA dead-code-eliminates; 3 x 4/3 = fwd+bwd+remat-reforward
+    for towers the backward traverses), x microbatches."""
     import jax
 
     def count(tree):
@@ -69,9 +71,9 @@ def _analytic_flops_per_step(tokens_by_tower, accum_micro):
         )
 
     total = 0.0
-    for tower, tokens in tokens_by_tower:
-        total += 2.0 * count(tower) * tokens
-    return total * 3.0 * (4.0 / 3.0) * accum_micro
+    for tower, tokens, mult in tokens_by_tower:
+        total += 2.0 * count(tower) * tokens * mult
+    return total * accum_micro
 
 
 def measure(model_name: str, envelope: str) -> dict:
@@ -110,8 +112,14 @@ def measure(model_name: str, envelope: str) -> dict:
         mel = 0.1 * jax.random.normal(
             k1, batch_shape(cfg.n_mels, t_mel), jnp.float32
         )
+        # video rides WITHOUT the trailing singleton channel and in bf16:
+        # a bf16[1,750,88,88,1] tensor picks a layout whose tiled minor
+        # dims are (batch=1, channel=1) and pads 256x (2.77 GB for an
+        # 11 MB tensor — measured OOM at the large-v2 envelope). The
+        # ResNet3D frontend expands the channel dim internally, inside
+        # its remat boundary, so the saved residual stays 4D.
         video = jax.random.normal(
-            k2, batch_shape(t_vid, 88, 88, 1), jnp.float32
+            k2, batch_shape(t_vid, 88, 88), jnp.bfloat16
         )
         dec = jax.random.randint(
             k3, batch_shape(label_len), 0, cfg.n_vocab - 2
@@ -160,9 +168,12 @@ def measure(model_name: str, envelope: str) -> dict:
         if lab == "train"
     )
     loss_fn = flamingo_loss_fn(model, train=True)
+    # param_labels => only the trainable subtree is differentiated — the
+    # reference's requires_grad=False freeze as torch actually executes
+    # it (no backward through the frozen AV-HuBERT trunk / whisper body)
     step = make_train_step(
         loss_fn, tx, mesh=make_mesh(1, devices=[dev]),
-        grad_accum_steps=accum, donate=True,
+        grad_accum_steps=accum, donate=True, param_labels=labels_tree,
     )
     state = TrainState.create(
         params, tx, batch_stats=variables.get("batch_stats")
@@ -196,10 +207,14 @@ def measure(model_name: str, envelope: str) -> dict:
     log(f"train-step compile+first: {compile_s:.1f}s")
 
     if flops is None:
+        # flamingo freeze: encoder + video tower are forward-only (their
+        # params are frozen and no trainable param needs a cotangent
+        # through them); the decoder backward runs (gated x-attn params
+        # are interleaved in it)
         towers = [
-            (params.get("encoder", {}), micro * t_mel // 2),
-            (params.get("decoder", {}), micro * label_len),
-            (params.get("video_model", {}), micro * t_vid),
+            (params.get("encoder", {}), micro * t_mel // 2, 1.0),
+            (params.get("decoder", {}), micro * label_len, 3.0 * 4.0 / 3.0),
+            (params.get("video_model", {}), micro * t_vid, 1.0),
         ]
         flops = _analytic_flops_per_step(towers, accum)
 
@@ -250,13 +265,18 @@ def measure(model_name: str, envelope: str) -> dict:
 
 def main() -> None:
     model_name = os.environ.get("AVSL_BENCH_TRAIN_MODEL", "large-v2")
+    envelopes = os.environ.get(
+        "AVSL_BENCH_TRAIN_ENVELOPES", "reference,throughput"
+    ).split(",")
     result = {}
-    for envelope in ("reference", "throughput"):
+    for envelope in envelopes:
         try:
-            result[envelope] = measure(model_name, envelope)
+            result[envelope.strip()] = measure(model_name, envelope.strip())
         except Exception as e:  # noqa: BLE001 — record, don't die
-            result[envelope] = {"error": f"{type(e).__name__}: {e}"}
-    print(json.dumps(result))
+            result[envelope.strip()] = {"error": f"{type(e).__name__}: {e}"}
+        # each envelope's JSON lands even if a later one hangs past the
+        # parent's timeout
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
