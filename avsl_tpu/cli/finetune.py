@@ -292,6 +292,9 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         zero1=bool(getattr(cfg, "zero1", False)),
         # fsdp shards params AND mirrors over data (ZeRO-3); subsumes zero1
         fsdp=bool(getattr(cfg, "fsdp", False)),
+        # structural freeze: only the trainable subtree is differentiated
+        # (no backward through the frozen AV-HuBERT trunk / whisper body)
+        param_labels=_labels,
     )
     train_bs = int(cfg.batch_size) * (runner_accum if runner_accum > 1 else 1)
     # prefetch_batches > 0 uploads the next batch while the step runs

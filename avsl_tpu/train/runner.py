@@ -144,6 +144,7 @@ class TrainerRunner:
         partitioned_state: bool = False,
         zero1: bool = False,
         fsdp: bool = False,
+        param_labels=None,
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -179,10 +180,15 @@ class TrainerRunner:
             constraint_fn = lambda st: state_shardings(  # noqa: E731
                 st, mesh, zero1=self.zero1, fsdp=self.fsdp
             )
+        # param_labels (TRAIN/FROZEN tree from select_optimizer): the step
+        # differentiates only the trainable subtree, so XLA never builds a
+        # backward through frozen-only towers — the reference's
+        # requires_grad=False freeze as torch actually executes it
         self.train_step = make_train_step(
             loss_fn, tx, mesh=mesh, grad_accum_steps=self.accum, donate=False,
             partitioned_state=self.partitioned,
             state_constraint_fn=constraint_fn,
+            param_labels=param_labels,
         )
         if self.partitioned:
             from avsl_tpu.core.partitioning import shard_state

@@ -90,7 +90,11 @@ def measure(model_name: str, envelope: str) -> dict:
         model_name, add_gated_x_attn=1, dtype="bfloat16", remat=True
     )
     if envelope == "reference":
-        accum, micro, seconds, label_len = 16, 1, 30, 120
+        # the YAML's own envelope: batch 1 x accum 16 AND the 10 s audio
+        # cap (audio_max_length/dataset_audio_max_length: 160000 samples,
+        # max_duration_filter_seconds: 10.0 — ami_whisper_flamingo_large
+        # .yaml:11-17,31-36)
+        accum, micro, seconds, label_len = 16, 1, 10, 120
     else:  # throughput
         accum, micro, seconds, label_len = 1, 4, 10, 48
     if model_name == "test":  # CI smoke shapes
@@ -196,6 +200,14 @@ def measure(model_name: str, envelope: str) -> dict:
             if ca and ca.get("flops", 0) > 0:
                 flops = float(ca["flops"])
                 flops_source = "xla_cost_analysis"
+                if accum > 1:
+                    # XLA cost analysis counts a lax.scan body ONCE, not
+                    # x trip-count (verified: the accum-16 program reports
+                    # 2.1e12 while the scan-free micro-4 program reports
+                    # 1.59e12 PER SEGMENT at the same dims). The grad-accum
+                    # scan dominates this program; scale by its trip count.
+                    flops *= accum
+                    flops_source = "xla_cost_analysis*accum(scan_body)"
         except Exception:
             pass
         state, metrics = call(state, batch)
