@@ -107,12 +107,14 @@ class activation_sharding_scope:
     .. warning:: constraints are recorded at TRACE time and the scope is
        NOT part of the jit cache key: a step function first called
        OUTSIDE the scope caches a constraint-free trace that is silently
-       reused inside it (and vice versa). Make the FIRST call of each jit
-       under the scope you intend. ``train.runner.TrainerRunner`` wraps
-       every train-step call in this scope whenever its mesh has a model
-       axis > 1 (so the tracing call is always in-scope), and
-       ``__graft_entry__.dryrun_multichip`` does the same explicitly. The
-       scope is a module global and not thread-safe."""
+       reused inside it (and vice versa). For the training/eval steps
+       this is solved structurally: ``train.loop.make_train_step`` /
+       ``make_eval_step`` enter the scope INSIDE the traced step body
+       (``sequence_parallel`` arg, auto-on when the mesh has a model axis
+       > 1), so every trace carries the intent and callers must NOT wrap
+       step calls themselves. Only hand-rolled jits outside those
+       builders need to make their first call under the scope they
+       intend. The scope is a module global and not thread-safe."""
 
     def __init__(self, mesh: Mesh):
         self.mesh = mesh

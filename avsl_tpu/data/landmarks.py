@@ -35,6 +35,13 @@ from avsl_tpu.data.lip_roi import canonical_mean_face
 
 
 class LandmarkDetector:
+    # True when the detector's output is a rigid affine image of the
+    # PARAMETRIC canonical layout (canonical_mean_face) rather than real
+    # per-point detections. Consumers warping against a DIFFERENT mean
+    # face must relayout such output first (lip_roi.relayout_landmarks)
+    # or the stable-point fit picks up a systematic crop scale/offset.
+    synthesizes_parametric_layout = False
+
     def __call__(self, frames: np.ndarray) -> List[Optional[np.ndarray]]:
         """frames [T, H, W] grayscale uint8 -> per-frame [68,2] or None."""
         raise NotImplementedError
@@ -97,6 +104,8 @@ class EnergyBoxDetector(LandmarkDetector):
     landmark interpolation downstream), matching how the reference thins
     dlib calls on long clips."""
 
+    synthesizes_parametric_layout = True
+
     def __init__(self, every_n: int = 1, center_sigma: float = 0.35,
                  keep_mass: float = 0.80, min_box: int = 24):
         self.every_n = max(every_n, 1)
@@ -158,6 +167,8 @@ class MotionEnergyDetector(LandmarkDetector):
     translated so their mouth matches the detected mouth center — giving a
     stable, mouth-centered 96x96 crop downstream.
     """
+
+    synthesizes_parametric_layout = True
 
     def __init__(self, keep_mass: float = 0.85, blur: int = 11,
                  center_sigma: float = 0.5, min_box: int = 24,
@@ -657,11 +668,19 @@ class AnchorTrackDetector(LandmarkDetector):
 
     def __init__(self, base: Optional[LandmarkDetector] = None,
                  template: int = 48, search: int = 28,
-                 min_corr: float = 0.3):
+                 min_corr: float = 0.3,
+                 layout: Optional[np.ndarray] = None):
         self.base = base or EnergyBoxDetector()
         self.template = template
         self.search = search
         self.min_corr = min_corr
+        # 68-point layout the emitted landmarks are an affine image of;
+        # MUST match the warp's mean face (default: parametric canonical).
+        # Scale anchors on the outer-eye span, which transfers across
+        # layouts (the base detector's eye span in px is its estimate of
+        # the true inter-eye distance regardless of layout family).
+        self.layout = None if layout is None else np.asarray(layout, np.float64)
+        self.synthesizes_parametric_layout = layout is None
 
     def __call__(self, frames: np.ndarray) -> List[Optional[np.ndarray]]:
         import cv2
@@ -676,7 +695,10 @@ class AnchorTrackDetector(LandmarkDetector):
         mouth_a = lm_a[48:68].mean(axis=0)
         # scale carried from the base layout (outer-eye span 36<->45 is
         # (45-36 canonical x-span)/156 of face width)
-        canon = canonical_mean_face(300).astype(np.float64)
+        canon = (
+            self.layout if self.layout is not None
+            else canonical_mean_face(300).astype(np.float64)
+        )
         canon_mouth = canon[48:68].mean(axis=0)
         eye_span = canon[45, 0] - canon[36, 0]
         s = (lm_a[45, 0] - lm_a[36, 0]) / eye_span

@@ -371,6 +371,7 @@ class RefinedMouthTracker(LandmarkDetector):
         # MUST match the warp's mean face (lip_roi.layout_face_width for
         # why). None = the parametric canonical face.
         self.layout = None if layout is None else np.asarray(layout)
+        self.synthesizes_parametric_layout = layout is None
         if photometric not in ("auto", "on", "off"):
             raise ValueError(f"photometric must be auto/on/off, got "
                              f"{photometric!r}")
@@ -685,9 +686,12 @@ class RefinedMouthTracker(LandmarkDetector):
             frames = self.photometric_normalize(frames)
         out = self.refine(frames)
         if out is None:
-            # no anchor/scale at all: defer to the plain anchored tracker
+            # no anchor/scale at all: defer to the plain anchored tracker —
+            # in the SAME layout, so the downstream warp (whose mean face
+            # must match self.layout) never sees mixed-layout landmarks
             return AnchorTrackDetector(
-                base=self.base, template=self.template, search=self.search
+                base=self.base, template=self.template, search=self.search,
+                layout=self.layout,
             )(frames)
         cen, sm_w, openings = out
         if self.layout is not None:

@@ -86,11 +86,45 @@ def layout_face_width_at_mouth(layout: np.ndarray) -> float:
     detectors that measure face width at mouth level."""
     lay = np.asarray(layout, np.float64)
     mouth_y = float(lay[48:68, 1].mean())
-    left = lay[:9]  # temple -> chin: y increasing
-    right = lay[8:17][::-1]  # reversed: y increasing
-    lx = float(np.interp(mouth_y, left[:, 1], left[:, 0]))
-    rx = float(np.interp(mouth_y, right[:, 1], right[:, 0]))
+
+    # np.interp needs increasing xp; a user-supplied mean face (tilted
+    # head, atypical annotation) may not have y-monotone jaw halves, so
+    # sort by y instead of assuming it
+    def _x_at_y(pts: np.ndarray) -> float:
+        order = np.argsort(pts[:, 1], kind="stable")
+        return float(np.interp(mouth_y, pts[order, 1], pts[order, 0]))
+
+    lx = _x_at_y(lay[:9])  # left temple -> chin
+    rx = _x_at_y(lay[8:17])  # chin -> right temple
     return rx - lx
+
+
+def relayout_landmarks(lms: np.ndarray, target_layout: np.ndarray) -> np.ndarray:
+    """Re-express SYNTHESIZED (rigid-layout) landmarks in another layout.
+
+    Detectors that synthesize landmarks emit a rigid affine image of one
+    68-point layout per frame. When the warp's mean face is a different
+    layout (e.g. the reference's real ``20words_mean_face.npy``), the
+    stable-point fit against mixed layouts introduces a systematic crop
+    scale/offset (measured -0.10 golden NCC, tests/test_mean_face.py).
+    This converts per frame, anchoring the mouth centroid and the
+    outer-eye x-span (36<->45) — both transfer across layout families.
+
+    ``lms``: [..., 68, 2] synthesized landmarks. Returns same shape in
+    ``target_layout``'s geometry. Only meaningful for synthesized
+    landmarks; real per-point detections should be left alone (the warp's
+    similarity fit is exactly the tool for those).
+    """
+    lms = np.asarray(lms, np.float32)
+    tgt = np.asarray(target_layout, np.float64)
+    tgt_mouth = tgt[48:68].mean(axis=0)
+    tgt_span = float(tgt[45, 0] - tgt[36, 0])
+    span = lms[..., 45, 0] - lms[..., 36, 0]  # [...]
+    mouth = lms[..., 48:68, :].mean(axis=-2)  # [..., 2]
+    s = span / tgt_span
+    return (
+        s[..., None, None] * (tgt - tgt_mouth) + mouth[..., None, :]
+    ).astype(np.float32)
 
 
 @functools.lru_cache(maxsize=1)

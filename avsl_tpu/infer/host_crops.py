@@ -41,6 +41,7 @@ from avsl_tpu.data.lip_roi import (
     canonical_mean_face,
     landmarks_interpolate,
     layout_face_width,
+    relayout_landmarks,
     smooth_landmarks,
 )
 from avsl_tpu.data.track_host import ncc_track_clip_parallel_np
@@ -112,6 +113,14 @@ class HostLipCropper:
         self._canon = self.mean_face.astype(np.float32)
         self._canon_mouth = self._canon[48:68].mean(axis=0)
         self._layout_w = layout_face_width(self._canon)
+        # interp mode warps whatever self.detector emits: detectors that
+        # synthesize the PARAMETRIC layout need their output re-expressed
+        # in a custom mean face's layout before the warp fit (the -0.10
+        # NCC mixed-layout hazard mode='track' avoids by synthesizing
+        # from self._canon directly)
+        self._relayout_interp = mean_face is not None and getattr(
+            self.detector, "synthesizes_parametric_layout", False
+        )
 
     # ---- trajectory estimation -------------------------------------
 
@@ -187,7 +196,10 @@ class HostLipCropper:
             if lms is None:
                 out[i] = self._canon[None]
                 continue
-            out[i] = smooth_landmarks(lms, self.smoothing_window)
+            lms = smooth_landmarks(lms, self.smoothing_window)
+            if self._relayout_interp:
+                lms = relayout_landmarks(lms, self._canon)
+            out[i] = lms
             ok[i] = True
         return out, ok
 

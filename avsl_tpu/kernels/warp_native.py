@@ -134,8 +134,20 @@ def sample_separable_host(
     host crops match stored-dataset crops. ``np.float32`` returns the raw
     device-kernel-equivalent values.
     """
+    n = int(np.prod(np.shape(frames)[:-2]))
+    if (
+        int(np.prod(np.shape(ys)[:-1])) != n
+        or int(np.prod(np.shape(xs)[:-1])) != n
+    ):
+        raise ValueError(
+            f"coords batch {np.shape(ys)[:-1]}/{np.shape(xs)[:-1]} does not "
+            f"match frames batch {np.shape(frames)[:-2]}"
+        )
     lib = _load_lib()
-    if lib is None:
+    # the C kernel reads uint8 frames only — non-uint8 input (e.g. already
+    # normalized float frames) takes the numpy path on BOTH branches, so
+    # the result never depends on whether the .so was built
+    if lib is None or np.asarray(frames).dtype != np.uint8:
         outf = sample_separable_np(frames, ys, xs)
         if out_dtype == np.uint8:
             return np.clip(outf, 0, 255).astype(np.uint8)

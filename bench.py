@@ -257,6 +257,15 @@ def main() -> None:
         np.asarray(leaf[(0,) * getattr(leaf, "ndim", 0)])
         return x
 
+    def _qget(q, timeout=900.0):
+        """Queue get that propagates producer-thread failures: a producer
+        pushes its exception instead of dying silently, and the bounded
+        timeout turns a dead producer into an error, not a hang."""
+        item = q.get(timeout=timeout)
+        if isinstance(item, BaseException):
+            raise RuntimeError("bench producer thread failed") from item
+        return item
+
     # ==== crops headline loop ==========================================
     def crops_loop(n_iters: int, tag: str) -> dict:
         """Producer thread hosts detection+track+warp; the consumer
@@ -266,17 +275,20 @@ def main() -> None:
         host_times = []
 
         def producer(n):
-            for _ in range(n):
-                th = time.perf_counter()
-                crops_b, _okb = cropper(clips)
-                host_times.append(time.perf_counter() - th)
-                q.put(crops_b)
+            try:
+                for _ in range(n):
+                    th = time.perf_counter()
+                    crops_b, _okb = cropper(clips)
+                    host_times.append(time.perf_counter() - th)
+                    q.put(crops_b)
+            except BaseException as e:  # propagate through the queue
+                q.put(e)
 
         threading.Thread(target=producer, args=(n_iters + 1,), daemon=True).start()
 
         # warm (compiles already done by caller); first item primes the queue
         tw = time.perf_counter()
-        crops_b = q.get()
+        crops_b = _qget(q)
         log(f"{tag} warm: q.get {time.perf_counter() - tw:.1f}s")
         tw = time.perf_counter()
         dev = jax.device_put(crops_b)
@@ -295,7 +307,7 @@ def main() -> None:
         t_loop = time.perf_counter()
         for i in range(n_iters):
             ti = time.perf_counter()
-            crops_b = q.get()
+            crops_b = _qget(q)
             dev = jax.device_put(crops_b)
             pcm_dev = jax.device_put(pcm)
             # block BEFORE dispatching compute: transfer/compute overlap
@@ -314,19 +326,23 @@ def main() -> None:
         )
         return stats
 
-    # compile the crops path first — the headline runs on the freshest
-    # transfer budget, before any other series touches the link
-    t0 = time.perf_counter()
-    crops0, _ok0 = cropper(clips)
-    cache0 = encode88(
-        variables, jax.device_put(pcm), jax.device_put(crops0)
-    )
-    out0 = decode_tokens(cache0)
-    out0.block_until_ready()
-    log(f"crops-path compiles: {time.perf_counter() - t0:.1f}s")
-
     headline = None
     if ONLY != "resident" and MEDIA != "only":
+        # compile the crops path first — the headline runs on the
+        # freshest transfer budget, before any other series touches the
+        # link. Skipped when the headline itself is skipped: the resident
+        # child compiles only encode96, the media child compiles encode88
+        # in its own warm call — neither should burn minutes (and an
+        # 18 MB upload) on this dead path.
+        t0 = time.perf_counter()
+        crops0, _ok0 = cropper(clips)
+        cache0 = encode88(
+            variables, jax.device_put(pcm), jax.device_put(crops0)
+        )
+        out0 = decode_tokens(cache0)
+        out0.block_until_ready()
+        log(f"crops-path compiles: {time.perf_counter() - t0:.1f}s")
+
         headline = crops_loop(ITERS, "crops")
 
         # compute share with crops device-resident: isolates upload time
@@ -431,16 +447,19 @@ def main() -> None:
         def media_producer(n):
             # decode + host crops on the producer thread (pure host work,
             # GIL released in C++/cv2); uploads stay on the consumer
-            for _ in range(n):
-                td = time.perf_counter()
-                arena, counts = decode_video_batch(
-                    seg_paths, (SRC_W, SRC_H), VIDEO_FRAMES
-                )
-                decode_fps.append(counts.sum() / (time.perf_counter() - td))
-                th = time.perf_counter()
-                crops_b, _ = cropper(arena)
-                host_crop_s.append(time.perf_counter() - th)
-                mq.put(crops_b)
+            try:
+                for _ in range(n):
+                    td = time.perf_counter()
+                    arena, counts = decode_video_batch(
+                        seg_paths, (SRC_W, SRC_H), VIDEO_FRAMES
+                    )
+                    decode_fps.append(counts.sum() / (time.perf_counter() - td))
+                    th = time.perf_counter()
+                    crops_b, _ = cropper(arena)
+                    host_crop_s.append(time.perf_counter() - th)
+                    mq.put(crops_b)
+            except BaseException as e:  # propagate through the queue
+                mq.put(e)
 
         threading.Thread(
             target=media_producer, args=(n_media + 1,), daemon=True
@@ -449,7 +468,7 @@ def main() -> None:
         pcm_dev = jax.device_put(pcm)
 
         def media_iter():
-            crops_b = mq.get()
+            crops_b = _qget(mq)
             dev = jax.device_put(crops_b)
             jax.block_until_ready(dev)
             return decode_tokens(encode88(variables, pcm_dev, dev))

@@ -187,7 +187,12 @@ def measure(model_name: str, envelope: str) -> dict:
     flops = None
     flops_source = "analytic"
     call = step
+    compile_s = None
     t0 = time.perf_counter()
+    # the try covers ONLY lower()/compile() (AOT availability): a failure
+    # in the first compiled EXECUTION (e.g. runtime HBM OOM) must
+    # propagate, not be mislabeled "AOT unavailable" and trigger a second
+    # multi-minute compile of the same doomed program via step()
     try:
         lowered = step.lower(state, batch)
         compiled = lowered.compile()
@@ -210,10 +215,12 @@ def measure(model_name: str, envelope: str) -> dict:
                     flops_source = "xla_cost_analysis*accum(scan_body)"
         except Exception:
             pass
-        state, metrics = call(state, batch)
     except Exception:
-        # AOT path unavailable on this backend — plain jit call
-        state, metrics = step(state, batch)
+        # AOT lowering/compile unavailable on this backend — the plain
+        # jit call below compiles instead
+        call = step
+    state, metrics = call(state, batch)
+    if compile_s is None:
         compile_s = time.perf_counter() - t0
     float(metrics["loss"])  # sync
     log(f"train-step compile+first: {compile_s:.1f}s")

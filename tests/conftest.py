@@ -29,3 +29,73 @@ def eight_devices():
     devs = jax.devices()
     assert len(devs) >= 8, f"expected 8 virtual devices, got {len(devs)}"
     return devs
+
+
+# Fast-gate curation: tests measured >= ~25 s on the 1-core CI host
+# (full -m "not slow" run, --durations; see docs/ENGINEERING_NOTES.md)
+# are auto-marked slow here so the fast gate `pytest -m "not slow"`
+# stays within its wall-clock budget. These are all e2e CLI smokes,
+# grad-exactness cross-checks, and property fuzzers — each has a faster
+# sibling still in the gate. Central list (rather than scattered
+# decorators) so re-curation after a durations run is one edit.
+_SLOW_BY_MEASUREMENT = {
+    "test_cli_distill_to_transcribe_roundtrip",
+    "test_avhubert_ft_cli_moe_ep",
+    "test_spec_property_fuzz_vs_greedy",
+    "test_avhubert_ft_cli_ctc_moe_tp",
+    "test_full_pipeline",
+    "test_finetune_smoke",
+    "test_pretrain_smoke",
+    "test_mode_mixing_stable_with_bn_trunk",
+    "test_transcriber_draft_under_tp_mesh_matches_single_device",
+    "test_flamingo_loss_collects_moe_aux_from_video_trunk",
+    "test_pipeline_grads_match_sequential",
+    "test_remat_is_numerically_identical",
+    "test_distill_raises_acceptance_tokens_stay_greedy",
+    "test_finetune_bucketed_multisteps",
+    "test_transcribe_cli_smoke_with_draft",
+    "test_evaluate_smoke",
+    "test_transcribe_cli_detect_language",
+    "test_transcribe_smoke",
+    "test_spec_exact_on_avhubert_seq2seq",
+    "test_exact_vs_greedy_independent_draft",
+    "test_train_step_on_mesh_updates_only_trainable",
+    "test_structural_freeze_matches_masked_step",
+    "test_temperature_fallback_retries_low_confidence",
+    "test_whisper_word_timestamps_end_to_end",
+    # second tier (>= ~15 s measured 2026-08-19, same host)
+    "test_exact_and_full_accept_with_self_draft",
+    "test_sp_on_off_losses_match",
+    "test_pretrain_iteration2",
+    "test_transcriber_with_draft_end_to_end",
+    "test_cli_serve_smoke",
+    "test_train_step_carries_sp_without_caller_scope",
+    "test_pretrain_learnability_audio_only",
+    "test_export_cli_smoke",
+    "test_serving_options_compose_on_a_mesh",
+    "test_staged_frontend_matches_fused",
+    "test_whisper_ft_smoke",
+    "test_tp_matches_dp_loss",
+    "test_remat_reduces_saved_residual_bytes",
+    "test_export_roundtrip_matches_live_program",
+    "test_gradients_flow_b_then_a",
+    "test_pp_train_step_matches_unpipelined",
+    "test_host_cropper_matches_device_staged_frontend",
+    "test_structural_freeze_trains_trainable",
+    "test_sequence_parallel_encoder_matches_replicated",
+    "test_model_logit_fidelity",
+    "test_transcriber_int8_end_to_end",
+    "test_align_cli_smoke_and_csv",
+    "test_avg_logprob_matches_greedy_scored",
+    "test_word_timestamps_through_transcriber_and_longform",
+    "test_exact_under_jit_and_kv_int8",
+    "test_grad_accum_matches_big_batch",
+    "test_spec_stats_telemetry",
+    "test_transcriber_tp_mesh_matches_single_device",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.originalname in _SLOW_BY_MEASUREMENT:
+            item.add_marker(pytest.mark.slow)

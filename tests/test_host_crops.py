@@ -267,3 +267,16 @@ def test_host_cropper_agrees_with_reference_golden_clip():
         [_ncc_best_shift(crops[0][i], gold[i]) for i in range(0, n, 5)]
     )
     assert sims.mean() >= 0.52, f"golden mean NCC {sims.mean():.3f}"
+
+
+@pytest.mark.skipif(not native_available(), reason="libavsl_warp not built")
+def test_float_frames_take_numpy_path_regardless_of_native_lib():
+    """Non-uint8 frames must produce the SAME result whether or not the
+    native library is built (the C kernel is uint8-only; silently casting
+    float frames to uint8 truncated/wrapped every pixel)."""
+    frames, ys, xs = _rand_case(seed=9)
+    ff = frames.astype(np.float32) / 255.0
+    with_lib = sample_separable_host(ff, ys, xs, out_dtype=np.float32)
+    expected = sample_separable_np(ff, ys, xs).astype(np.float32)
+    np.testing.assert_allclose(with_lib, expected, rtol=1e-6)
+    assert with_lib.max() <= 1.0  # would be >1 if sampled from a u8 cast

@@ -153,3 +153,160 @@ def test_golden_agreement_with_real_mean_face():
         "layout-aware synthesis must beat the mixed pairing "
         f"({s_real:.3f} vs {s_mixed:.3f})"
     )
+
+
+# ---- layout-consistency fixes (round 4 review) -------------------------
+
+
+def _rigid_residual(lms: np.ndarray, layout: np.ndarray) -> float:
+    """Max residual of the best scale+translation fit of layout onto lms.
+
+    Synthesized landmarks are by construction s*(layout - mouth) + t, so
+    the residual is ~0 iff lms is a rigid (rotation-free) image of layout."""
+    C = np.asarray(layout, np.float64)
+    C = C - C.mean(axis=0)
+    L = np.asarray(lms, np.float64)
+    L = L - L.mean(axis=0)
+    s = float((L * C).sum() / (C * C).sum())
+    return float(np.abs(L - s * C).max())
+
+
+def _custom_layout() -> np.ndarray:
+    # a materially different layout: squashed + sheared parametric face
+    base = canonical_mean_face(300).astype(np.float64)
+    out = base.copy()
+    out[:, 1] = 0.7 * base[:, 1] + 30.0
+    out[:, 0] = base[:, 0] + 0.1 * base[:, 1]
+    return out.astype(np.float32)
+
+
+def test_relayout_landmarks_converts_rigid_images():
+    from avsl_tpu.data.lip_roi import relayout_landmarks
+
+    para = canonical_mean_face(300).astype(np.float64)
+    custom = _custom_layout()
+    # synthesized parametric landmarks at various scales/offsets
+    lms = np.stack([
+        0.6 * (para - para[48:68].mean(0)) + np.array([100.0 + i, 80.0])
+        for i in range(5)
+    ]).astype(np.float32)
+    out = relayout_landmarks(lms, custom)
+    assert out.shape == lms.shape
+    for t in range(5):
+        assert _rigid_residual(lms[t], para) < 1e-3
+        assert _rigid_residual(out[t], custom) < 1e-3
+        # mouth centroid preserved
+        np.testing.assert_allclose(
+            out[t, 48:68].mean(0), lms[t, 48:68].mean(0), atol=1e-3
+        )
+        # eye span preserved (the scale anchor)
+        assert np.isclose(
+            out[t, 45, 0] - out[t, 36, 0], lms[t, 45, 0] - lms[t, 36, 0],
+            atol=1e-3,
+        )
+    # relayout onto the SAME layout is the identity
+    same = relayout_landmarks(lms, para)
+    np.testing.assert_allclose(same, lms, atol=1e-3)
+
+
+def test_anchor_track_detector_honors_custom_layout():
+    from avsl_tpu.data.landmarks import AnchorTrackDetector
+
+    pytest.importorskip("cv2")
+    custom = _custom_layout()
+    rng = np.random.default_rng(3)
+    h, w, t = 144, 176, 24
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = np.empty((t, h, w), np.uint8)
+    base = rng.integers(20, 80, (h, w)).astype(np.float32)
+    for i in range(t):
+        cx = 88 + 5 * np.sin(i / 4)
+        face = 120 * np.exp(-(((xx - cx) / 28) ** 2 + ((yy - 70) / 36) ** 2))
+        frames[i] = np.clip(base + face, 0, 255).astype(np.uint8)
+
+    det = AnchorTrackDetector(layout=custom)
+    assert not det.synthesizes_parametric_layout
+    lms = det(frames)
+    assert lms[0] is not None
+    para = canonical_mean_face(300)
+    for lm in lms[::6]:
+        assert _rigid_residual(lm, custom) < 1e-2
+        assert _rigid_residual(lm, para) > 1.0  # NOT the parametric layout
+
+
+def test_refined_tracker_fallback_keeps_layout(monkeypatch):
+    """refine() failure must fall back in the SAME layout — the mixed-
+    layout hazard this round's review caught: the fallback used to emit
+    parametric landmarks while the warp targeted the custom mean face."""
+    from avsl_tpu.data.lip_refine import RefinedMouthTracker
+
+    pytest.importorskip("cv2")
+    custom = _custom_layout()
+    rng = np.random.default_rng(4)
+    h, w, t = 144, 176, 24
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = np.empty((t, h, w), np.uint8)
+    base = rng.integers(20, 80, (h, w)).astype(np.float32)
+    for i in range(t):
+        cx = 88 + 5 * np.sin(i / 4)
+        face = 120 * np.exp(-(((xx - cx) / 28) ** 2 + ((yy - 70) / 36) ** 2))
+        frames[i] = np.clip(base + face, 0, 255).astype(np.uint8)
+
+    trk = RefinedMouthTracker(layout=custom)
+    monkeypatch.setattr(
+        RefinedMouthTracker, "refine", lambda self, f: None
+    )
+    lms = trk(frames)
+    assert lms[0] is not None
+    for lm in lms[::6]:
+        assert _rigid_residual(lm, custom) < 1e-2, (
+            "fallback dropped the custom layout"
+        )
+
+
+def test_host_cropper_interp_relayouts_custom_mean_face():
+    from avsl_tpu.infer.host_crops import HostLipCropper
+
+    custom = _custom_layout()
+    rng = np.random.default_rng(5)
+    h, w, t = 144, 176, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    clips = np.empty((1, t, h, w), np.uint8)
+    base = rng.integers(20, 80, (h, w)).astype(np.float32)
+    for i in range(t):
+        cx = 88 + 6 * np.sin(i / 5)
+        face = 120 * np.exp(-(((xx - cx) / 28) ** 2 + ((yy - 70) / 36) ** 2))
+        clips[0, i] = np.clip(base + face, 0, 255).astype(np.uint8)
+
+    hc = HostLipCropper(mode="interp", detect_ds=2, mean_face=custom)
+    assert hc._relayout_interp
+    lms, ok = hc.landmarks(clips)
+    assert bool(ok[0])
+    for lm in lms[0, ::8]:
+        assert _rigid_residual(lm, custom) < 0.5, (
+            "interp-mode landmarks not in the warp's mean-face layout"
+        )
+    crops, ok2 = hc(clips)
+    assert crops.shape == (1, t, 96, 96) and bool(ok2[0])
+
+    # parametric mean face: no relayout (identity behavior unchanged)
+    hc2 = HostLipCropper(mode="interp", detect_ds=2)
+    assert not hc2._relayout_interp
+
+
+def test_width_at_mouth_tolerates_nonmonotone_jaw():
+    from avsl_tpu.data.lip_roi import layout_face_width_at_mouth
+
+    para = canonical_mean_face(300).astype(np.float64)
+    ref = layout_face_width_at_mouth(para)
+    # perturb jaw y so neither half is y-monotone (tilted/atypical mean)
+    bent = para.copy()
+    bent[3, 1] -= 12.0
+    bent[5, 1] += 9.0
+    bent[12, 1] += 10.0
+    bent[14, 1] -= 11.0
+    got = layout_face_width_at_mouth(bent)
+    assert np.isfinite(got) and got > 0
+    assert abs(got - ref) < 0.15 * ref, (
+        f"non-monotone jaw broke the width anchor: {got} vs {ref}"
+    )

@@ -164,9 +164,11 @@ def test_runner_with_ctc_predictions_fn(tmp_path):
 
 def test_runner_enters_sp_scope_on_model_parallel_mesh(tmp_path):
     """ADVICE round-2: a step first traced outside the activation-sharding
-    scope silently runs without sequence parallelism forever. TrainerRunner
-    must make its FIRST train_step call (the tracing one) inside the scope
-    whenever the mesh has a model axis > 1."""
+    scope silently runs without sequence parallelism forever. Round 4 made
+    the scope part of the traced step body (make_train_step), so the
+    runner's FIRST train_step call (the tracing one) must see the scope
+    active whenever the mesh has a model axis > 1 — regardless of the
+    caller's context."""
     from avsl_tpu.core import mesh as mesh_mod
     from avsl_tpu.core.mesh import make_mesh
 
@@ -185,7 +187,6 @@ def test_runner_enters_sp_scope_on_model_parallel_mesh(tmp_path):
         FakeTokenizer(), Cfg(), mesh=mesh,
         log_dir=str(tmp_path / "logs"), ckpt_dir=str(tmp_path / "ckpt"),
     )
-    assert runner._sp_active
     runner.fit(lambda e: _train_batches(e), None, num_steps=1)
     assert seen and seen[0], "first trace happened outside the SP scope"
 
@@ -197,7 +198,6 @@ def test_runner_enters_sp_scope_on_model_parallel_mesh(tmp_path):
         FakeTokenizer(), Cfg(), mesh=make_mesh(4, model_parallel=1),
         log_dir=str(tmp_path / "logs2"), ckpt_dir=str(tmp_path / "ckpt2"),
     )
-    assert not runner2._sp_active
     runner2.fit(lambda e: _train_batches(e), None, num_steps=1)
     assert seen and not seen[0]
 
