@@ -81,6 +81,60 @@ def log(msg):
         print(f"[t={_elapsed():.0f}s] {msg}", file=sys.stderr, flush=True)
 
 
+def _emit(result: dict) -> None:
+    """Emit the bench result.
+
+    The driver tail-captures stdout and parses the FINAL line as the
+    round's headline JSON; round 4's number was lost because the full
+    result (every secondary series inlined) exceeded the tail window and
+    got truncated mid-line (VERDICT.md Weak #1). So: the full blob goes
+    to bench_full.json + stderr, and the final stdout line is a COMPACT
+    headline — metric/value/unit/vs_baseline plus a few small scalars.
+    """
+    full = json.dumps(result)
+    try:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+        )
+        with open(path, "w") as f:
+            f.write(full + "\n")
+    except OSError:
+        pass
+    print(full, file=sys.stderr, flush=True)
+
+    compact = {
+        k: result[k]
+        for k in ("metric", "value", "unit", "vs_baseline")
+        if k in result
+    }
+    for k in (
+        "segments_per_sec_sustained", "iter_median_s", "iters", "mode",
+        "model", "param_dtype", "bench_wall_s", "host_crop_median_s",
+        "error",
+    ):
+        if k in result and not isinstance(result[k], (dict, list)):
+            compact[k] = result[k]
+    # one-scalar summaries of the secondary series (full data in the file)
+    for series in (
+        "device_resident", "real_media", "large_device_resident",
+        "crops_depleted", "serving",
+    ):
+        v = result.get(series)
+        if isinstance(v, dict) and "segments_per_sec" in v:
+            compact[f"{series}_segments_per_sec"] = v["segments_per_sec"]
+        elif isinstance(v, dict) and "requests_per_sec" in v:
+            compact[f"{series}_requests_per_sec"] = v["requests_per_sec"]
+    ts = result.get("train_step")
+    if isinstance(ts, dict):
+        ref = ts.get("reference", ts)
+        if isinstance(ref, dict):
+            for k in ("mfu", "step_time_s", "segments_per_sec"):
+                if k in ref:
+                    compact[f"train_{k}"] = ref[k]
+    compact["full_result"] = "bench_full.json"
+    print(json.dumps(compact), flush=True)
+
+
 def _series_stats(times, total_s=None, batch=BATCH) -> dict:
     times = np.asarray(times)
     out = {
@@ -601,7 +655,7 @@ def main() -> None:
             "model": bench_model or "base",
             "device_resident": device_series,
         }
-        print(json.dumps(result))
+        _emit(result)
         return
     if MEDIA == "only":
         result = {
@@ -614,7 +668,7 @@ def main() -> None:
             ),
             "real_media": real_media,
         }
-        print(json.dumps(result))
+        _emit(result)
         return
 
     segments_per_sec = headline["segments_per_sec"]
@@ -640,7 +694,7 @@ def main() -> None:
         result["train_step"] = train_step
     if crops_depleted is not None:
         result["crops_depleted"] = crops_depleted
-    print(json.dumps(result))
+    _emit(result)
 
 
 def _backend_available(timeout_s: float) -> bool:
