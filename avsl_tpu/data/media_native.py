@@ -25,6 +25,10 @@ _LIB_PATHS = [
 
 @functools.lru_cache(maxsize=1)
 def _load_lib() -> Optional[ctypes.CDLL]:
+    from avsl_tpu.utils.native_build import ensure_built
+
+    ensure_built(os.path.dirname(os.path.abspath(_LIB_PATHS[0])),
+                 "libavsl_media.so")
     for path in _LIB_PATHS:
         path = os.path.abspath(path)
         if os.path.exists(path):
