@@ -37,6 +37,7 @@ def cmd_markers(args) -> None:
         disfluency_dir=args.disfluency_dir,
         dsfl_types_file=args.dsfl_types,
         include_fluent=args.include_fluent,
+        strict_reference=args.strict_reference,
     )
     print(f"wrote {path}")
 
@@ -195,6 +196,11 @@ def main(argv: Optional[List[str]] = None) -> None:
     m.add_argument("--disfluency_dir", default=None)
     m.add_argument("--dsfl_types", default=None)
     m.add_argument("--include_fluent", action="store_true")
+    m.add_argument(
+        "--strict_reference", action="store_true",
+        help="bit-parity row set with reference-built marker CSVs "
+             "(drops un-annotated laughs; no punctuation filter)",
+    )
 
     d = sub.add_parser("dialogue_acts")
     d.add_argument("--input", required=True)

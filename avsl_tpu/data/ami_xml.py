@@ -24,7 +24,9 @@ Known deviation: the reference zeroes the 'laughter' label of a vocalsound
 when an ontology is supplied but the element carries no disfluency
 annotation (disfluency_laughter_process.py:196-199), silently dropping
 un-annotated laughs; here laughter is preserved unless explicitly
-re-annotated.
+re-annotated. Pass ``strict_reference=True`` to
+:func:`disfluency_laughter_to_csv` (CLI: ``--strict_reference``) to get
+the reference's exact row set for bit-parity diffs.
 """
 
 from __future__ import annotations
@@ -234,13 +236,27 @@ def disfluency_laughter_to_csv(
     disfluency_dir: Optional[str] = None,
     dsfl_types_file: Optional[str] = None,
     include_fluent: bool = False,
+    strict_reference: bool = False,
 ) -> str:
     """Emit ``ami_laugh_markers.csv`` with columns
     [meeting_id, speaker_id, word, start_time, end_time, disfluency_type].
 
     Laughter rows keep type 'laughter'; annotated words get their ontology
     type name; fluent words are included only if ``include_fluent`` or when
-    no ontology is supplied (reference default behavior)."""
+    no ontology is supplied (reference default behavior).
+
+    ``strict_reference=True`` reproduces the reference's row set
+    bit-for-bit (reference disfluency_laughter_process.py:180-214) so
+    marker CSVs can be diffed row-identical against reference-built ones.
+    Two documented deviations flip back in this mode:
+
+    * with an ontology supplied, the lookup OVERWRITES the default label
+      (reference :196-199: ``dsfl_types.get(word_to_disfluency.get(id,
+      ''), '')``) — so un-annotated laughs AND fluent words get the empty
+      type and are dropped, where the default mode preserves laughter;
+    * punctuation ``w`` elements are not filtered (the reference has no
+      punc check in this producer) — they surface only if annotated.
+    """
     os.makedirs(output_dir, exist_ok=True)
     dsfl_types = load_disfluency_types(dsfl_types_file) if dsfl_types_file else None
     csv_path = os.path.join(output_dir, "ami_laugh_markers.csv")
@@ -259,17 +275,24 @@ def disfluency_laughter_to_csv(
                     word_to_dsfl = _word_disfluency_map(dpath)
             for entry in parse_words_file(words_path).values():
                 if entry.tag == "w":
-                    if entry.is_punct or not entry.text:
+                    if not strict_reference and (entry.is_punct or not entry.text):
                         continue
                     dtype = "fluent"
                 elif entry.tag == "vocalsound" and entry.vocal_type == "laugh":
                     dtype = "laughter"
                 else:
                     continue
-                if dsfl_types is not None and entry.word_id in word_to_dsfl:
-                    dtype = dsfl_types.get(word_to_dsfl[entry.word_id], dtype)
-                if dtype == "fluent" and dsfl_types is not None and not include_fluent:
-                    continue
+                if strict_reference:
+                    if dsfl_types is not None:
+                        tid = word_to_dsfl.get(entry.word_id, "")
+                        dtype = dsfl_types.get(tid, "")
+                    if not dtype:
+                        continue
+                else:
+                    if dsfl_types is not None and entry.word_id in word_to_dsfl:
+                        dtype = dsfl_types.get(word_to_dsfl[entry.word_id], dtype)
+                    if dtype == "fluent" and dsfl_types is not None and not include_fluent:
+                        continue
                 writer.writerow(
                     [meeting, speaker, entry.text, entry.start, entry.end, dtype]
                 )

@@ -109,9 +109,33 @@ def load_torch_state_dict(
 def convert_whisper_state_dict(
     state: Dict[str, np.ndarray]
 ) -> Dict[str, np.ndarray]:
-    """Torch Whisper state_dict -> flat flax path dict."""
+    """Torch Whisper state_dict -> flat flax path dict.
+
+    ``encoder.positional_embedding`` is a registered BUFFER in the OpenAI
+    model (sinusoids computed at construction), so published checkpoints
+    carry it even though it is not a parameter; this framework's encoder
+    recomputes the same sinusoids at apply time (models/whisper.py). The
+    buffer is consumed here (not forwarded as an 'unexpected' key) after
+    verifying it matches the recomputed table — a mismatch would mean the
+    encoder positions silently diverge from the checkpoint's.
+    """
     out = {}
     for k, v in state.items():
+        nk = re.sub(r"^model\.", "", k)
+        if nk == "encoder.positional_embedding":
+            from avsl_tpu.models.layers import sinusoid_embedding
+
+            buf = np.asarray(v, np.float32)
+            ours = sinusoid_embedding(buf.shape[0], buf.shape[1])
+            if not np.allclose(buf, ours, atol=5e-3):
+                raise ValueError(
+                    "checkpoint encoder.positional_embedding does not match "
+                    "the recomputed Whisper sinusoid table "
+                    f"(max abs diff {np.abs(buf - ours).max():.4g}); the "
+                    "encoder would run with different positions than the "
+                    "checkpoint was trained with"
+                )
+            continue
         path = rename_whisper_key(k)
         out[path] = _to_flax_array(path, v)
     return out

@@ -64,6 +64,13 @@ def _torch_state_for(cfg: WhisperConfig, rng):
         sd[pre + "mlp_ln.bias"] = t((d,))
     sd["encoder.ln_post.weight"] = t((d,))
     sd["encoder.ln_post.bias"] = t((d,))
+    # real checkpoints carry the encoder's sinusoid BUFFER; conversion
+    # verifies it against the recomputed table and consumes it
+    from avsl_tpu.models.layers import sinusoid_embedding
+
+    sd["encoder.positional_embedding"] = torch.tensor(
+        sinusoid_embedding(cfg.n_audio_ctx, d)
+    )
 
     dt = cfg.n_text_state
     sd["decoder.token_embedding.weight"] = t((cfg.n_vocab, dt))
@@ -107,7 +114,8 @@ def test_full_checkpoint_conversion(tmp_path):
     # every torch tensor must land somewhere, nothing unexpected
     assert report["unexpected"] == [], report["unexpected"][:5]
     assert report["shape_mismatch"] == [], report["shape_mismatch"][:5]
-    assert len(report["loaded"]) == len(sd)
+    # every tensor loads except the sinusoid buffer (consumed + verified)
+    assert len(report["loaded"]) == len(sd) - 1
     # nothing from the flax tree except (none) should be missing
     assert report["missing"] == [], report["missing"][:5]
 

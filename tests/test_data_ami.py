@@ -143,6 +143,52 @@ def test_disfluency_csv(ami_tree, tmp_path):
     assert any(r["disfluency_type"] == "laughter" for r in rows2)
 
 
+def test_disfluency_csv_strict_reference(ami_tree, tmp_path):
+    """strict_reference=True reproduces the reference's exact row set
+    (reference disfluency_laughter_process.py:180-214): with an ontology
+    the lookup OVERWRITES the default label, so un-annotated laughs and
+    fluent words drop; without one, every w/laugh row appears including
+    punctuation (no punc filter in the reference producer)."""
+    path = disfluency_laughter_to_csv(
+        str(ami_tree),
+        str(tmp_path / "strict"),
+        disfluency_dir=str(ami_tree / "disfluency"),
+        dsfl_types_file=str(ami_tree / "ontologies" / "dsfl-types.xml"),
+        strict_reference=True,
+    )
+    rows = [tuple(r) for r in csv.reader(open(path))][1:]
+    # golden: ONLY the annotated word survives; the un-annotated laugh is
+    # dropped (the reference behavior the default mode deviates from)
+    assert rows == [("EN2001a", "A", "um", "3.20", "3.80", "hesitation")]
+
+    # without ontology: everything labeled fluent/laughter, punctuation
+    # and truncated words included (reference loop has no such filters)
+    path2 = disfluency_laughter_to_csv(
+        str(ami_tree), str(tmp_path / "strict2"), strict_reference=True
+    )
+    rows2 = [tuple(r) for r in csv.reader(open(path2))][1:]
+    assert rows2 == [
+        ("EN2001a", "A", "Hello", "1.00", "1.30", "fluent"),
+        ("EN2001a", "A", "world", "1.30", "1.60", "fluent"),
+        ("EN2001a", "A", ".", "", "", "fluent"),
+        ("EN2001a", "A", "<laugh>", "1.70", "2.10", "laughter"),
+        ("EN2001a", "A", "wor-", "2.20", "2.40", "fluent"),
+        ("EN2001a", "A", "again", "2.50", "2.90", "fluent"),
+        ("EN2001a", "A", "um", "3.20", "3.80", "fluent"),
+    ]
+
+    # default mode on the same tree differs exactly by the documented
+    # deviations: laugh preserved with ontology, punct/trunc filtered
+    path3 = disfluency_laughter_to_csv(
+        str(ami_tree),
+        str(tmp_path / "default"),
+        disfluency_dir=str(ami_tree / "disfluency"),
+        dsfl_types_file=str(ami_tree / "ontologies" / "dsfl-types.xml"),
+    )
+    rows3 = [tuple(r) for r in csv.reader(open(path3))][1:]
+    assert ("EN2001a", "A", "<laugh>", "1.70", "2.10", "laughter") in rows3
+
+
 def test_load_disfluency_types(ami_tree):
     types = load_disfluency_types(str(ami_tree / "ontologies" / "dsfl-types.xml"))
     assert types == {"ami_dsfl_0": "hesitation", "ami_dsfl_1": "repetition"}
