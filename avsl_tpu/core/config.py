@@ -399,6 +399,7 @@ class AVHuBERTConfig:
     dtype: str = "bfloat16"
     param_dtype: str = "float32"
     remat: bool = False
+    remat_policy: str = "block"  # "block" | "dots" (models.layers.remat_block)
 
     # Mixture-of-experts encoder FFN (new in this framework; the reference
     # stacks are dense). n_experts > 0 swaps every fusion-encoder block's
@@ -533,6 +534,7 @@ class WhisperConfig:
     dtype: str = "bfloat16"
     param_dtype: str = "float32"
     remat: bool = False
+    remat_policy: str = "block"  # "block" | "dots" (models.layers.remat_block)
 
     @classmethod
     def from_name(cls, name: str, **overrides: Any) -> "WhisperConfig":

@@ -29,6 +29,7 @@ import numpy as np
 
 from avsl_tpu.core.config import AVHuBERTConfig
 from avsl_tpu.models.layers import (
+    remat_block,
     Cache,
     LayerNormF32,
     TransformerBlock,
@@ -198,7 +199,9 @@ class AVHuBERTVisualEncoder(nn.Module):
             # (bf16[1,750,44,44,64] per map) dominate HLO temp memory —
             # checkpoint the whole frontend like the transformer blocks.
             # use_running_average (positional index 2) is the static arg.
-            frontend_cls = nn.remat(ResNet3DFrontend, static_argnums=(2,))
+            frontend_cls = remat_block(
+                ResNet3DFrontend, (2,), cfg.remat_policy
+            )
         feats = frontend_cls(
             frontend_channels=cfg.visual_frontend_channels,
             backbone_channels=cfg.visual_backbone_channels,
@@ -298,7 +301,9 @@ class AVHuBERTTransformerEncoder(nn.Module):
             # gradient_checkpointing_enable over the whole model,
             # utils/memory_utils.py:85-97). `deterministic` (positional
             # index 8 after the module scope) is the only static arg.
-            block_cls = nn.remat(TransformerBlock, static_argnums=(8,))
+            block_cls = remat_block(
+                TransformerBlock, (8,), cfg.remat_policy
+            )
         for i in range(cfg.num_hidden_layers):
             out, _ = block_cls(
                 d_model=cfg.hidden_size,
@@ -674,7 +679,7 @@ class AVHuBERTDecoder(nn.Module):
         # decode path (no autodiff there), saves the per-block training
         # activations like the encoder stack
         block_cls = (
-            nn.remat(TransformerBlock, static_argnums=(8,))
+            remat_block(TransformerBlock, (8,), cfg.remat_policy)
             if cfg.remat else TransformerBlock
         )
         self.layers = [

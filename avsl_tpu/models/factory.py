@@ -50,6 +50,7 @@ def build_whisper_flamingo(
     dropout_rate: float = 0.0,
     dtype: str = "bfloat16",
     remat: bool = False,
+    remat_policy: str = "block",
 ) -> Tuple[Whisper, WhisperConfig]:
     """Build the Whisper(+Flamingo) model.
 
@@ -67,6 +68,7 @@ def build_whisper_flamingo(
         "add_gated_x_attn": int(add_gated_x_attn),
         "dropout_rate": dropout_rate,
         "remat": remat,
+        "remat_policy": remat_policy,
     }
     if vocab_size is not None:
         overrides["n_vocab"] = int(vocab_size)
@@ -76,7 +78,9 @@ def build_whisper_flamingo(
     # gradient checkpointing covers the WHOLE model like the reference's
     # gradient_checkpointing_enable walk (utils/memory_utils.py:85-97):
     # the AV-HuBERT trunk reads its own remat flag
-    av_hubert_cfg = dataclasses.replace(av_hubert_cfg, remat=remat)
+    av_hubert_cfg = dataclasses.replace(
+        av_hubert_cfg, remat=remat, remat_policy=remat_policy
+    )
 
     video_model = (
         make_av_hubert_video_encoder(av_hubert_cfg)

@@ -54,6 +54,27 @@ def _gm_bwd(scale, g):
 grad_multiply.defvjp(_gm_fwd, _gm_bwd)
 
 
+def remat_block(cls, static_argnums, policy: str = "block"):
+    """``nn.remat`` with a selectable rematerialization policy.
+
+    ``"block"`` — checkpoint everything (max memory savings, full
+    forward recompute in the backward: the round-4 default, measured
+    22.5% MFU at the large-v2 reference envelope).
+    ``"dots"`` — ``dots_with_no_batch_dims_saveable``: the projection /
+    MLP GEMM outputs are saved and only attention internals + elementwise
+    ops recompute, trading a little memory for skipping the expensive
+    half of the re-forward. At micro-batch 1 the saved GEMM outputs are
+    a few MB per block, so the memory cost is negligible on any chip.
+    """
+    policies = {
+        "block": None,
+        "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+    }
+    if policy not in policies:
+        raise ValueError(f"unknown remat policy {policy!r}; known: {sorted(policies)}")
+    return nn.remat(cls, static_argnums=static_argnums, policy=policies[policy])
+
+
 def sinusoid_embedding(
     length: int, channels: int, max_timescale: float = 10000.0
 ) -> np.ndarray:

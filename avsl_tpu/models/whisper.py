@@ -30,6 +30,7 @@ import numpy as np
 
 from avsl_tpu.core.config import WhisperConfig
 from avsl_tpu.models.layers import (
+    remat_block,
     Cache,
     LayerNormF32,
     TransformerBlock,
@@ -69,7 +70,9 @@ class WhisperEncoder(nn.Module):
         if cfg.remat:
             # flax core_fn prepends the module scope, so `deterministic`
             # (8th call arg) sits at static index 8
-            block = nn.remat(TransformerBlock, static_argnums=(8,))
+            block = remat_block(
+                TransformerBlock, (8,), cfg.remat_policy
+            )
         # sequence parallelism: between blocks the activations shard
         # [batch -> data axis, time -> model axis]; a no-op outside
         # core.mesh.activation_sharding_scope. Attention's full-sequence

@@ -629,6 +629,29 @@ def main() -> None:
             )
             train_step = {"large_v2": err, "fallback_tiny": small}
 
+    # ==== serving under sustained load (CPU child: batching/scheduler
+    # layer regression anchor — does not touch the TPU, so it cannot
+    # disturb the depleted re-run's transfer budget) =====================
+    serving = None
+    if (
+        not is_child and ONLY != "resident" and MEDIA != "only"
+        and os.environ.get("AVSL_BENCH_SERVING", "1") == "1"
+        and _elapsed() < BUDGET_S - 120
+    ):
+        serving_script = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "scripts", "bench_serving.py",
+        )
+        serving = run_child(
+            child_env,
+            argv=[sys.executable, serving_script, "--device", "cpu",
+                  "--clients", "8", "--requests", "32",
+                  "--batch_size", "8"],
+            tag="serving", timeout=600,
+        )
+        if "value" in serving:
+            serving["requests_per_sec"] = serving.pop("value")
+
     # ==== depleted re-run: the throttle-proof artifact ==================
     # always runs (costs ~40 s) — this is the evidence the headline
     # survives the drained link tier, and it must not fall off the end
@@ -692,6 +715,8 @@ def main() -> None:
         result["large_device_resident"] = large_resident
     if train_step is not None:
         result["train_step"] = train_step
+    if serving is not None:
+        result["serving"] = serving
     if crops_depleted is not None:
         result["crops_depleted"] = crops_depleted
     _emit(result)

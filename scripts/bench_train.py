@@ -86,8 +86,15 @@ def measure(model_name: str, envelope: str) -> dict:
     from avsl_tpu.train.objectives import flamingo_loss_fn
     from avsl_tpu.train.optim import select_optimizer
 
+    # remat variant knob: "block" (whole-block checkpointing), "dots"
+    # (save GEMM outputs, recompute attention internals/elementwise),
+    # "none" (no rematerialization — at micro-batch 1 the activations
+    # fit easily, so the backward skips the re-forward entirely)
+    remat_mode = os.environ.get("AVSL_BENCH_TRAIN_REMAT", "block")
     model, cfg = build_whisper_flamingo(
-        model_name, add_gated_x_attn=1, dtype="bfloat16", remat=True
+        model_name, add_gated_x_attn=1, dtype="bfloat16",
+        remat=remat_mode != "none",
+        remat_policy=remat_mode if remat_mode != "none" else "block",
     )
     if envelope == "reference":
         # the YAML's own envelope: batch 1 x accum 16 AND the 10 s audio
