@@ -270,7 +270,10 @@ def measure(model_name: str, envelope: str) -> dict:
         "n_params": n_params,
         "n_trainable": n_trainable,
         "freeze_regime": "flamingo_projection",
-        "remat": True,
+        # measured identical across block/dots/none at this envelope: the
+        # frozen towers run forward-only and the decoder is not remat'd,
+        # so no recompute exists for the policy to remove
+        "remat": remat_mode,
         "param_dtype": "bfloat16",
         "step_time_s": round(step_s, 4),
         "steps_per_sec": round(1.0 / step_s, 4),
