@@ -20,7 +20,47 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+
+class TimeChannelStemConv(nn.Module):
+    """The Conv3D stem (k=(5,7,7), s=(1,2,2), C_in=1) computed as a 2-D
+    conv with the 5 temporal taps stacked on the channel axis.
+
+    XLA:TPU's conv emitter handles the C_in=1 3-D conv pathologically
+    (measured on v5e at the train envelope [1,250,88,88,1]: 8.6 ms,
+    1.9 TFLOP/s — 20% of the whole train micro-step). The identical
+    arithmetic expressed as [B*T, H, W, 5] @ k(7,7) s(2,2) runs in
+    0.44 ms (34.5 TFLOP/s), bit-equal in bf16 (scripts/profile_sublayers.py
+    / round-5 notes). The param keeps the Conv3D layout [5,7,7,1,C] under
+    the same ``stem_conv/kernel`` name so checkpoint converters
+    (models/convert.py) are unchanged.
+    """
+
+    features: int
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B,T,H,W,1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (5, 7, 7, 1, self.features),
+            self.param_dtype,
+        )
+        b, t, h, w, _ = x.shape
+        xt = x[..., 0].astype(self.dtype)                    # [B,T,H,W]
+        xp = jnp.pad(xt, ((0, 0), (2, 2), (0, 0), (0, 0)))   # T pad = conv3d's (2,2)
+        sh = jnp.stack([xp[:, i:i + t] for i in range(5)], -1)  # [B,T,H,W,5]
+        sh = sh.reshape(b * t, h, w, 5)
+        w2d = kernel[:, :, :, 0, :].transpose(1, 2, 0, 3).astype(self.dtype)
+        out = jax.lax.conv_general_dilated(
+            sh, w2d, (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out.reshape(b, t, out.shape[1], out.shape[2], self.features)
 
 
 class ChannelPReLU(nn.Module):
@@ -172,12 +212,8 @@ class ResNet3DFrontend(nn.Module):
             video = video[..., None]
         b, t = video.shape[0], video.shape[1]
         x = video.astype(self.dtype)
-        x = nn.Conv(
+        x = TimeChannelStemConv(
             self.frontend_channels,
-            (5, 7, 7),
-            strides=(1, 2, 2),
-            padding=((2, 2), (3, 3), (3, 3)),
-            use_bias=False,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="stem_conv",

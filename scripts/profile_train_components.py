@@ -16,6 +16,12 @@ component as its own jitted program at the SAME shapes:
 
 plus each program's XLA cost-analysis FLOPs => achieved FLOP/s per
 component. Prints one JSON line.
+
+Sync discipline: on the tunneled axon backend `block_until_ready` acks
+dispatch, NOT completion (round-4/5 finding — it "measured" 9259 TFLOP/s
+on a 197 TFLOP/s chip). Every timed program therefore RETURNS ONE f32
+SCALAR (sum over its real outputs) and each timed iteration ends with a
+4-byte float() d2h pull, which cannot complete before the compute does.
 """
 
 from __future__ import annotations
@@ -30,29 +36,33 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _time(fn, *args, iters=6):
-    out = fn(*args)
-    jax_block(out)
+def _scalarize(out):
+    """Reduce an arbitrary output tree to one f32 scalar on device."""
+    import jax
+    import jax.numpy as jnp
+
+    tot = jnp.float32(0)
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.number):
+            tot = tot + jnp.sum(leaf.astype(jnp.float32))
+    return tot
+
+
+def _time(fn, *args, iters=5):
+    """Median wall time of fn(*args) -> scalar, synced by float() pull."""
+    float(fn(*args))  # compile + d2h channel warm-up
+    float(fn(*args))  # one more: first pull after a compile can drain
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax_block(out)
+        float(fn(*args))
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
 
 
-def jax_block(x):
-    import jax
-
-    jax.block_until_ready(x)
-
-
-def _flops(fn, *args):
-    import jax
-
+def _flops(jfn, *args):
     try:
-        c = jax.jit(fn).lower(*args).compile()
+        c = jfn.lower(*args).compile()
         ca = c.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
@@ -94,25 +104,31 @@ def main() -> None:
 
     results = {"model": model_name}
 
-    # --- encoder forward (audio + video towers together, then split) ----
+    # --- component programs (each returns ONE f32 scalar) ---------------
     @jax.jit
     def encode_full(v, mel, video):
-        return model.apply(v, mel, video, deterministic=True,
-                           method=model.encode)
+        return _scalarize(model.apply(v, mel, video, deterministic=True,
+                                      method=model.encode))
 
     @jax.jit
     def encode_audio(v, mel):
-        return model.apply(v, mel, None, deterministic=True,
-                           method=model.encode)
+        return _scalarize(model.apply(v, mel, None, deterministic=True,
+                                      method=model.encode))
 
     @jax.jit
     def decode_tf(v, dec, feats, xv):
         logits, _ = model.apply(v, dec, feats, xv=xv, deterministic=True,
                                 method=model.decode)
-        return logits
+        return _scalarize(logits)
 
-    feats, xv = encode_full(variables, mel, video)
-    jax_block((feats, xv))
+    @jax.jit
+    def feats_only(v, mel, video):
+        feats, xv = model.apply(v, mel, video, deterministic=True,
+                                method=model.encode)
+        return feats, xv
+
+    feats, xv = feats_only(variables, mel, video)
+    jax.block_until_ready((feats, xv))
 
     loss_fn = flamingo_loss_fn(model, train=True)
     batch = {"input_ids": mel, "dec_input_ids": dec, "labels": labels,
@@ -128,10 +144,6 @@ def main() -> None:
         freeze_video_model = True
 
     tx, labels_tree = select_optimizer(variables["params"], _Cfg(), t_total=100)
-
-    import flax
-
-    part = flax.core.freeze if False else (lambda x: x)
     train_mask = jax.tree_util.tree_map(lambda l: l == "train", labels_tree)
 
     def split(params):
@@ -156,7 +168,7 @@ def main() -> None:
     @jax.jit
     def loss_fwd(v, batch):
         out = loss_fn(v["params"], v, batch, jax.random.PRNGKey(0))
-        return out[0] if isinstance(out, tuple) else out
+        return _scalarize(out[0] if isinstance(out, tuple) else out)
 
     @jax.jit
     def loss_bwd(trainable, frozen, v, batch):
@@ -165,39 +177,42 @@ def main() -> None:
             out = loss_fn(params, v, batch, jax.random.PRNGKey(0))
             return out[0] if isinstance(out, tuple) else out
 
-        return jax.value_and_grad(f)(trainable)
+        loss, grads = jax.value_and_grad(f)(trainable)
+        return loss + _scalarize(grads)
 
     # --- optimizer apply alone ------------------------------------------
     opt_state = jax.jit(tx.init)(variables["params"])
-    jax_block(opt_state)
+    jax.block_until_ready(opt_state)
 
     @jax.jit
     def opt_apply(grads, opt_state, params):
-        updates, new_state = tx.update(grads, opt_state, params)
         import optax
 
-        return optax.apply_updates(params, updates), new_state
+        updates, new_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return _scalarize(jax.tree_util.tree_leaves(new_params)[0]) \
+            + _scalarize(jax.tree_util.tree_leaves(new_state)[0])
 
     zero_grads = jax.jit(
         lambda p: jax.tree_util.tree_map(jnp.zeros_like, p)
     )(variables["params"])
-    jax_block(zero_grads)
+    jax.block_until_ready(zero_grads)
 
     # --- practical MXU ceiling at encoder shapes -------------------------
-    a0 = jnp.zeros((500, 1280), jnp.bfloat16)
-    w1 = jnp.zeros((1280, 5120), jnp.bfloat16)
-    w2 = jnp.zeros((5120, 1280), jnp.bfloat16)
+    a0 = jnp.ones((500, 1280), jnp.bfloat16) * 0.01
+    w1 = jnp.ones((1280, 5120), jnp.bfloat16) * 0.01
+    w2 = jnp.ones((5120, 1280), jnp.bfloat16) * 0.001
 
     @jax.jit
     def gemm_chain(a, w1, w2):
         for _ in range(32):
             a = (a @ w1) @ w2
-        return a
+        return jnp.sum(a.astype(jnp.float32))
 
     # --- measure ----------------------------------------------------------
-    def record(name, fn, *args):
-        t = _time(fn, *args)
-        f = _flops(lambda *a: fn(*a), *args)
+    def record(name, jfn, *args):
+        t = _time(jfn, *args)
+        f = _flops(jfn, *args)
         results[name] = {
             "time_s": round(t, 5),
             "flops": f,
@@ -206,6 +221,7 @@ def main() -> None:
         print(f"{name}: {t*1000:.1f} ms, {f/1e9:.1f} GFLOP, "
               f"{(f/t/1e12 if f else 0):.1f} TFLOP/s",
               file=sys.stderr, flush=True)
+        print(json.dumps(results), flush=True)
 
     record("gemm_chain_500x1280", gemm_chain, a0, w1, w2)
     record("encode_audio_video", encode_full, variables, mel, video)

@@ -21,6 +21,15 @@ jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_threefry_partitionable", True)
 
+# Param-init PRNG: threefry programs are the single largest compile cost
+# in the suite on a 1-core host (measured 2026-08-20: jax.random.normal
+# compiles 0.4-4.8 s PER SHAPE; ~106 eager compiles inside one tiny-model
+# init -> 16 s). 'rbg' lowers to XLA's RngBitGenerator op (~0.2 s compile)
+# and halves model-init time. Tests assert self-consistent numerics, not
+# specific threefry draws, so the impl swap is behavior-safe; production
+# code paths never read jax_default_prng_impl.
+jax.config.update("jax_default_prng_impl", "rbg")
+
 import pytest  # noqa: E402
 
 
