@@ -9,6 +9,8 @@ import os
 # The ambient env pins JAX_PLATFORMS=axon (one real TPU chip); tests run on a
 # virtual 8-device CPU mesh instead.
 os.environ.pop("JAX_PLATFORMS", None)
+# must precede jaxlib logging init to silence XLA AOT cache-load notes
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,6 +22,18 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_threefry_partitionable", True)
+
+# Persistent XLA compile cache: the suite's cost on a 1-core host is
+# dominated by first-time compiles of model programs; caching them makes
+# per-commit re-runs much cheaper (measured: test_lora.py 134 s cold ->
+# 73 s warm). Safe across commits - the cache key is the full HLO, so any
+# model change recompiles. Override location with JAX_COMPILATION_CACHE_DIR.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                   os.path.expanduser("~/.cache/avsl_tpu_test_xla")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 # Param-init PRNG: threefry programs are the single largest compile cost
 # in the suite on a 1-core host (measured 2026-08-20: jax.random.normal
@@ -72,6 +86,19 @@ _SLOW_BY_MEASUREMENT = {
     "test_structural_freeze_matches_masked_step",
     "test_temperature_fallback_retries_low_confidence",
     "test_whisper_word_timestamps_end_to_end",
+    # third tier (>= ~10 s measured 2026-08-20 post-rbg; each has a
+    # cheaper sibling that keeps its subsystem in the fast gate —
+    # noted inline)
+    "test_vector_cache_index_matches_scalar",  # spec: cache_too_small, stats tests
+    "test_transcriber_kv_int8_end_to_end",  # kv_int8: greedy_matches_bf16_cache
+    "test_transcriber_mixes_lip_raw_and_audio_only",  # infer: raw_video_affects_output
+    "test_ep_matches_replicated",  # moe: brute_force_topk, partitioning_rules
+    "test_transformer_block_moe_padding_via_kv_lengths",  # moe: padding_mask_invariance
+    "test_export_cross_platform_tpu_serializes",  # export: rejects_mesh_transcriber
+    "test_batched_downsample_scales_back",  # detector: track_refine_parallel_stage
+    "test_factory_model_builds_twice",  # factory: every model test builds one
+    "test_flamingo_loss_provides_modality_rng",  # train: prob_av_mode_mixing
+    "test_eval_step_carries_sp",  # sp: dryrun_multichip + train-step sibling
     # second tier (>= ~15 s measured 2026-08-19, same host)
     "test_exact_and_full_accept_with_self_draft",
     "test_sp_on_off_losses_match",

@@ -25,7 +25,10 @@ from avsl_tpu.kernels.lip_pipeline import (
 )
 from avsl_tpu.kernels.warp import warp_and_crop_clip_separable
 
-T, H, W = 75, 144, 176
+# 40 frames exercises every pipeline stage (interp gaps, smooth-12 window,
+# slope fit over frames 10..T-10) at ~half the 75-frame compile+exec cost;
+# the slow-marked deep siblings keep longer clips.
+T, H, W = 40, 144, 176
 DS = 2
 WINDOW = 25
 
@@ -62,6 +65,8 @@ def test_smooth_time_matches_host():
 def test_masked_interp_matches_host():
     rng = np.random.default_rng(2)
     nw = 4
+    # needs nw distinct window centers -> its own clip length (cheap test)
+    T = 4 * WINDOW
     centers = np.minimum(np.arange(nw) * WINDOW + WINDOW // 2, T - 1)
     values = rng.normal(size=(nw, 2)).astype(np.float32) * 10
     for valid_pattern in ([1, 1, 1, 1], [0, 1, 1, 0], [1, 0, 0, 1], [0, 0, 1, 0]):

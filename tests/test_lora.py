@@ -24,7 +24,11 @@ from avsl_tpu.models.lora import (
 )
 
 
-def _tiny_model():
+@pytest.fixture(scope="module")
+def tiny_model():
+    """One shared build+init for the whole module (the init is the
+    dominant cost at ~10 s on the 1-core CI host; LoRA never mutates
+    the base params in place, so sharing is safe)."""
     from avsl_tpu.models.factory import build_whisper_flamingo
 
     model, cfg = build_whisper_flamingo("test", vocab_size=64, dtype="float32")
@@ -42,8 +46,8 @@ def _tiny_model():
     return model, cfg, variables, (mel, toks, video), apply
 
 
-def test_init_structure_and_identity_at_step0():
-    model, cfg, variables, (mel, toks, video), apply = _tiny_model()
+def test_init_structure_and_identity_at_step0(tiny_model):
+    model, cfg, variables, (mel, toks, video), apply = tiny_model
     params = variables["params"]
     lora = init_lora(jax.random.PRNGKey(0), params, rank=4)
     names = [p for p, _ in iter_adapters(lora)]
@@ -73,11 +77,11 @@ def test_init_requires_a_match():
         init_lora(jax.random.PRNGKey(0), {"x": jnp.ones((4, 4))}, rank=2)
 
 
-def test_gradients_flow_b_then_a():
+def test_gradients_flow_b_then_a(tiny_model):
     """At init (B=0) dL/dA = G @ B^T = 0 while dL/dB != 0; once B moves,
     A's gradient turns on. This is the structural signature of correct
     autodiff through the in-jit merge."""
-    model, cfg, variables, (mel, toks, video), apply = _tiny_model()
+    model, cfg, variables, (mel, toks, video), apply = tiny_model
     params = variables["params"]
     lora = init_lora(jax.random.PRNGKey(0), params, rank=2)
 
@@ -99,10 +103,10 @@ def test_gradients_flow_b_then_a():
     assert any(np.any(g != 0) for g in ga2)
 
 
-def test_merged_serving_equals_lora_forward():
+def test_merged_serving_equals_lora_forward(tiny_model):
     """Exporting a merged checkpoint serves EXACTLY what training saw:
     forward(merge(base, lora)) == the wrapped training-path forward."""
-    model, cfg, variables, (mel, toks, video), apply = _tiny_model()
+    model, cfg, variables, (mel, toks, video), apply = tiny_model
     params = variables["params"]
     lora = init_lora(jax.random.PRNGKey(0), params, rank=2)
     # make the adapters non-trivial
