@@ -14,9 +14,13 @@ rebuilt from the framework's own parts:
   MotionEnergyDetector` on a ``detect_ds``-subsampled stream (the
   original host implementation the device kernels twin);
 * per-frame trajectory (mode="track", default): the anchored parallel
-  NCC tracker (:mod:`avsl_tpu.data.track_host`, host twin of
+  NCC tracker — one batched GIL-released C++ call
+  (cpp/avsl_track via :mod:`avsl_tpu.kernels.track_native`) covering
+  downsample -> NCC score maps -> top-k NMS -> Viterbi -> interpolation,
+  with :mod:`avsl_tpu.data.track_host` (host twin of
   kernels/track.py:ncc_track_clip_parallel — the same refinement the
-  on-device bench frontend applies), smoothed over 12 frames;
+  on-device bench frontend applies) as the identical-math numpy/cv2
+  fallback; smoothed over 12 frames;
 * mode="interp": per-window detection + ``lip_roi.
   landmarks_interpolate`` + ``smooth_landmarks`` (the preprocessing
   pipeline's estimator);
@@ -44,7 +48,7 @@ from avsl_tpu.data.lip_roi import (
     relayout_landmarks,
     smooth_landmarks,
 )
-from avsl_tpu.data.track_host import ncc_track_clip_parallel_np
+from avsl_tpu.kernels.track_native import ncc_track_batch_host
 from avsl_tpu.kernels.warp import separable_crop_coords_np
 
 
@@ -144,6 +148,10 @@ class HostLipCropper:
         det = self.detector
         if not isinstance(det, MotionEnergyDetector):
             raise ValueError("mode='track' needs a MotionEnergyDetector")
+        # Phase 1 — per-clip detection (numpy scalar logic; cheap):
+        # anchor positions + face scales feed one batched tracker call.
+        anchor_pos = np.zeros((b, 2), np.float32)
+        face_ws = np.zeros((b,), np.float32)
         for i in range(b):
             # face scale from the clip at detect_ds, temporally strided
             # (motion statistics are scale-relative, so the threshold
@@ -161,24 +169,37 @@ class HostLipCropper:
             # window trajectory at t//2 (lip_pipeline track_refine_*);
             # a single mid-window estimate lands within a couple px of
             # that at ~3% of the full window sweep's cost
-            small_t = clips[i, :, ::tds, ::tds]
             mid = det.detect_clip(
-                small_t[max(0, anchor - half_w): anchor + half_w + 1]
+                clips[i, max(0, anchor - half_w): anchor + half_w + 1,
+                      ::tds, ::tds]
             )
             if mid is not None:
-                anchor_pos = np.asarray(mid[1], np.float32)
+                anchor_pos[i] = np.asarray(mid[1], np.float32)
             else:
-                anchor_pos = np.asarray(clip_mouth, np.float32) * dds / tds
-            track = ncc_track_clip_parallel_np(
-                small_t, anchor_pos, anchor,
-                template_size=max(16, 48 // tds),
-                search=max(24, 96 // tds),
-                stride=self.track_stride,
-                top_k=self.track_top_k,
-            )
-            traj = smooth_landmarks(track * tds, self.smoothing_window)
-            out[i] = self._lms_from_traj(traj, float(face_w) * dds)
+                anchor_pos[i] = np.asarray(clip_mouth, np.float32) * dds / tds
+            face_ws[i] = float(face_w) * dds
             ok[i] = True
+        if not ok.any():
+            return out, ok
+        # Phase 2 — one batched NCC tracking call over the detected clips
+        # (native C++ with the GIL released when cpp/avsl_track is built;
+        # identical-math numpy/cv2 fallback otherwise).
+        sel = np.nonzero(ok)[0]
+        tracks, trk_ok = ncc_track_batch_host(
+            clips[sel], anchor_pos[sel], anchor, ds=tds,
+            template_size=max(16, 48 // tds),
+            search=max(24, 96 // tds),
+            stride=self.track_stride,
+            top_k=self.track_top_k,
+        )
+        # Phase 3 — smoothing + landmark synthesis (vectorized numpy).
+        for j, i in enumerate(sel):
+            if not trk_ok[j]:
+                out[i] = self._canon[None]
+                ok[i] = False
+                continue
+            traj = smooth_landmarks(tracks[j] * tds, self.smoothing_window)
+            out[i] = self._lms_from_traj(traj, face_ws[i])
         return out, ok
 
     def _landmarks_interp(self, clips: np.ndarray):
