@@ -112,7 +112,12 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         cfg.model_name = "test"
         cfg.num_train_steps = 6
         cfg.validate_every_n_batches = 3
-        cfg.gradient_accumulation_steps = 1
+        # keep smoke fast, but let an explicit YAML accum (capped at 2)
+        # through so the accumulation + frozen-tower-hoist path is
+        # exercisable end-to-end under --smoke
+        cfg.gradient_accumulation_steps = min(
+            int(getattr(cfg, "gradient_accumulation_steps", 1) or 1), 2
+        )
         cfg.batch_size = 4
         cfg.audio_max_length = 16000
         cfg.warmup_steps = 1
@@ -262,6 +267,40 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         prob_a=float(cfg.prob_use_a),
     )
     eval_loss = flamingo_loss_fn(model, train=False)
+
+    # Hoist the frozen tower forwards out of the grad-accumulation scan
+    # (objectives.flamingo_tower_precompute): valid only when EVERY param
+    # the towers read is frozen — decided from the optimizer's own
+    # TRAIN/FROZEN label tree, so the gate can never disagree with what
+    # actually gets gradients. LoRA is excluded (adapters may graft onto
+    # tower matmuls), as is bucketed cross-batch accumulation, and video
+    # BN must use running stats (the batched forward must not see
+    # micro-step-ordered stats updates).
+    precompute = None
+    if lora_rank == 0 and runner_accum > 1:
+        import flax.traverse_util as _tu
+
+        flat_labels = _tu.flatten_dict(_labels) if isinstance(_labels, dict) else {}
+        tower_labels = [
+            v for k, v in flat_labels.items()
+            if k and k[0] in ("encoder", "video_model")
+        ]
+        towers_frozen = bool(tower_labels) and all(
+            v != "train" for v in tower_labels
+        )
+        bn_frozen = bool(getattr(cfg, "freeze_video_batch_norm_stats", False))
+        if towers_frozen and bn_frozen and bool(
+            getattr(cfg, "hoist_frozen_towers", True)
+        ):
+            from avsl_tpu.train.objectives import flamingo_tower_precompute
+
+            precompute = flamingo_tower_precompute(
+                model, train=True, freeze_video_bn_stats=True,
+                spec_augment=getattr(cfg, "spec_augment", None),
+                prob_av=float(cfg.prob_use_av),
+                prob_a=float(cfg.prob_use_a),
+            )
+
     if lora_rank > 0:
         loss_fn = lora_mod.lora_loss_fn(loss_fn, base_params, lora_alpha, lora_rank)
         eval_loss = lora_mod.lora_loss_fn(eval_loss, base_params, lora_alpha, lora_rank)
@@ -295,6 +334,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         # structural freeze: only the trainable subtree is differentiated
         # (no backward through the frozen AV-HuBERT trunk / whisper body)
         param_labels=_labels,
+        precompute_fn=precompute,
     )
     train_bs = int(cfg.batch_size) * (runner_accum if runner_accum > 1 else 1)
     # prefetch_batches > 0 uploads the next batch while the step runs

@@ -236,11 +236,44 @@ class Whisper(nn.Module):
         zero-variance, and BN's backward multiplies by 1/sqrt(eps) per
         layer (measured: grad-norm ~4e4 on the tiny stack, NaN within a
         few Adam steps)."""
-        features = self.encoder(mel, deterministic=deterministic)
+        features, v = self.encode_towers(
+            mel, video=video, video_mask=video_mask,
+            deterministic=deterministic,
+            freeze_video_bn_stats=freeze_video_bn_stats,
+        )
         if track_norm:
             self.sow("intermediates", "audio_feature_norm",
                      jnp.linalg.norm(features.astype(jnp.float32)))
         x_v = None
+        if v is not None:
+            x_v = self.video_projection(v.astype(_dtype(self.cfg)))
+            if video_feature_scale is not None:
+                x_v = x_v * jnp.asarray(video_feature_scale, x_v.dtype)
+            if track_norm:
+                self.sow("intermediates", "video_feature_norm",
+                         jnp.linalg.norm(x_v.astype(jnp.float32)))
+        return features, x_v
+
+    def encode_towers(
+        self,
+        mel: jnp.ndarray,
+        video: Optional[jnp.ndarray] = None,
+        video_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        freeze_video_bn_stats: bool = False,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        """Run ONLY the two feature towers (Whisper audio encoder +
+        video_model); the trainable ``video_projection`` is deliberately
+        NOT applied. This is the frozen half of the encoder/video freeze
+        regimes (reference whisper_flamingo_ft_ami.py:506-517): the
+        grad-accumulation scan can hoist this forward out of the scan
+        body and run it ONCE, batched over all micro-steps (see
+        train/objectives.flamingo_tower_precompute), while
+        :meth:`project_and_decode` keeps the trainable projection inside
+        the differentiated program. Returns ``(audio_features,
+        raw_video_feats_or_None)``."""
+        features = self.encoder(mel, deterministic=deterministic)
+        v = None
         if video is not None and self.cfg.add_gated_x_attn:
             if self.video_model is not None:
                 v = self.video_model(
@@ -249,13 +282,30 @@ class Whisper(nn.Module):
                 )
             else:
                 v = video  # already-extracted video features [B, T, video_state]
-            x_v = self.video_projection(v.astype(_dtype(self.cfg)))
+        return features, v
+
+    def project_and_decode(
+        self,
+        tokens: jnp.ndarray,
+        audio_features: jnp.ndarray,
+        video_feats: Optional[jnp.ndarray] = None,
+        video_feature_scale: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """The trainable tail of the hoisted-tower split: video_projection
+        (+ AV-mode feature scaling, see :meth:`encode` on why the scale
+        applies to projected features) and the teacher-forced decoder.
+        ``project_and_decode(t, *encode_towers(mel, video))`` computes
+        exactly ``decode(t, *encode(mel, video))``."""
+        xv = None
+        if video_feats is not None and self.cfg.add_gated_x_attn:
+            xv = self.video_projection(video_feats.astype(_dtype(self.cfg)))
             if video_feature_scale is not None:
-                x_v = x_v * jnp.asarray(video_feature_scale, x_v.dtype)
-            if track_norm:
-                self.sow("intermediates", "video_feature_norm",
-                         jnp.linalg.norm(x_v.astype(jnp.float32)))
-        return features, x_v
+                xv = xv * jnp.asarray(video_feature_scale, xv.dtype)
+        logits, _ = self.decoder(
+            tokens, audio_features, xv=xv, deterministic=deterministic
+        )
+        return logits
 
     def decode(
         self,

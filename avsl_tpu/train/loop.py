@@ -110,6 +110,8 @@ def make_train_step(
     state_constraint_fn: Optional[Callable[[Any], Any]] = None,
     sequence_parallel: Optional[bool] = None,
     param_labels: Any = None,
+    precompute_fn: Optional[Callable[..., Any]] = None,
+    split_precompute: bool = False,
 ):
     """Build a jit-compiled SPMD train step.
 
@@ -132,6 +134,32 @@ def make_train_step(
     under the flamingo regime), and the grad-accumulation carry holds only
     trainable-sized gradients. Updates are identical to the label-less
     step (the optimizer's ``set_to_zero`` partition sees zeros either way).
+
+    ``precompute_fn(params, batch_stats, batch, rng) -> ctx``: optional
+    frozen-subgraph hoist. Runs ONCE per step, outside ``value_and_grad``
+    and outside the grad-accumulation scan, on the FULL stacked batch
+    (leading ``[accum, micro, ...]`` axes when accumulating); must return
+    a dict of arrays with a leading ``[accum, ...]`` axis (or plain
+    ``[...]`` when ``grad_accum_steps == 1``) that is merged into each
+    micro-batch dict before ``loss_fn`` sees it. The canonical user is
+    :func:`avsl_tpu.train.objectives.flamingo_tower_precompute`, which
+    batches the FROZEN Whisper-encoder + AV-HuBERT tower forwards over
+    all accumulation micro-steps in one program (16 separate B=1 tower
+    forwards become one B=16 forward; no backward exists for them under
+    the freeze regime either way, so gradients are unchanged). Only valid
+    when everything the precompute computes is actually frozen — callers
+    gate on the freeze regime (train/runner.py).
+
+    ``split_precompute=True`` compiles the precompute as its OWN jitted
+    program and returns ``(step, pre)`` where ``ctx = pre(state, batch)``
+    feeds ``step(state, batch, ctx)``. Numerically identical to the fused
+    form (both derive the same precompute rng from ``state.rng``); the
+    context stays on device between the two programs. Two smaller
+    programs compile far more predictably than one giant one (tunneled
+    compile services showed pathological multi-10-minute compiles on the
+    fused hoisted step), and per-program XLA cost analysis stays
+    attributable (the grad-accum scan-body x trip-count correction must
+    NOT scale the hoisted towers). Costs one extra dispatch per step.
     """
     sp_ctx = lambda: _sp_scope(mesh, sequence_parallel)  # noqa: E731
 
@@ -147,7 +175,7 @@ def make_train_step(
         metrics["loss"] = loss
         return grads, metrics, new_stats
 
-    def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+    def step_fn(state: TrainState, batch, ctx_in=None) -> Tuple[TrainState, Dict]:
         rng, new_rng = jax.random.split(state.rng)
 
         if param_labels is not None:
@@ -155,8 +183,19 @@ def make_train_step(
         else:
             diff_params, frozen = state.params, None
 
+        ctx = ctx_in
+        if precompute_fn is not None:
+            # consume the pre-key slot in BOTH modes so the downstream rng
+            # chain (and the split pre program's key derivation) agree
+            rng, pre_key = jax.random.split(rng)
+            if ctx is None:
+                ctx = precompute_fn(state.params, state.batch_stats, batch, pre_key)
+
         if grad_accum_steps > 1:
-            def scan_body(carry, micro):
+            def scan_body(carry, xs):
+                micro, ctx_i = xs
+                if ctx_i is not None:
+                    micro = {**micro, **ctx_i}
                 grads_acc, stats, key = carry
                 key, sub = jax.random.split(key)
                 grads, metrics, new_stats = _grads_one(
@@ -167,13 +206,14 @@ def make_train_step(
 
             zero_grads = jax.tree_util.tree_map(jnp.zeros_like, diff_params)
             (grads, new_stats, _), metrics = jax.lax.scan(
-                scan_body, (zero_grads, state.batch_stats, rng), batch
+                scan_body, (zero_grads, state.batch_stats, rng), (batch, ctx)
             )
             grads = jax.tree_util.tree_map(lambda g: g / grad_accum_steps, grads)
             metrics = jax.tree_util.tree_map(jnp.mean, metrics)
         else:
             grads, metrics, new_stats = _grads_one(
-                diff_params, frozen, state.batch_stats, batch, rng
+                diff_params, frozen, state.batch_stats,
+                {**batch, **ctx} if ctx is not None else batch, rng
             )
             # LossFn contract: new_batch_stats may be None (no update);
             # the accum scan keeps the old stats in that case — mirror it
@@ -201,13 +241,34 @@ def make_train_step(
         return new_state, metrics
 
     _inner_step = step_fn
+    split = bool(split_precompute) and precompute_fn is not None
 
-    def step_fn(state, batch):  # noqa: F811 — scoped wrapper
+    def step_fn(state, batch, ctx_in=None):  # noqa: F811 — scoped wrapper
         with sp_ctx():
-            return _inner_step(state, batch)
+            return _inner_step(state, batch, ctx_in)
+
+    def pre_fn(state, batch):
+        # identical key derivation to the fused path: step consumes
+        # (new_rng, pre_key) off state.rng in that order
+        rng, _new = jax.random.split(state.rng)
+        _rng, pre_key = jax.random.split(rng)
+        with sp_ctx():
+            return precompute_fn(state.params, state.batch_stats, batch, pre_key)
+
+    def _finish(step_jitted):
+        if not split:
+            return step_jitted
+        return step_jitted, jax.jit(pre_fn)
 
     if mesh is None:
-        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+        if split:
+            return _finish(jax.jit(
+                step_fn, donate_argnums=(0,) if donate else ()
+            ))
+        return jax.jit(
+            lambda state, batch: step_fn(state, batch),
+            donate_argnums=(0,) if donate else (),
+        )
 
     replicated = NamedSharding(mesh, P())
     # batch leaves sharded on the data axis: dim 0 for plain batches, dim 1
@@ -220,11 +281,11 @@ def make_train_step(
             spec[batch_dim] = DATA_AXIS
         return NamedSharding(mesh, P(*spec))
 
-    def sharded_step(state, batch):
+    def sharded_step(state, batch, ctx_in=None):
         batch = jax.lax.with_sharding_constraint(
             batch, jax.tree_util.tree_map(batch_sharding, batch)
         )
-        new_state, metrics = step_fn(state, batch)
+        new_state, metrics = step_fn(state, batch, ctx_in)
         if state_constraint_fn is not None:
             # pin the OUTPUT state to the rule layout: under ZeRO-1 the
             # elementwise Adam update mixes replicated params with
@@ -241,9 +302,23 @@ def make_train_step(
         # tensor-parallel state: shard via core.partitioning.shard_state
         # beforehand; jit propagates the input shardings (no forced
         # replication), XLA inserts the tp collectives
-        return jax.jit(sharded_step, donate_argnums=(0,) if donate else ())
+        if split:
+            return _finish(jax.jit(
+                sharded_step, donate_argnums=(0,) if donate else ()
+            ))
+        return jax.jit(
+            lambda state, batch: sharded_step(state, batch),
+            donate_argnums=(0,) if donate else (),
+        )
+    if split:
+        return _finish(jax.jit(
+            sharded_step,
+            in_shardings=(replicated, None, None),
+            out_shardings=(replicated, replicated),
+            donate_argnums=(0,) if donate else (),
+        ))
     return jax.jit(
-        sharded_step,
+        lambda state, batch: sharded_step(state, batch),
         in_shardings=(replicated, None),
         out_shardings=(replicated, replicated),
         donate_argnums=(0,) if donate else (),

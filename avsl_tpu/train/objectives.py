@@ -76,6 +76,30 @@ def flamingo_loss_fn(model, train: bool = True, freeze_video_bn_stats: bool = Fa
         update_stats = train and batch_stats is not None and not freeze_video_bn_stats
         mutable = (["batch_stats"] if update_stats else []) + ["intermediates"]
 
+        if "enc_features" in batch:
+            # Hoisted-tower path: the FROZEN towers already ran, batched
+            # over every accumulation micro-step in one program
+            # (flamingo_tower_precompute via make_train_step's
+            # precompute_fn) — SpecAugment and the AV-mode draw happened
+            # there too. Only the trainable tail (video_projection +
+            # gated x-attn decoder) runs under grad here. A frozen MoE
+            # trunk's balance aux is skipped on this path: it carries no
+            # gradient (router frozen), so the update is unchanged.
+            logits = model.apply(
+                variables,
+                batch["dec_input_ids"],
+                batch["enc_features"],
+                video_feats=batch.get("video_feats"),
+                video_feature_scale=batch.get("video_scale"),
+                deterministic=not train,
+                rngs=rngs,
+                method="project_and_decode",
+            )
+            loss = cross_entropy_loss(
+                logits, batch["labels"], label_smoothing=0.0
+            )
+            return loss, ({}, batch_stats)
+
         mel = batch["input_ids"]
         if train and spec_augment in ("ls-basic", "ls-double"):
             from avsl_tpu.kernels.specaugment import spec_augment_batch
@@ -128,6 +152,105 @@ def flamingo_loss_fn(model, train: bool = True, freeze_video_bn_stats: bool = Fa
         return loss, (metrics, new_stats)
 
     return loss_fn
+
+
+def flamingo_tower_precompute(model, train: bool = True,
+                              freeze_video_bn_stats: bool = True,
+                              spec_augment: Optional[str] = None,
+                              prob_av: float = 1.0, prob_a: float = 0.0):
+    """Batched frozen-tower forward for :func:`flamingo_loss_fn`.
+
+    Under the encoder-freezing regimes (reference
+    whisper_flamingo_ft_ami.py:506-517 — ``video_projection`` /
+    ``flamingo_projection``: Whisper encoder + AV-HuBERT tower frozen) the
+    towers are forward-only; re-running them INSIDE the grad-accumulation
+    scan wastes the MXU on accum-many B=1 forwards. This builds
+    ``make_train_step``'s ``precompute_fn``: one program runs both towers
+    over the whole stacked batch ([accum, micro, ...] -> one
+    [accum*micro, ...] forward) and returns per-micro context the scan
+    feeds back into the loss (keys ``enc_features``, ``video_feats``,
+    ``video_scale``). Gradients are identical to the in-scan path — the
+    towers have none under the freeze regime either way; the trainable
+    ``video_projection`` stays inside the differentiated loss
+    (``Whisper.project_and_decode``).
+
+    The stochastic input transforms whose draws feed the towers move here
+    with it: SpecAugment on the mel, and the per-micro-step AV-mode draw
+    (``prob_av``/``prob_a``) — the mel zeroing applies before the encoder,
+    while the drawn ``video_scale`` rides the context to the decoder tail.
+    Key assignment differs from the in-scan path (one batched draw instead
+    of accum chained draws), identical in distribution.
+
+    Constraints (asserted by the caller, train/runner.py): every param the
+    towers read must be frozen, video BN must use running stats
+    (``freeze_video_bn_stats``), and tower LayerDrop must be 0 (a shared
+    batched draw would correlate micro-steps).
+    """
+
+    def pre_fn(params, batch_stats, batch, rng):
+        variables = {"params": params["params"] if "params" in params else params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+
+        mel = batch["input_ids"]
+        dec = batch["dec_input_ids"]
+        stacked = dec.ndim == 3  # [accum, micro, L] vs [micro, L]
+        a = mel.shape[0] if stacked else 1
+
+        def flat(x):
+            return x.reshape((-1,) + x.shape[2:]) if stacked and x is not None else x
+
+        def unflat(x):
+            return x.reshape((a, -1) + x.shape[1:]) if stacked and x is not None else x
+
+        rng, drop_key, modal_key = jax.random.split(rng, 3)
+        rngs = {"dropout": drop_key, "modality": modal_key} if train else None
+
+        mel_f = flat(mel)
+        if train and spec_augment in ("ls-basic", "ls-double"):
+            from avsl_tpu.kernels.specaugment import spec_augment_batch
+
+            n = 1 if spec_augment == "ls-basic" else 2
+            rng, sa_key = jax.random.split(rng)
+            frames = batch.get("audio_frames")
+            frames = flat(frames) if frames is not None else jnp.full(
+                (mel_f.shape[0],), mel_f.shape[-1], jnp.int32
+            )
+            mel_f = spec_augment_batch(
+                mel_f.transpose(0, 2, 1), sa_key, frames,
+                n_freq_mask=n, n_time_mask=n,
+            ).transpose(0, 2, 1)
+
+        video = batch.get("video")
+        ctx = {}
+        if train and video is not None and (prob_av < 1.0 or prob_a > 0.0):
+            rng, mode_key = jax.random.split(rng)
+            # one mode draw PER MICRO-STEP, exactly like the in-scan path
+            u = jax.random.uniform(mode_key, (a,) if stacked else ())
+            audio_only = (u >= prob_av) & (u < prob_av + prob_a)
+            ctx["video_scale"] = jnp.where(audio_only, 0.0, 1.0)
+            keep_audio = (u < prob_av + prob_a).astype(mel_f.dtype)
+            if stacked:
+                micro = mel_f.shape[0] // a
+                keep_audio = jnp.repeat(keep_audio, micro)
+            mel_f = mel_f * keep_audio[:, None, None]
+
+        features, v = model.apply(
+            variables,
+            mel_f,
+            video=flat(video),
+            video_mask=flat(batch.get("video_mask")),
+            deterministic=not train,
+            freeze_video_bn_stats=freeze_video_bn_stats,
+            rngs=rngs,
+            method="encode_towers",
+        )
+        ctx["enc_features"] = unflat(features)
+        if v is not None:
+            ctx["video_feats"] = unflat(v)
+        return ctx
+
+    return pre_fn
 
 
 def avhubert_seq2seq_loss_fn(model, train: bool = True, label_smoothing: Optional[float] = None,

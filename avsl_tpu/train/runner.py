@@ -145,6 +145,7 @@ class TrainerRunner:
         zero1: bool = False,
         fsdp: bool = False,
         param_labels=None,
+        precompute_fn=None,
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -184,12 +185,30 @@ class TrainerRunner:
         # differentiates only the trainable subtree, so XLA never builds a
         # backward through frozen-only towers — the reference's
         # requires_grad=False freeze as torch actually executes it
-        self.train_step = make_train_step(
-            loss_fn, tx, mesh=mesh, grad_accum_steps=self.accum, donate=False,
-            partitioned_state=self.partitioned,
-            state_constraint_fn=constraint_fn,
-            param_labels=param_labels,
-        )
+        # precompute_fn (objectives.flamingo_tower_precompute): hoists the
+        # FROZEN tower forwards out of the grad-accumulation scan, batched
+        # over all micro-steps — callers gate it on the freeze regime
+        # (cli/finetune.py checks the param_labels tree). Compiled as its
+        # own program (split_precompute): numerically identical to fusing
+        # it into the step, but two smaller programs compile predictably
+        # (one giant hoisted step hit multi-10-minute pathological
+        # compiles on tunneled backends) at one extra dispatch per step.
+        if precompute_fn is not None:
+            _step, _pre = make_train_step(
+                loss_fn, tx, mesh=mesh, grad_accum_steps=self.accum,
+                donate=False, partitioned_state=self.partitioned,
+                state_constraint_fn=constraint_fn,
+                param_labels=param_labels,
+                precompute_fn=precompute_fn, split_precompute=True,
+            )
+            self.train_step = lambda s, b: _step(s, b, _pre(s, b))
+        else:
+            self.train_step = make_train_step(
+                loss_fn, tx, mesh=mesh, grad_accum_steps=self.accum,
+                donate=False, partitioned_state=self.partitioned,
+                state_constraint_fn=constraint_fn,
+                param_labels=param_labels,
+            )
         if self.partitioned:
             from avsl_tpu.core.partitioning import shard_state
 

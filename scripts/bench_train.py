@@ -178,19 +178,53 @@ def measure(model_name: str, envelope: str) -> dict:
         )
         if lab == "train"
     )
-    loss_fn = flamingo_loss_fn(model, train=True)
+    # freeze_video_bn_stats mirrors the reference flagship regime
+    # (freeze_video_batch_norm_stats: true, whisper_flamingo_ft_ami.py:
+    # 508-509) — also required by the tower hoist (batched BN forward
+    # must read running stats, not per-micro-step updates)
+    loss_fn = flamingo_loss_fn(model, train=True, freeze_video_bn_stats=True)
     # param_labels => only the trainable subtree is differentiated — the
     # reference's requires_grad=False freeze as torch actually executes
-    # it (no backward through the frozen AV-HuBERT trunk / whisper body)
-    step = make_train_step(
-        loss_fn, tx, mesh=make_mesh(1, devices=[dev]),
-        grad_accum_steps=accum, donate=True, param_labels=labels_tree,
-    )
+    # it (no backward through the frozen AV-HuBERT trunk / whisper body).
+    # AVSL_BENCH_TRAIN_HOIST=0 disables the frozen-tower hoist (the
+    # default mirrors production: cli/finetune.py enables it whenever the
+    # regime freezes both towers — flamingo_projection does). The hoist
+    # always runs split (its own program): the fused form hit the
+    # tunnel's pathological-compile class (>30 min, vs ~4 min unhoisted),
+    # and per-program cost analysis keeps the FLOPs attribution honest —
+    # the scan-body x accum correction must not scale the towers.
+    hoist = os.environ.get("AVSL_BENCH_TRAIN_HOIST", "1") == "1" and accum > 1
+    precompute = None
+    if hoist:
+        from avsl_tpu.train.objectives import flamingo_tower_precompute
+
+        precompute = flamingo_tower_precompute(
+            model, train=True, freeze_video_bn_stats=True
+        )
+    mesh1 = make_mesh(1, devices=[dev])
+    pre = None
+    if hoist:
+        step, pre = make_train_step(
+            loss_fn, tx, mesh=mesh1,
+            grad_accum_steps=accum, donate=True, param_labels=labels_tree,
+            precompute_fn=precompute, split_precompute=True,
+        )
+    else:
+        step = make_train_step(
+            loss_fn, tx, mesh=mesh1,
+            grad_accum_steps=accum, donate=True, param_labels=labels_tree,
+        )
     state = TrainState.create(
         params, tx, batch_stats=variables.get("batch_stats")
     )
 
     # ---- compile + FLOPs ----------------------------------------------
+    def _ca_flops(compiled):
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) if ca else 0.0
+
     flops = None
     flops_source = "analytic"
     call = step
@@ -201,31 +235,48 @@ def measure(model_name: str, envelope: str) -> dict:
     # propagate, not be mislabeled "AOT unavailable" and trigger a second
     # multi-minute compile of the same doomed program via step()
     try:
-        lowered = step.lower(state, batch)
-        compiled = lowered.compile()
+        pre_flops = 0.0
+        if pre is not None:
+            compiled_pre = pre.lower(state, batch).compile()
+            log(f"pre compile: {time.perf_counter() - t0:.1f}s")
+            try:
+                pre_flops = _ca_flops(compiled_pre)
+            except Exception:
+                pre_flops = 0.0
+            ctx0 = compiled_pre(state, batch)
+            compiled_step = step.lower(state, batch, ctx0).compile()
+            call = lambda s, b: compiled_step(s, b, compiled_pre(s, b))  # noqa: E731
+        else:
+            compiled_step = step.lower(state, batch).compile()
+            call = compiled_step  # re-calling the jit fn would RE-compile
         compile_s = time.perf_counter() - t0
-        call = compiled  # re-calling the jit fn would RE-compile
         try:
-            ca = compiled.cost_analysis()
-            if isinstance(ca, (list, tuple)):
-                ca = ca[0]
-            if ca and ca.get("flops", 0) > 0:
-                flops = float(ca["flops"])
+            step_flops = _ca_flops(compiled_step)
+            if step_flops > 0:
+                flops = step_flops
                 flops_source = "xla_cost_analysis"
                 if accum > 1:
                     # XLA cost analysis counts a lax.scan body ONCE, not
                     # x trip-count (verified: the accum-16 program reports
                     # 2.1e12 while the scan-free micro-4 program reports
                     # 1.59e12 PER SEGMENT at the same dims). The grad-accum
-                    # scan dominates this program; scale by its trip count.
+                    # scan dominates the STEP program; scale by its trip
+                    # count. The hoisted tower program (pre) runs once per
+                    # step and is added unscaled.
                     flops *= accum
                     flops_source = "xla_cost_analysis*accum(scan_body)"
+                if pre_flops > 0:
+                    flops += pre_flops
+                    flops_source += "+pre"
         except Exception:
             pass
     except Exception:
         # AOT lowering/compile unavailable on this backend — the plain
         # jit call below compiles instead
-        call = step
+        if pre is not None:
+            call = lambda s, b: step(s, b, pre(s, b))  # noqa: E731
+        else:
+            call = step
     state, metrics = call(state, batch)
     if compile_s is None:
         compile_s = time.perf_counter() - t0
@@ -274,6 +325,7 @@ def measure(model_name: str, envelope: str) -> dict:
         # frozen towers run forward-only and the decoder is not remat'd,
         # so no recompute exists for the policy to remove
         "remat": remat_mode,
+        "tower_hoist": hoist,
         "param_dtype": "bfloat16",
         "step_time_s": round(step_s, 4),
         "steps_per_sec": round(1.0 / step_s, 4),
