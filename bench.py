@@ -81,6 +81,50 @@ def log(msg):
         print(f"[t={_elapsed():.0f}s] {msg}", file=sys.stderr, flush=True)
 
 
+# Stage results stashed as they land, for the wedge watchdog below: a
+# single d2h pull on the tunneled backend can block for tens of minutes
+# when the channel degrades (observed round 5: a scalar pull wedged
+# >27 min in a healthy-looking session, and a fresh process's first pull
+# took 110 s then wedged too). A fully-wedged run must still put SOME
+# parseable final line on stdout — the round's artifact rides on it.
+_PARTIAL: dict = {}
+_EMITTED = threading.Event()
+
+
+def _watchdog_emit() -> None:
+    h = _PARTIAL.get("headline")
+    result = {
+        "metric": "ami_av_segments_per_sec_per_chip",
+        "value": round(h["segments_per_sec"], 3) if h else 0.0,
+        "unit": "segments/s",
+        "vs_baseline": round(
+            (h["segments_per_sec"] if h else 0.0) / BASELINE_SEGMENTS_PER_SEC,
+            2,
+        ),
+        "error": "watchdog: wall-clock exceeded mid-run (wedged d2h pull "
+                 "or pathological compile); partial results only",
+        "bench_wall_s": round(_elapsed(), 1),
+    }
+    if h:
+        result.update(h)
+        result["mode"] = "crops"
+    for k in ("device_resident", "real_media", "large_device_resident",
+              "train_step", "serving", "crops_depleted"):
+        if _PARTIAL.get(k) is not None:
+            result[k] = _PARTIAL[k]
+    _emit(result)
+    os._exit(0)
+
+
+def _arm_watchdog() -> None:
+    t = threading.Timer(
+        float(os.environ.get("AVSL_BENCH_WATCHDOG_S", str(BUDGET_S + 900))),
+        _watchdog_emit,
+    )
+    t.daemon = True
+    t.start()
+
+
 def _emit(result: dict) -> None:
     """Emit the bench result.
 
@@ -90,7 +134,12 @@ def _emit(result: dict) -> None:
     got truncated mid-line (VERDICT.md Weak #1). So: the full blob goes
     to bench_full.json + stderr, and the final stdout line is a COMPACT
     headline — metric/value/unit/vs_baseline plus a few small scalars.
+    Idempotent: the watchdog and the normal path race to emit exactly
+    once.
     """
+    if _EMITTED.is_set():
+        return
+    _EMITTED.set()
     full = json.dumps(result)
     try:
         path = os.path.join(
@@ -156,6 +205,10 @@ def main() -> None:
     # NOTE: deliberately NO jax persistent compilation cache here — on the
     # tunneled backend it never produces a hit (compile options embed
     # session state) but serializing each executable costs minutes.
+    if os.environ.get("AVSL_BENCH_CHILD") != "1":
+        # parent only: children are already bounded by run_child timeouts
+        _arm_watchdog()
+
     import jax
     import jax.numpy as jnp
 
@@ -398,6 +451,7 @@ def main() -> None:
         log(f"crops-path compiles: {time.perf_counter() - t0:.1f}s")
 
         headline = crops_loop(ITERS, "crops")
+        _PARTIAL["headline"] = headline
 
         # compute share with crops device-resident: isolates upload time
         # so h2d_effective_mbps and the 50 MB/s projection are derivable
@@ -474,6 +528,7 @@ def main() -> None:
             log(f"resident iter{i}: {series[-1]:.3f}s")
         true_sync(ro)
         device_series = _series_stats(series, time.perf_counter() - t_loop)
+        _PARTIAL["device_resident"] = device_series
 
     # ==== real-media loop (this process IS the media child) ============
     real_media = None
@@ -539,6 +594,7 @@ def main() -> None:
             log(f"media iter{i}: {media_times[-1]:.3f}s")
         true_sync(mo)
         real_media = _series_stats(media_times, time.perf_counter() - t_loop)
+        _PARTIAL["real_media"] = real_media
         real_media["media_seconds_per_sec"] = round(
             real_media["segments_per_sec"] * AUDIO_SECONDS, 1
         )
@@ -575,6 +631,7 @@ def main() -> None:
             dict(child_env, AVSL_BENCH_MEDIA="only"), tag="media"
         )
         real_media = res.get("real_media", res if "error" in res else None)
+        _PARTIAL["real_media"] = real_media
 
     large_resident = None
     if (
@@ -591,6 +648,7 @@ def main() -> None:
         large_resident = res.get(
             "device_resident", res if "error" in res else None
         )
+        _PARTIAL["large_device_resident"] = large_resident
 
     train_step = None
     if (
@@ -629,6 +687,8 @@ def main() -> None:
             )
             train_step = {"large_v2": err, "fallback_tiny": small}
 
+    _PARTIAL["train_step"] = train_step
+
     # ==== serving under sustained load (CPU child: batching/scheduler
     # layer regression anchor — does not touch the TPU, so it cannot
     # disturb the depleted re-run's transfer budget) =====================
@@ -651,6 +711,7 @@ def main() -> None:
         )
         if "value" in serving:
             serving["requests_per_sec"] = serving.pop("value")
+        _PARTIAL["serving"] = serving
 
     # ==== depleted re-run: the throttle-proof artifact ==================
     # always runs (costs ~40 s) — this is the evidence the headline
@@ -663,6 +724,7 @@ def main() -> None:
     ):
         bw = put_bandwidth_mbps()
         crops_depleted = crops_loop(4, "crops-depleted")
+        _PARTIAL["crops_depleted"] = crops_depleted
         crops_depleted["h2d_probe_mbps_before"] = round(bw, 1)
 
     # ==== assemble ======================================================

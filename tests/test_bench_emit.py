@@ -104,3 +104,44 @@ def test_error_result_passes_through(emit):
     )
     assert parsed["value"] == 0.0
     assert parsed["error"] == "tpu_backend_unavailable"
+
+
+@pytest.fixture()
+def bench_ns(tmp_path):
+    src = open("bench.py").read()
+    prefix = src.split("def _series_stats")[0] + "pass"
+    ns = {"__file__": str(tmp_path / "bench.py")}
+    exec(compile(prefix, "bench.py", "exec"), ns)
+    return ns, tmp_path
+
+
+def test_watchdog_emits_parseable_line_with_no_results(bench_ns):
+    """A run wedged before ANY series lands (observed: a d2h scalar pull
+    blocking >27 min) must still put a parseable final line on stdout."""
+    ns, tmp_path = bench_ns
+    ns["os"]._exit = lambda code: None  # keep the test process alive
+    try:
+        out = _capture_stdout(ns["_watchdog_emit"])
+    finally:
+        import os as _os
+        import importlib
+        importlib.reload(_os)
+    line = out.strip().splitlines()[-1]
+    d = json.loads(line)
+    assert d["value"] == 0.0
+    assert "watchdog" in d["error"]
+    assert d["metric"] == "ami_av_segments_per_sec_per_chip"
+
+
+def test_watchdog_uses_partial_headline_and_wins_the_emit_race(bench_ns):
+    ns, tmp_path = bench_ns
+    ns["os"]._exit = lambda code: None
+    ns["_PARTIAL"]["headline"] = {"segments_per_sec": 12.5}
+    ns["_PARTIAL"]["device_resident"] = {"segments_per_sec": 40.0}
+    out = _capture_stdout(ns["_watchdog_emit"])
+    d = json.loads(out.strip().splitlines()[-1])
+    assert d["value"] == 12.5
+    assert d["device_resident_segments_per_sec"] == 40.0
+    # idempotence: a late normal emit after the watchdog fired is a no-op
+    late = _capture_stdout(ns["_emit"], {"metric": "x", "value": 1})
+    assert late == ""
