@@ -118,7 +118,7 @@ def _watchdog_emit() -> None:
 
 def _arm_watchdog() -> None:
     t = threading.Timer(
-        float(os.environ.get("AVSL_BENCH_WATCHDOG_S", str(BUDGET_S + 900))),
+        float(os.environ.get("AVSL_BENCH_WATCHDOG_S", str(BUDGET_S + 300))),
         _watchdog_emit,
     )
     t.daemon = True
