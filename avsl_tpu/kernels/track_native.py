@@ -60,6 +60,12 @@ def native_available() -> bool:
     return _load_lib() is not None
 
 
+def _cv2_wheel_available() -> bool:
+    from avsl_tpu.data import track_host
+
+    return bool(track_host._HAS_CV2)
+
+
 def ncc_track_batch_host(
     clips: np.ndarray,  # [B, T, H, W] uint8, FULL resolution
     anchor_pos: np.ndarray,  # [B, 2] (x, y) at the ::ds-downsampled scale
@@ -71,13 +77,23 @@ def ncc_track_batch_host(
     top_k: int = 1,
     motion_lambda: float = 0.02,
     n_threads: Optional[int] = None,
+    prefer: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """[B, T, 2] (x, y) trajectories at the DOWNSAMPLED scale + ok [B].
 
-    Native when the .so is built; otherwise the numpy/cv2 twin per clip
-    (identical results either way). ``ok[b] = False`` marks a clip whose
-    geometry leaves no valid search window (downsampled frame smaller than
-    template + margin) — its trajectory row is the clamped anchor position.
+    ``prefer="auto"`` picks the fastest available backend: the python
+    ``cv2`` wheel's matchTemplate when importable (measured 155 ms per
+    8-clip batch at the production settings — its OpenCV 5.0 build beats
+    the system OpenCV 4.6 the .so links, 268 ms; both release the GIL
+    during matching), else the batched C++ module (cpp/avsl_track), else
+    the pure-numpy FFT twin. ``prefer="native"`` forces the .so (the
+    parity tests pin it against the twin). All backends compute the same
+    statistic; near-tie peaks can differ between OpenCV builds at the ulp
+    level (see tests/test_track_native.py).
+
+    ``ok[b] = False`` marks a clip whose geometry leaves no valid search
+    window (downsampled frame smaller than template + margin) — its
+    trajectory row is the clamped anchor position.
     """
     clips = np.ascontiguousarray(clips)
     if clips.ndim != 4:
@@ -85,7 +101,13 @@ def ncc_track_batch_host(
     b, t, h, w = clips.shape
     ap = np.ascontiguousarray(anchor_pos, np.float32).reshape(b, 2)
     lib = _load_lib()
-    if lib is not None and clips.dtype == np.uint8:
+    use_native = (
+        lib is not None
+        and clips.dtype == np.uint8
+        and (prefer == "native"
+             or (prefer == "auto" and not _cv2_wheel_available()))
+    )
+    if use_native:
         out = np.empty((b, t, 2), np.float32)
         ok = np.empty((b,), np.uint8)
         threads = n_threads or min(os.cpu_count() or 1, 8)

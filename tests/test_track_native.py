@@ -64,7 +64,7 @@ def test_native_matches_numpy_twin_synthetic(ds, stride, top_k):
     ap = (paths[:, anchor] + 7.0).astype(np.float32) / ds
     kw = dict(template_size=max(12, 24 // ds), search=max(16, 32 // ds),
               stride=stride, top_k=top_k)
-    nat, ok = ncc_track_batch_host(clips, ap, anchor, ds=ds, **kw)
+    nat, ok = ncc_track_batch_host(clips, ap, anchor, ds=ds, prefer="native", **kw)
     assert ok.all()
     ref = np.stack([
         ncc_track_clip_parallel_np(
@@ -80,7 +80,8 @@ def test_native_tracks_the_true_path():
     anchor = clips.shape[1] // 2
     ap = (paths[:, anchor] + 7.0).astype(np.float32)
     nat, ok = ncc_track_batch_host(
-        clips, ap, anchor, ds=1, template_size=24, search=32, top_k=3)
+        clips, ap, anchor, ds=1, template_size=24, search=32, top_k=3,
+        prefer="native")
     assert ok.all()
     true_center = paths + 7.0
     err = np.linalg.norm(nat - true_center, axis=-1)
@@ -94,7 +95,8 @@ def test_geometry_failure_reports_not_ok():
     clips = rng.integers(0, 256, (3, 12, 40, 40), np.uint8)
     ap = np.full((len(clips), 2), 20.0, np.float32)
     nat, ok = ncc_track_batch_host(
-        clips, ap, clips.shape[1] // 2, ds=2, template_size=32, search=24)
+        clips, ap, clips.shape[1] // 2, ds=2, template_size=32, search=24,
+        prefer="native")
     assert not ok.any()
     # fallback rows are the (clamped) anchor position
     assert np.isfinite(nat).all()
@@ -138,7 +140,7 @@ def test_native_statistical_parity_real_footage():
         [rng.uniform(60, 100, b), rng.uniform(60, 100, b)], -1
     ).astype(np.float32)
     kw = dict(ds=2, template_size=24, search=48, stride=3, top_k=3)
-    nat, ok = ncc_track_batch_host(clips, ap, t // 2, **kw)
+    nat, ok = ncc_track_batch_host(clips, ap, t // 2, prefer="native", **kw)
     assert ok.all()
     ref = np.stack([
         ncc_track_clip_parallel_np(
@@ -154,3 +156,25 @@ def test_native_statistical_parity_real_footage():
         - np.stack([smooth_landmarks(ref[i], 12) for i in range(b)])
     )
     assert sm_d.max() <= 1.0, f"smoothed deviation {sm_d.max():.2f} px"
+
+
+def test_auto_prefers_cv2_wheel_and_matches_twin():
+    """prefer="auto" with the cv2 wheel importable must route to the
+    python twin (the faster backend on this image: OpenCV 5.0 wheel vs
+    the 4.6 system lib the .so links) and therefore match it exactly."""
+    import avsl_tpu.data.track_host as th
+
+    if not th._HAS_CV2:
+        pytest.skip("cv2 wheel unavailable")
+    clips, paths = _batch(b=2)
+    anchor = clips.shape[1] // 2
+    ap = (paths[:, anchor] + 7.0).astype(np.float32)
+    auto, ok = ncc_track_batch_host(
+        clips, ap, anchor, ds=1, template_size=24, search=32, top_k=3)
+    assert ok.all()
+    ref = np.stack([
+        ncc_track_clip_parallel_np(
+            clips[i], ap[i], anchor, template_size=24, search=32, top_k=3)
+        for i in range(len(clips))
+    ])
+    np.testing.assert_array_equal(auto, ref)
